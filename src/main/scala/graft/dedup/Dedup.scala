@@ -1,0 +1,161 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Deduplication operators for corpus-scale pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard.
+  *
+  * Scale design, per operator:
+  *  - Exact: one hash-aggregate over a 128-bit content fingerprint — one
+  *    shuffle keyed by digest, no text comparison ever crosses the wire.
+  *  - MinHash+LSH: shingle explode -> k min-hash partial aggregates (one
+  *    shuffle, map-side combined) -> banding -> bucket self-join. Only
+  *    same-bucket pairs are ever compared; cost is bounded by bucket
+  *    population, not corpus².
+  *  - SimHash: per-doc collect of token hashes folded into a 64-bit
+  *    signature with higher-order array functions; near-dup = signature
+  *    Hamming distance, joinable on rotated band keys.
+  *  - n-gram Jaccard: exact verification for candidate pairs (or small
+  *    corpora) via distinct-token self-join — the brute-force baseline the
+  *    sketches approximate.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest (hash-groupBy).
+    * Returns one row per distinct content with its cardinality and the
+    * smallest id (the canonical survivor). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Word n-gram shingles of a text column. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(textCol)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signature: k independent min-hashes per doc. Each hash is
+    * xxhash64 seeded by permutation index; the aggregate is k `min`s —
+    * map-side partial aggregation keeps the shuffle tiny regardless of
+    * document length. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the k-wide signature into bands of `rowsPerBand`,
+    * hash each band, and emit (band_idx, band_hash, id). Candidate pairs
+    * are ids sharing any (band_idx, band_hash) bucket. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int,
+                        rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
+    }
+    val buckets = sigs.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+    val l = buckets.as("l")
+    val r = buckets.as("r")
+    l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id1"), col(s"r.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification of
+    * the candidates (the full dedup pipeline). */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 32, rowsPerBand: Int = 4,
+                      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val cands = lshCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
+    val sets = df.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
+    verifyJaccard(cands, sets, idCol, threshold)
+  }
+
+  /** Exact Jaccard for candidate pairs given exploded distinct element
+    * sets (id, element). Shuffles by element and by pair — both keyed,
+    * both combinable. */
+  def verifyJaccard(pairs: DataFrame, sets: DataFrame, idCol: String,
+                    threshold: Double): DataFrame = {
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sets.withColumnRenamed(idCol, "id1").withColumnRenamed("shingle", "e1"), Seq("id1"))
+      .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("shingle", "e2"), Seq("id2"))
+      .filter(col("e1") === col("e2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed(idCol, "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Exact pairwise n-gram (word) Jaccard above a threshold — brute-force
+    * baseline; use [[minhashNearDups]] at scale. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val allPairs = sets.withColumnRenamed(idCol, "id1").withColumnRenamed("shingle", "e1")
+      .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("shingle", "e2"),
+        col("e1") === col("e2") && col("id1") < col("id2"))
+      .select("id1", "id2")
+    verifyJaccard(allPairs.distinct(),
+      sets, idCol, threshold)
+  }
+
+  /** 64-bit SimHash signature per document: fold token hashes into
+    * per-bit vote counts, then take the sign bit-vector. Higher-order
+    * array functions only — the per-doc state is one 64-long array. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol),
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+    hashed.select(col(idCol),
+      expr(
+        """aggregate(
+          |  zip_with(
+          |    aggregate(hs, array_repeat(0L, 64),
+          |      (acc, h) -> zip_with(acc, sequence(0, 63),
+          |        (a, b) -> a + if(((h >> b) & 1L) = 1L, 1L, -1L))),
+          |    sequence(0, 63),
+          |    (v, b) -> if(v > 0, shiftleft(1L, b), 0L)),
+          |  0L, (s, x) -> s | x)""".stripMargin).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Near-duplicate pairs by embedding cosine >= threshold, bucketed by
+    * sign-LSH so only same-bucket pairs are compared (see
+    * [[graft.similarity.Similarity.hyperplaneBucket]]). */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, numPlanes: Int = 8, dim: Int = 64,
+                     seed: Long = 42L): DataFrame = {
+    import graft.similarity.Similarity
+    val b = df.select(col(idCol), col(vecCol),
+      Similarity.hyperplaneBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+    val l = b.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("bucket"))
+    val r = b.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("cosine", round(Similarity.cosine(col("v1"), col("v2")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+      .distinct()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (SURVEY.md §2.9/§2.12): duplicate detection,
+  * per-entity ordered history (observation status, inter-season
+  * remigration).
+  *
+  * Scale note: every window here partitions by a key (never a global
+  * window), so work distributes across the shuffle of that key. Ordering
+  * columns are always made total (tie-broken by a unique id) so results
+  * are deterministic under any partitioning.
+  */
+object WindowOps {
+
+  /** R's `filter(duplicated(col))` (ningaloo-etl.Rmd:377): rows whose key
+    * already appeared, under a deterministic total order. */
+  def duplicates(df: DataFrame, key: Seq[String], order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order.map(col): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+      .drop("_rn")
+  }
+
+  /** First-seen dedup: keep one row per key, the earliest by `order` —
+    * deterministic alternative to dropDuplicates' arbitrary pick. */
+  def firstSeen(df: DataFrame, key: Seq[String], order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order.map(col): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Inter-season remigration interval (tagging-etl.Rmd:202-204): per
+    * turtle, the gap between consecutive encounter seasons. */
+  def remigration(df: DataFrame, entity: String, seasonCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(seasonCol))
+    df.withColumn("prev_season", lag(col(seasonCol), 1).over(w))
+      .withColumn("remigration_interval",
+        (col(seasonCol) - col("prev_season")).cast("long"))
+  }
+
+  /** Observation status derivation (tagging-etl.Rmd:188-196): per turtle
+    * ordered by observation time — first ever is "Initial", same-season
+    * repeat is "Resighting", new-season return is "Remigrant". */
+  def observationStatus(df: DataFrame, entity: String, tsCol: String,
+                        seasonCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(tsCol))
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_prev_season", lag(col(seasonCol), 1).over(w))
+      .withColumn("observation_status",
+        when(col("_rn") === 1, lit("Initial"))
+          .when(col("_prev_season") === col(seasonCol), lit("Resighting"))
+          .otherwise(lit("Remigrant")))
+      .drop("_rn", "_prev_season")
+  }
+}

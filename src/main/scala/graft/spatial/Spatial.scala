@@ -1,0 +1,41 @@
+package graft.spatial
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spatial operators (SURVEY.md §2.5 J10, §2.7 R4): bbox polygons,
+  * reverse-geocode-by-containment.
+  *
+  * Scale design: polygons are dimension data (dozens), points are the
+  * 100 TB fact side. Each polygon is a plan-time constant inside a
+  * codegen'd [[PointInPolygon]] expression, so geocoding is a single
+  * narrow map over the fact table — no join, no shuffle. A bbox
+  * short-circuit inside the expression handles the overwhelmingly common
+  * miss case.
+  */
+object Spatial {
+
+  /** Closed 5-point rectangle ring from bbox corners, the reference's
+    * polygon construction (ningaloo-etl.Rmd:96-120: SW,SE,NE,NW,SW). */
+  def bboxPoly(xMin: Double, yMin: Double, xMax: Double, yMax: Double): Poly =
+    Poly(Seq((xMin, yMin), (xMax, yMin), (xMax, yMax), (xMin, yMax), (xMin, yMin)))
+
+  /** Polygon ring as an array-of-structs column (the GeoJSON-shaped
+    * representation, ningaloo-etl.Rmd:96-129). */
+  def polyColumn(p: Poly): Column =
+    array(p.xs.indices.map(i =>
+      struct(lit(p.xs(i)).as("lon"), lit(p.ys(i)).as("lat"))): _*)
+
+  def pointInPolygon(lon: Column, lat: Column, poly: Poly): Column =
+    PointInPolygon(lon, lat, poly)
+
+  /** Reverse geocode by containment (turtle-tracks.Rmd:80-87): first
+    * containing area's label wins, else the default ("WA",
+    * turtle-tracks.Rmd:60). A when-chain over constant polygons —
+    * stays fully inside whole-stage codegen. */
+  def geocode(lon: Column, lat: Column, areas: Seq[(String, Poly)],
+              default: String): Column =
+    areas.foldRight(lit(default)) { case ((name, poly), elseCol) =>
+      when(PointInPolygon(lon, lat, poly), lit(name)).otherwise(elseCol)
+    }
+}

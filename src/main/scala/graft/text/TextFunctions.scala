@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale corpus pipelines: token
+  * counting, quality scoring, language identification, fingerprinting.
+  *
+  * All pure column expressions (codegen'd, no UDFs). Where a function is
+  * also expressed as a DuckDB oracle, the building blocks are chosen for
+  * cross-engine determinism: non-regex `replace` for substring counting,
+  * `md5` for fingerprints (identical in both engines), whitespace-regex
+  * split only where both regex engines agree on ASCII.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty text -> empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish token count: word pieces plus standalone punctuation,
+    * the `\w+|[^\w\s]` tokenizer families use as a pre-pass. */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))).cast("long")
+
+  /** Occurrences of a literal substring — plain `replace` arithmetic so
+    * the same expression is exactly reproducible in ANSI SQL. */
+  def occurrences(c: Column, sub: String): Column =
+    ((length(c) - length(replace(c, lit(sub), lit("")))) / sub.length).cast("long")
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(c: Column): Column = {
+    val punct = Seq(".", ",", ";", ":", "!", "?")
+    val stripped = punct.foldLeft(c)((acc, p) => replace(acc, lit(p), lit("")))
+    round((length(c) - length(stripped)).cast("double") /
+      greatest(length(c), lit(1)), 4)
+  }
+
+  /** Ratio of English stopwords to tokens — a cheap quality signal. */
+  def stopwordRatio(c: Column): Column = {
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+    // Pad with spaces so only whole tokens count; parity-safe (replace).
+    val padded = concat(lit(" "), c, lit(" "))
+    val hits = stops.map(s => occurrences(padded, s" $s ")).reduce(_ + _)
+    round(hits.cast("double") / greatest(tokenCount(c), lit(1)), 4)
+  }
+
+  /** Mean word length over whitespace tokens. */
+  def avgWordLen(c: Column): Column =
+    round(length(regexp_replace(trim(c), "\\s+", "")).cast("double") /
+      greatest(tokenCount(c), lit(1)), 4)
+
+  /** Composite quality score in [0,1]: long enough, not punctuation soup,
+    * some stopword mass (the classic Gopher-style heuristics, reduced to
+    * deterministic arithmetic). */
+  def qualityScore(c: Column): Column = {
+    val lenOk = when(length(c).between(50, 10000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(c) < 0.2, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(c) > 0.05, 1.0).otherwise(0.0)
+    round((lenOk + punctOk + stopOk) / 3.0, 4)
+  }
+
+  /** Content fingerprint (md5 of exact bytes) — exact-dedup key. */
+  def fingerprint(c: Column): Column = md5(c)
+
+  /** 64-bit content hash for joins/sketches. */
+  def fingerprint64(c: Column): Column = xxhash64(c)
+
+  /** Marker-word language ID over a fixed language set. Scores each
+    * language by whole-token marker hits and takes the argmax
+    * (deterministic tie-break by list order). N-gram-free heuristic:
+    * real corpora would extend the marker lists, the plan shape stays a
+    * single narrow projection. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "est", "une"),
+    "es" -> Seq("el", "los", "es", "una", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    markers.map(m => occurrences(padded, s" $m ")).reduce(_ + _)
+  }
+
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s === best && best > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+}
