@@ -55,8 +55,13 @@ object PivotOps {
     * abundance column divided by its row sum — pure column arithmetic,
     * no UDAF. `speciesCols` are the wide abundance columns. */
   def hellinger(df: DataFrame, speciesCols: Seq[String]): DataFrame = {
+    // One select so every column divides by the ORIGINAL row sum — a
+    // foldLeft of withColumn would re-resolve the sum against already
+    // sqrt-transformed columns.
     val rowSum = speciesCols.map(col).reduce(_ + _)
-    speciesCols.foldLeft(df)((d, c) =>
-      d.withColumn(c, sqrt(col(c) / rowSum)))
+    val species = speciesCols.toSet
+    df.select(df.columns.toSeq.map { c =>
+      if (species(c)) sqrt(col(c) / rowSum).as(c) else col(c)
+    }: _*)
   }
 }

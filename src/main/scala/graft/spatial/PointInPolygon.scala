@@ -1,6 +1,6 @@
 package graft.spatial
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.types.{BooleanType, DataType}
@@ -75,7 +75,12 @@ case class PointInPolygon(lon: Expression, lat: Expression, poly: Poly)
 }
 
 object PointInPolygon {
-  /** Column-level entry point: `pointInPolygon($"lon", $"lat", poly)`. */
+  /** Column-level entry point: `pointInPolygon($"lon", $"lat", poly)`.
+    * Inputs are cast to double here so interpreted eval and codegen agree
+    * for float/decimal lon-lat columns (the expression itself assumes
+    * DoubleType children). */
   def apply(lon: Column, lat: Column, poly: Poly): Column =
-    new Column(PointInPolygon(lon.expr, lat.expr, poly))
+    GraftShim.column(PointInPolygon(
+      GraftShim.expression(lon.cast("double")),
+      GraftShim.expression(lat.cast("double")), poly))
 }
