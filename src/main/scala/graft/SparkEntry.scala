@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is registered here as a
+  * named query over the driver's testdata tables, with the equivalent
+  * DuckDB oracle SQL where the operator is SQL-expressible (xxhash64 /
+  * seeded-LSH sketches run with the weaker rows-only check; their exact
+  * verification stages are oracle-checked separately).
+  */
 object SparkEntry {
+
+  private val registry: Seq[Q] =
+    RelationalQueries.defs ++ JoinQueries.defs ++ WindowPivotQueries.defs ++
+      SpatialQueries.defs ++ CorpusQueries.defs ++ Seq(
+        // §2.11 streaming: a real Structured Streaming job (file source,
+        // dedup, event-time day window, AvailableNow) whose settled result
+        // must equal the batch tally — the batch SQL IS the oracle.
+        Q("st_stream_daily_tally",
+          "SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type, " +
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2") { (s, d) =>
+          graft.streaming.StreamingTallies.dailyTallyOnce(s, d)
+        })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("j12_left_chain")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -74,15 +74,30 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash signatures computed from an already-exploded distinct
+    * (id, shingle) set — lets callers share the explode with the
+    * verification pass. */
+  def minhashSignaturesFromSets(sets: DataFrame, idCol: String,
+                                numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification of
-    * the candidates (the full dedup pipeline). */
+    * the candidates (the full dedup pipeline). The exploded distinct
+    * shingle set — the heaviest intermediate — is persisted and reused by
+    * both the signature aggregation and the verification join, so the
+    * corpus text is read and shingled exactly once. (At cluster scale the
+    * same role is played by checkpointing the set to parquet.) */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, rowsPerBand: Int = 4,
                       shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
-    val cands = lshCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
     val sets = df.select(col(idCol),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignaturesFromSets(sets, idCol, numHashes)
+    val cands = lshCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
     verifyJaccard(cands, sets, idCol, threshold)
   }
 
@@ -141,21 +156,21 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** Near-duplicate pairs by embedding cosine >= threshold, bucketed by
-    * sign-LSH so only same-bucket pairs are compared (see
-    * [[graft.similarity.Similarity.hyperplaneBucket]]). */
+  /** Near-duplicate pairs by embedding cosine >= threshold, using
+    * multi-table sign-LSH candidates (union over tables) with exact
+    * cosine verification — see
+    * [[graft.similarity.Similarity.lshCandidates]] for the scale design. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, numPlanes: Int = 8, dim: Int = 64,
-                     seed: Long = 42L): DataFrame = {
+                     threshold: Double, numPlanes: Int = 8, numTables: Int = 4,
+                     dim: Int = 64, seed: Long = 42L): DataFrame = {
     import graft.similarity.Similarity
-    val b = df.select(col(idCol), col(vecCol),
-      Similarity.hyperplaneBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
-    val l = b.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("bucket"))
-    val r = b.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("id1") < col("id2"))
+    val pairs = Similarity.lshCandidates(df, idCol, vecCol, numPlanes, numTables, dim, seed)
+    val vecs = df.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("v1")), Seq("id1"))
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("v2")), Seq("id2"))
       .withColumn("cosine", round(Similarity.cosine(col("v1"), col("v2")), 4))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
-      .distinct()
   }
 }

@@ -67,6 +67,16 @@ object ColumnOps {
   /** NA -> literal backfill (ningaloo-etl.Rmd:238: species_name NA->'NA'). */
   def naBackfill(c: Column, fallback: String): Column = coalesce(c, lit(fallback))
 
+  /** Pattern select, dplyr's `select(starts_with(prefix))`
+    * (spatial_modelling.Rmd:220, 292). */
+  def selectStartsWith(df: DataFrame, prefix: String, keep: Seq[String] = Nil): DataFrame =
+    df.select((keep ++ df.columns.filter(_.startsWith(prefix))).map(col): _*)
+
+  /** Positional column slice, R's `d[, from:until]` (ningaloo-etl.Rmd:403,
+    * 406, 424). Zero-based, `until` exclusive. */
+  def selectSlice(df: DataFrame, from: Int, until: Int): DataFrame =
+    df.select(df.columns.slice(from, until).map(col): _*)
+
   /** Compose a timestamp from a date's day part plus another timestamp's
     * time-of-day (ningaloo-etl.Rmd:176-178, tagging-etl.Rmd:393-395).
     * The reference adds bare `hour()+minute()+second()` counts to a

@@ -44,10 +44,12 @@ object WindowOps {
 
   /** Observation status derivation (tagging-etl.Rmd:188-196): per turtle
     * ordered by observation time — first ever is "Initial", same-season
-    * repeat is "Resighting", new-season return is "Remigrant". */
-  def observationStatus(df: DataFrame, entity: String, tsCol: String,
+    * repeat is "Resighting", new-season return is "Remigrant".
+    * `orderCols` must be a total order (tie-break with a unique id) or
+    * the status labels are partition-order-dependent. */
+  def observationStatus(df: DataFrame, entity: String, orderCols: Seq[String],
                         seasonCol: String): DataFrame = {
-    val w = Window.partitionBy(col(entity)).orderBy(col(tsCol))
+    val w = Window.partitionBy(col(entity)).orderBy(orderCols.map(col): _*)
     df.withColumn("_rn", row_number().over(w))
       .withColumn("_prev_season", lag(col(seasonCol), 1).over(w))
       .withColumn("observation_status",

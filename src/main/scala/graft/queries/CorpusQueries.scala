@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+
+/** LLM-data-pipeline operators over the documents/embeddings tables:
+  * text analysis, exact + sketch dedup, similarity search.
+  *
+  * Oracle construction mirrors the Scala expressions literally (same
+  * replace-arithmetic, same marker lists) so both engines compute
+  * identical values. xxhash64-based sketches (minhash, simhash) and
+  * seeded-hyperplane LSH are not expressible in DuckDB — those entries
+  * run with the weaker rows-only check, while their exact verification
+  * stages (Jaccard, cosine) ARE oracle-checked through the n-gram and
+  * brute-force queries.
+  */
+object CorpusQueries {
+
+  // ---- SQL fragments mirroring TextFunctions ----
+
+  private def occSql(padded: String, sub: String): String =
+    s"CAST((length($padded) - length(replace($padded, '$sub', ''))) / ${sub.length} AS BIGINT)"
+
+  private val tokCountSql =
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+
+  private val punctStripped =
+    Seq(".", ",", ";", ":", "!", "?").foldLeft("text")((acc, p) =>
+      s"replace($acc, '$p', '')")
+
+  private val punctRatioSql =
+    s"round(CAST(length(text) - length($punctStripped) AS DOUBLE) / greatest(length(text), 1), 4)"
+
+  private val stopHitsSql = Seq("the", "a", "and", "of", "to", "in", "is")
+    .map(st => occSql("(' ' || text || ' ')", s" $st ")).mkString(" + ")
+
+  private val stopRatioSql =
+    s"round(CAST($stopHitsSql AS DOUBLE) / greatest($tokCountSql, 1), 4)"
+
+  private val avgWordLenSql =
+    s"round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) " +
+      s"/ greatest($tokCountSql, 1), 4)"
+
+  private val qualitySql =
+    s"round((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END + " +
+      s"CASE WHEN $punctRatioSql < 0.2 THEN 1.0 ELSE 0.0 END + " +
+      s"CASE WHEN $stopRatioSql > 0.05 THEN 1.0 ELSE 0.0 END) / 3.0, 4)"
+
+  private def langScoreSql(markers: Seq[String]): String =
+    markers.map(m => occSql("(' ' || lower(text) || ' ')", s" $m ")).mkString(" + ")
+
+  private val langCaseSql: String = {
+    val scores = TextFunctions.langMarkers.map { case (lang, ms) =>
+      lang -> s"(${langScoreSql(ms)})"
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val whens = scores.map { case (lang, s) =>
+      s"WHEN $s = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  // ---- embedding SQL fragments ----
+
+  private def dotSql(a: String, b: String): String =
+    s"(SELECT sum(CAST($a[g.i] AS DOUBLE) * CAST($b[g.i] AS DOUBLE)) " +
+      "FROM generate_series(1, 64) g(i))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  val defs: Seq[Q] = Seq(
+
+    // Token counting: whitespace + BPE-ish pre-tokenizer counts.
+    Q("t_token_counts",
+      s"SELECT doc_id, $tokCountSql AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) " +
+        "AS n_bpe FROM documents") { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws"),
+        TextFunctions.bpeishTokenCount(col("text")).as("n_bpe"))
+    },
+
+    // Quality scoring battery (Gopher-style heuristics).
+    Q("t_quality",
+      s"SELECT doc_id, $punctRatioSql AS punct_ratio, $stopRatioSql AS stopword_ratio, " +
+        s"$avgWordLenSql AS avg_word_len, $qualitySql AS quality FROM documents") { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.avgWordLen(col("text")).as("avg_word_len"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    },
+
+    // Marker-based language ID vs the labeled truth column.
+    Q("t_lang_id",
+      s"SELECT doc_id, lang AS lang_true, $langCaseSql AS lang_guess FROM documents") { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("lang_true"),
+        TextFunctions.langId(col("text")).as("lang_guess"))
+    },
+
+    // Exact dedup groups by content digest (hash-groupBy).
+    Q("dd_exact_groups",
+      "SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_copies, " +
+        "min(doc_id) AS keep_id FROM documents GROUP BY 1") { (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // Exact word-level Jaccard pairs — the oracle-checked twin of the
+    // minhash pipeline's verification stage.
+    Q("dd_jaccard_word",
+      "WITH sets AS (SELECT DISTINCT * FROM (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS shingle FROM documents)), " +
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sets GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS i " +
+        "FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard " +
+        "FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2 " +
+        "WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5") { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 1, 0.5)
+    },
+
+    // MinHash+LSH near-dup pipeline (xxhash64 — rows-only check; its
+    // Jaccard verification semantics are oracled by dd_jaccard_word).
+    Q.noOracle("dd_minhash_neardups") { (s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
+    },
+
+    // SimHash 64-bit signatures (xxhash64 — rows-only check).
+    Q.noOracle("dd_simhash") { (s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // Brute-force exact cosine top-k (broadcast query set).
+    Q("s_cosine_topk",
+      "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "s AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+        s"round(${cosineSql("q.qv", "c.embedding")}, 4) AS cosine " +
+        "FROM q, embeddings c WHERE c.vec_id <> q.query_id) " +
+        "SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER w AS BIGINT) AS rank " +
+        "FROM s WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) " +
+        "QUALIFY row_number() OVER w <= 5") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineTopK(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        emb, "qid", "vec_id", "qv", "embedding", 5)
+    },
+
+    // O5: pairwise Euclidean distance matrix (spatial_modelling.Rmd:217).
+    Q("s_pairwise_dist",
+      "WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 30) " +
+        "SELECT a.vec_id AS id1, b.vec_id AS id2, round(sqrt((SELECT " +
+        "sum(pow(CAST(a.embedding[g.i] AS DOUBLE) - CAST(b.embedding[g.i] AS DOUBLE), 2)) " +
+        "FROM generate_series(1, 64) g(i))), 4) AS dist " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id") { (s, d) =>
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 30)
+      val l = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val r = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      l.crossJoin(r).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(Similarity.l2dist(col("v1"), col("v2")), 4).as("dist"))
+    },
+
+    // Multi-table sign-LSH ANN top-k (seeded hyperplanes — rows-only;
+    // exact-rescore semantics oracled by s_cosine_topk).
+    Q.noOracle("s_ann_topk") { (s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding", 5)
+    },
+
+    // Embedding cosine near-dup pairs via multi-table LSH (rows-only).
+    Q.noOracle("dd_cosine_neardups") { (s, d) =>
+      Dedup.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3)
+    })
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.ColumnOps
+
+/** Scans, filters, scalar functions and aggregations (SURVEY.md §2.3,
+  * §2.4, §2.6, §2.8) exercised over the TPC-H-ish testdata. Query names
+  * carry the SURVEY §2 operator ids they cover.
+  */
+object RelationalQueries {
+
+  val defs: Seq[Q] = Seq(
+
+    // A1: group_by + tally, the reference workhorse (ningaloo-etl.Rmd:308-311).
+    Q("a1_tally",
+      "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY 1, 2") { (s, d) =>
+      graft.ops.PivotOps.tally(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"))
+    },
+
+    // A2: tally(sort = T) (ningaloo-etl.Rmd:311). The sort is presentation-only.
+    Q("a2_tally_sorted",
+      "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n " +
+        "FROM orders GROUP BY 1 ORDER BY n DESC") { (s, d) =>
+      graft.ops.PivotOps.tally(Tables.orders(s, d), Seq("o_orderpriority"), sorted = true)
+    },
+
+    // A3/A4: scalar max + row-count metadata (turtle-tracks.Rmd:63-66).
+    Q("a3_scalar_max",
+      "SELECT max(ts) AS latest_ts, CAST(count(*) AS BIGINT) AS n_obs, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events") { (s, d) =>
+      Tables.events(s, d).agg(
+        max(col("ts")).as("latest_ts"),
+        count(lit(1)).as("n_obs"),
+        countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // A6/D4: histogram binning by ISO week (wastd-api.Rmd:40-45).
+    Q("a6_histogram_week",
+      "SELECT CAST(weekofyear(o_orderdate) AS BIGINT) AS week, " +
+        "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(weekofyear(col("o_orderdate")).cast("long").as("week"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Aggregate battery: sum/avg through DECIMAL for order-independence.
+    Q("agg_pricing",
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base, " +
+        "round(CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*), 6) AS avg_disc, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2") { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+        round(sum(col("l_discount").cast("decimal(8,2)")).cast("double") / count(lit(1)), 6)
+          .as("avg_disc"),
+        count(lit(1)).as("n"))
+    },
+
+    // F1/F2/F3: equality + not-null + not-empty predicate conjunction
+    // (ningaloo-etl.Rmd:310, 386-388, 472).
+    Q("f123_filter",
+      "SELECT event_id, user_id, value FROM events " +
+        "WHERE event_type = 'purchase' AND value IS NOT NULL " +
+        "AND value > 100 AND props <> ''") { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull &&
+          col("value") > 100 && col("props") =!= "")
+        .select("event_id", "user_id", "value")
+    },
+
+    // P8/C7/C3: conditional in-place patch + Access boolean 2->0 fix
+    // (ningaloo-etl.Rmd:83-84, 202).
+    Q("p8c7_patch_fixyn",
+      "SELECT CASE WHEN o_totalprice < 1000 THEN '5-LOW' ELSE o_orderpriority END AS priority, " +
+        "CAST(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END AS BIGINT) AS is_open, " +
+        "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2") { (s, d) =>
+      val patched = ColumnOps.patchWhere(
+        Tables.orders(s, d).withColumn("priority", col("o_orderpriority")),
+        "priority", col("o_totalprice") < 1000, lit("5-LOW"))
+      patched
+        .withColumn("is_open",
+          ColumnOps.fixYN(when(col("o_orderstatus") === "F", 2).otherwise(1)).cast("long"))
+        .groupBy("priority", "is_open").agg(count(lit(1)).as("n"))
+    },
+
+    // D5 both variants: July-watershed and isoweek-27 season
+    // (ningaloo-etl.Rmd:162-167; wastd-api.Rmd:67).
+    Q("d5_season",
+      "SELECT CAST(CASE WHEN month(o_orderdate) > 7 THEN year(o_orderdate) " +
+        "ELSE year(o_orderdate) - 1 END AS BIGINT) AS season, " +
+        "CAST(CASE WHEN weekofyear(o_orderdate) > 27 THEN year(o_orderdate) " +
+        "ELSE year(o_orderdate) - 1 END AS BIGINT) AS season_wk, " +
+        "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          ColumnOps.season(col("o_orderdate")).as("season"),
+          ColumnOps.seasonByWeek(col("o_orderdate")).as("season_wk"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // D6/D2: UTC instant -> Perth-local calendar date as grouping key
+    // (turtle-tracks.Rmd:55). Perth is UTC+8 with no DST, so the oracle
+    // can shift by a constant interval.
+    Q("d6_local_date",
+      "SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(ColumnOps.toLocalDate(col("ts"), "Australia/Perth").as("obs_date"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // D1: multi-format timestamp parse with fallback order
+    // (parse_date_time orders, turtle-tracks.Rmd:46-54).
+    Q("d1_parse_multi",
+      "SELECT event_id, " +
+        "coalesce(try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'), " +
+        "try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%m/%d/%Y %H:%M:%S')) AS parsed_iso, " +
+        "coalesce(try_strptime(strftime(ts, '%m/%d/%Y %H:%M:%S'), '%Y-%m-%d %H:%M:%S'), " +
+        "try_strptime(strftime(ts, '%m/%d/%Y %H:%M:%S'), '%m/%d/%Y %H:%M:%S')) AS parsed_us " +
+        "FROM events") { (s, d) =>
+      val fmts = Seq("yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss")
+      Tables.events(s, d).select(
+        col("event_id"),
+        ColumnOps.parseTimestampMulti(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), fmts).as("parsed_iso"),
+        ColumnOps.parseTimestampMulti(
+          date_format(col("ts"), "MM/dd/yyyy HH:mm:ss"), fmts).as("parsed_us"))
+    },
+
+    // D3: compose datetime from day part + time-of-day part
+    // (ningaloo-etl.Rmd:176-178) — here both drawn from `ts`, so the
+    // composition equals second-truncation, which the oracle states directly.
+    Q("d3_compose_datetime",
+      "SELECT event_id, date_trunc('second', ts) AS composed FROM events") { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        ColumnOps.composeDateTime(col("ts"), col("ts")).as("composed"))
+    },
+
+    // C4/C5: string concat + regex replace (tagging-etl.Rmd:282-284;
+    // turtle-tracks.Rmd:38-39).
+    Q("c4c5_strings",
+      "SELECT c_custkey, concat_ws(' ', c_name, c_mktsegment) AS name_key, " +
+        "regexp_replace(c_name, '[0-9]+', '#', 'g') AS cleaned FROM customer") { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        concat_ws(" ", col("c_name"), col("c_mktsegment")).as("name_key"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("cleaned"))
+    },
+
+    // C6/C3: NA -> literal backfill (ningaloo-etl.Rmd:238).
+    Q("c6_backfill",
+      "SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'NA') AS seg, " +
+        "CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1") { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(ColumnOps.naBackfill(
+          when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")),
+          "NA").as("seg"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // C1/C2: casts + latitude-negation (ningaloo-etl.Rmd:73-76).
+    Q("c1c2_negate",
+      "SELECT s_suppkey, CAST(s_suppkey AS VARCHAR) AS key_str, " +
+        "-CAST(s_acctbal AS DOUBLE) AS neg_bal FROM supplier") { (s, d) =>
+      Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        col("s_suppkey").cast("string").as("key_str"),
+        ColumnOps.negateLat(col("s_acctbal")).as("neg_bal"))
+    },
+
+    // N2: nested/JSON field extraction (track_analysis.R:21-28) over the
+    // events props JSON.
+    Q("n2_json_extract",
+      "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // P6/P7: pattern select + positional slice (spatial_modelling.Rmd:220;
+    // ningaloo-etl.Rmd:403).
+    Q("p67_select_slice",
+      "SELECT p_partkey, p_name, p_brand FROM part") { (s, d) =>
+      val sliced = ColumnOps.selectSlice(Tables.part(s, d), 0, 2) // p_partkey, p_name
+      val brands = ColumnOps.selectStartsWith(Tables.part(s, d), "p_b", keep = Seq("p_partkey"))
+      graft.ops.JoinOps.naturalJoin(sliced, brands, "inner")
+    })
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.spatial.{Poly, Spatial}
+
+/** Spatial operators (SURVEY.md J10, R4): reverse-geocode by containment
+  * through the codegen PointInPolygon expression, and bbox→ring
+  * construction. The testdata has no lon/lat columns, so coordinates are
+  * synthesized deterministically from events (`value`, `event_id`) with
+  * identical arithmetic on the oracle side.
+  *
+  * Oracle parity note: the rectangle reduces to BETWEEN tests and the
+  * triangle to a linear edge inequality; bounds are chosen off the data
+  * grid (lat is integral, bounds at .5/.005) so ray-casting's
+  * boundary-edge semantics can never disagree with the closed-form SQL.
+  */
+object SpatialQueries {
+
+  private val synthSql =
+    "(SELECT event_id, (value % 3.6) * 100 - 180 AS lon, " +
+      "CAST((event_id % 180) - 90 AS DOUBLE) AS lat FROM events)"
+
+  private def synth(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      ((col("value") % 3.6) * 100 - lit(180.0)).as("lon"),
+      ((col("event_id") % 180) - lit(90.0)).cast("double").as("lat"))
+
+  private val areas = Seq(
+    "east_box" -> Spatial.bboxPoly(-60.005, -30.5, 60.005, 30.5),
+    "north_tri" -> Poly(Seq((-180.0, 30.5), (180.0, 30.5), (0.0, 90.0), (-180.0, 30.5))))
+
+  val defs: Seq[Q] = Seq(
+
+    // J10: point-in-polygon geocode (turtle-tracks.Rmd:80-87) — first
+    // containing area wins, default "WA".
+    Q("j10_geocode",
+      "SELECT CASE WHEN lon > -60.005 AND lon < 60.005 AND lat > -30.5 AND lat < 30.5 " +
+        "THEN 'east_box' WHEN lat > 30.5 AND lat < 30.5 + (1 - abs(lon) / 180.0) * 59.5 " +
+        "THEN 'north_tri' ELSE 'WA' END AS location, CAST(count(*) AS BIGINT) AS n " +
+        s"FROM $synthSql GROUP BY 1") { (s, d) =>
+      synth(s, d)
+        .groupBy(Spatial.geocode(col("lon"), col("lat"), areas, "WA").as("location"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // J10 row-level: the geocoded label per point (exercises the codegen
+    // expression per row rather than post-aggregation).
+    Q("j10_geocode_rows",
+      "SELECT event_id, CASE WHEN lon > -60.005 AND lon < 60.005 AND lat > -30.5 " +
+        "AND lat < 30.5 THEN 'east_box' WHEN lat > 30.5 AND " +
+        "lat < 30.5 + (1 - abs(lon) / 180.0) * 59.5 THEN 'north_tri' ELSE 'WA' END " +
+        s"AS location FROM $synthSql") { (s, d) =>
+      synth(s, d).select(col("event_id"),
+        Spatial.geocode(col("lon"), col("lat"), areas, "WA").as("location"))
+    },
+
+    // R4: bbox corners -> closed 5-point ring (ningaloo-etl.Rmd:96-120),
+    // flattened via posexplode for the oracle.
+    Q("r4_bbox_ring",
+      "WITH b AS (SELECT event_type, min(lon) AS x_min, min(lat) AS y_min, " +
+        s"max(lon) AS x_max, max(lat) AS y_max FROM $synthSql e JOIN events ev USING (event_id) GROUP BY 1) " +
+        "SELECT event_type, CAST(0 AS INT) AS pt_idx, x_min AS x, y_min AS y FROM b " +
+        "UNION ALL SELECT event_type, 1, x_max, y_min FROM b " +
+        "UNION ALL SELECT event_type, 2, x_max, y_max FROM b " +
+        "UNION ALL SELECT event_type, 3, x_min, y_max FROM b " +
+        "UNION ALL SELECT event_type, 4, x_min, y_min FROM b") { (s, d) =>
+      val pts = synth(s, d)
+        .join(Tables.events(s, d).select("event_id", "event_type"), Seq("event_id"))
+      val bbox = pts.groupBy("event_type").agg(
+        min("lon").as("x_min"), min("lat").as("y_min"),
+        max("lon").as("x_max"), max("lat").as("y_max"))
+      bbox
+        .select(col("event_type"),
+          posexplode(Spatial.bboxRing(
+            col("x_min"), col("y_min"), col("x_max"), col("y_max"))))
+        .select(col("event_type"), col("pos").as("pt_idx"),
+          col("col.lon").as("x"), col("col.lat").as("y"))
+    })
+}

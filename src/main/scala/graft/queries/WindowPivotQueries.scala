@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{ColumnOps, PivotOps, WindowOps}
+
+/** Window functions (SURVEY.md §2.9, §2.12 U3/U4) and pivot/reshape
+  * operators (§2.7) over the events/lineitem tables.
+  */
+object WindowPivotQueries {
+
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  val defs: Seq[Q] = Seq(
+
+    // F4: R's filter(duplicated(key)) (ningaloo-etl.Rmd:377) under a total
+    // order (ts, event_id).
+    Q("f4_duplicates",
+      "SELECT event_id FROM (SELECT event_id, row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn " +
+        "FROM events) WHERE rn > 1") { (s, d) =>
+      WindowOps.duplicates(Tables.events(s, d),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select("event_id")
+    },
+
+    // First-seen dedup: the deterministic dropDuplicates.
+    Q("w_first_seen",
+      "SELECT event_id, user_id, event_type FROM (SELECT event_id, user_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn " +
+        "FROM events) WHERE rn = 1") { (s, d) =>
+      WindowOps.firstSeen(Tables.events(s, d),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select("event_id", "user_id", "event_type")
+    },
+
+    // U4: inter-season remigration gap (tagging-etl.Rmd:202-204) — per
+    // user, gaps between consecutive distinct active days (Perth-local).
+    Q("u4_remigration",
+      "SELECT user_id, day_no, lag(day_no) OVER w AS prev_season, " +
+        "day_no - lag(day_no) OVER w AS remigration_interval " +
+        "FROM (SELECT DISTINCT user_id, " +
+        "CAST(dayofyear(CAST(ts + INTERVAL 8 HOUR AS DATE)) AS BIGINT) AS day_no " +
+        "FROM events) WINDOW w AS (PARTITION BY user_id ORDER BY day_no)") { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          dayofyear(ColumnOps.toLocalDate(col("ts"), "Australia/Perth"))
+            .cast("long").as("day_no"))
+        .distinct()
+      WindowOps.remigration(days, "user_id", "day_no")
+    },
+
+    // U3: observation status per entity ordered by time
+    // (tagging-etl.Rmd:188-196), season = ISO week.
+    Q("u3_observation_status",
+      "SELECT event_id, CASE WHEN rn = 1 THEN 'Initial' " +
+        "WHEN prev_wk = wk THEN 'Resighting' ELSE 'Remigrant' END AS observation_status " +
+        "FROM (SELECT event_id, weekofyear(ts) AS wk, " +
+        "row_number() OVER w AS rn, lag(weekofyear(ts)) OVER w AS prev_wk " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))") { (s, d) =>
+      WindowOps.observationStatus(
+          Tables.events(s, d).withColumn("wk", weekofyear(col("ts"))),
+          "user_id", Seq("ts", "event_id"), "wk")
+        .select("event_id", "observation_status")
+    },
+
+    // R1: tidyr spread(key, n, fill = 0) (ningaloo-etl.Rmd:313).
+    Q("r1_spread_fill0",
+      "SELECT l_returnflag, " +
+        "CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F, " +
+        "CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O " +
+        "FROM lineitem GROUP BY 1") { (s, d) =>
+      PivotOps.spreadFill0(
+        PivotOps.tally(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus")),
+        Seq("l_returnflag"), "l_linestatus", "n", Seq("F", "O"))
+    },
+
+    // R3: presence (0/1) matrix (tagging-etl.Rmd:434-437).
+    Q("r3_presence_matrix",
+      "SELECT user_id, " + eventTypes.map(t =>
+        s"CAST(CASE WHEN count(CASE WHEN event_type = '$t' THEN 1 END) > 0 " +
+          s"THEN 1 ELSE 0 END AS BIGINT) AS $t").mkString(", ") +
+        " FROM events GROUP BY 1") { (s, d) =>
+      PivotOps.presenceMatrix(Tables.events(s, d), Seq("user_id"), "event_type", eventTypes)
+    },
+
+    // R2: capture-history matrix — entity × season presence, season = ISO
+    // week (wastd-api.Rmd:63-73).
+    Q("r2_capture_history",
+      "SELECT user_id, " + (1 to 5).map(w =>
+        s"CAST(CASE WHEN count(CASE WHEN weekofyear(ts) = $w THEN 1 END) > 0 " +
+          s"THEN 1 ELSE 0 END AS BIGINT) AS w$w").mkString(", ") +
+        " FROM events GROUP BY 1") { (s, d) =>
+      PivotOps.presenceMatrix(
+        Tables.events(s, d)
+          .withColumn("wk", concat(lit("w"), weekofyear(col("ts")))),
+        Seq("user_id"), "wk", (1 to 5).map("w" + _))
+    },
+
+    // U1: Hellinger transform over a wide abundance matrix
+    // (spatial_modelling.Rmd:149).
+    Q("u1_hellinger",
+      "SELECT user_id, " + eventTypes.map(t =>
+        s"round(sqrt(CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS DOUBLE) " +
+          s"/ count(*)), 4) AS $t").mkString(", ") +
+        " FROM events GROUP BY 1") { (s, d) =>
+      val wide = PivotOps.spreadFill0(
+        PivotOps.tally(Tables.events(s, d), Seq("user_id", "event_type")),
+        Seq("user_id"), "event_type", "n", eventTypes)
+      val hel = PivotOps.hellinger(wide, eventTypes)
+      hel.select(col("user_id") +: eventTypes.map(t => round(col(t), 4).as(t)): _*)
+    })
+}

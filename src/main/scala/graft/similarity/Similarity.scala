@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   *    corpus once — a single narrow pass plus a per-query top-k window.
   *    The dot product is a codegen'd higher-order function, left-to-right
   *    summation (deterministic, matches the oracle's evaluation order).
-  *  - Sign-LSH buckets: r fixed random hyperplanes -> r-bit bucket key;
-  *    join on bucket key turns O(N·Q) into O(bucket population). The
-  *    hyperplanes are plan-time literal arrays (seeded), so bucketing is
-  *    again one narrow map — the shuffle is the bucket-key join only.
+  *  - Sign-LSH buckets: `numTables` independent sets of `numPlanes` fixed
+  *    random hyperplanes; each table maps a vector to an r-bit bucket key.
+  *    Candidates = pairs sharing a bucket in ANY table (union), then exact
+  *    cosine rescoring. Multiple tables fix the single-table recall /
+  *    giant-bucket problem: at corpus scale each table's buckets shrink
+  *    the candidate set multiplicatively while the union keeps recall.
+  *    The hyperplanes are plan-time literal arrays (seeded), so bucketing
+  *    is a narrow map — the only shuffles are the bucket-key join and the
+  *    candidate-pair distinct.
   */
 object Similarity {
 
@@ -26,6 +31,13 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Euclidean distance between two vectors (O5 distance matrix,
+    * spatial_modelling.Rmd:217). */
+  def l2dist(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => pow(x.cast("double") - y.cast("double"), 2)),
+      lit(0.0), (acc, v) => acc + v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
@@ -51,23 +63,57 @@ object Similarity {
     Seq.fill(numPlanes)(array((0 until dim).map(_ => lit(rng.nextGaussian())): _*))
   }
 
-  /** r-bit sign-LSH bucket key for a vector. */
-  def hyperplaneBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long): Column =
-    hyperplanes(numPlanes, dim, seed).zipWithIndex.map { case (h, i) =>
+  /** r-bit sign-LSH bucket key for a vector. Fails loudly when the
+    * vector's length differs from `dim` — a silent mismatch would
+    * null-pad `zip_with`, collapse every row into bucket 0 and turn the
+    * bucketed join into an all-pairs scan. */
+  def hyperplaneBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long): Column = {
+    val raw = hyperplanes(numPlanes, dim, seed).zipWithIndex.map { case (h, i) =>
       when(dot(vec, h) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
+    when(size(vec) =!= dim, raise_error(
+      concat(lit(s"embedding length != $dim: got "), size(vec).cast("string"))))
+      .otherwise(raw)
+  }
 
-  /** ANN top-k via sign-LSH buckets: candidates share the query's bucket;
-    * exact cosine rescoring within the bucket. Recall < 1 by design —
-    * the scale path; [[cosineTopK]] is the exact baseline. */
+  /** (id, tbl, bucket) rows: one bucket key per table per row. */
+  private[graft] def bucketTables(df: DataFrame, idCol: String, vecCol: String,
+                                  numPlanes: Int, numTables: Int, dim: Int,
+                                  seed: Long): DataFrame = {
+    val perTable = (0 until numTables).map { t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneBucket(col(vecCol), numPlanes, dim, seed + 7919L * t).as("bucket"))
+    }
+    df.select(col(idCol), explode(array(perTable: _*)).as("tb"))
+      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Candidate id pairs (id1 < id2) sharing any (table, bucket). */
+  private[graft] def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
+                                   numPlanes: Int, numTables: Int, dim: Int,
+                                   seed: Long): DataFrame = {
+    val b = bucketTables(df, idCol, vecCol, numPlanes, numTables, dim, seed)
+    val l = b.select(col(idCol).as("id1"), col("tbl"), col("bucket"))
+    val r = b.select(col(idCol).as("id2"), col("tbl"), col("bucket"))
+    l.join(r, Seq("tbl", "bucket")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** ANN top-k via multi-table sign-LSH: union of per-table bucket
+    * candidates, exact cosine rescoring, per-query window. Recall < 1 by
+    * design — the scale path; [[cosineTopK]] is the exact baseline.
+    * Results are symmetric: each unordered candidate pair scores in both
+    * directions before the per-query top-k. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val b = df.select(col(idCol), col(vecCol),
-      hyperplaneBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
-    val l = b.select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
-    val r = b.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
-    val scored = l.join(r, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+              numPlanes: Int = 8, numTables: Int = 4, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val pairs = lshCandidates(df, idCol, vecCol, numPlanes, numTables, dim, seed)
+    val sym = pairs.select(col("id1").as("query_id"), col("id2").as("neighbor_id"))
+      .union(pairs.select(col("id2").as("query_id"), col("id1").as("neighbor_id")))
+    val vecs = df.select(col(idCol), col(vecCol))
+    val scored = sym
+      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
+      .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

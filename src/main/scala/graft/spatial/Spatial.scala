@@ -26,6 +26,17 @@ object Spatial {
     array(p.xs.indices.map(i =>
       struct(lit(p.xs(i)).as("lon"), lit(p.ys(i)).as("lat"))): _*)
 
+  /** Column-level variant of the ring construction: closed SW,SE,NE,NW,SW
+    * ring from bbox corner columns (ningaloo-etl.Rmd:96-103), as an
+    * array-of-structs. */
+  def bboxRing(xMin: Column, yMin: Column, xMax: Column, yMax: Column): Column =
+    array(
+      struct(xMin.as("lon"), yMin.as("lat")),
+      struct(xMax.as("lon"), yMin.as("lat")),
+      struct(xMax.as("lon"), yMax.as("lat")),
+      struct(xMin.as("lon"), yMax.as("lat")),
+      struct(xMin.as("lon"), yMin.as("lat")))
+
   def pointInPolygon(lon: Column, lat: Column, poly: Poly): Column =
     PointInPolygon(lon, lat, poly)
 

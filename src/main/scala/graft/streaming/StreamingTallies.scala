@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+
+/** Streaming/incremental semantics (SURVEY.md §2.11): the reference
+  * approximates a stream with full re-pull micro-batches of a live feed
+  * (app.R:77-154; README_TT.md:4-10). Here the same tallies run as a real
+  * Structured Streaming job: file source over the events parquet,
+  * dropDuplicates on the feed id (the GFT duplicate-row risk,
+  * turtle-tracks.Rmd:178-182), event-time tumbling day window in local
+  * time, `Trigger.AvailableNow` to drain and stop.
+  *
+  * At scale the same plan runs unchanged against a directory that keeps
+  * receiving files (or a Kafka source): dropDuplicates + window state
+  * distribute by key, and a watermark bounds state for append sinks. The
+  * demo uses complete-mode aggregation into the memory sink so the result
+  * is a plain DataFrame comparable 1:1 with the batch oracle.
+  */
+object StreamingTallies {
+
+  /** Daily tally per (Perth-local day, event_type), computed by a
+    * streaming query driven to completion. Returns the settled result. */
+  def dailyTallyOnce(spark: SparkSession, sfDir: String,
+                     tz: String = "Australia/Perth"): DataFrame = {
+    // Side effect: sets the nanosAsLong conf the raw-schema read needs.
+    Tables.events(spark, sfDir)
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+
+    // The file stream source requires a directory; glob-filter the events
+    // file out of the shared sf directory.
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_local", from_utc_timestamp(col("ts"), tz))
+      .withWatermark("ts_local", "2 days")
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts_local"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(to_date(col("window.start")).as("obs_date"), col("event_type"), col("n"))
+
+    val qname = "graft_stream_daily_tally"
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(qname)
+  }
+}
