@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JoinWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("naturalJoin joins on the shared-name set and requires one (J5)") {
+    val l = Seq((1, "a"), (2, "b")).toDF("k", "lv")
+    val r = Seq((1, "x"), (3, "y")).toDF("k", "rv")
+    val j = JoinOps.naturalJoin(l, r, "inner")
+    assert(j.columns.toSeq == Seq("k", "lv", "rv"))
+    assert(rows(j) == Seq(Seq(1, "a", "x")))
+    val noShared = Seq((1, "a")).toDF("z", "w")
+    intercept[IllegalArgumentException](JoinOps.naturalJoin(l, noShared.select($"z")))
+  }
+
+  test("resolveLookup resolves the FK and drops both keys (J3)") {
+    val fact = Seq((10, 1), (11, 2), (12, 99)).toDF("id", "species_fk")
+    val dim = Seq((1, "Green"), (2, "Loggerhead")).toDF("sid", "species_name")
+    val got = JoinOps.resolveLookup(fact, dim, "species_fk", "sid", Seq("species_name"))
+    assert(got.columns.toSeq == Seq("id", "species_name"))
+    assert(rows(got.orderBy("id")) ==
+      Seq(Seq(10, "Green"), Seq(11, "Loggerhead"), Seq(12, null)))
+  }
+
+  test("orphans/existing split a fact by parent existence (J7/U2)") {
+    val fact = Seq((1, 100), (2, 200), (3, 300)).toDF("id", "fk")
+    val parent = Seq(Tuple1(100), Tuple1(300)).toDF("fk")
+    assert(rows(JoinOps.orphans(fact, parent, "fk").select("id")) == Seq(Seq(2)))
+    assert(rows(JoinOps.existing(fact, parent, "fk").select("id").orderBy("id")) ==
+      Seq(Seq(1), Seq(3)))
+  }
+
+  test("duplicates returns every appearance after the first (F4)") {
+    val d = Seq((1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 40))
+      .toDF("id", "k", "ord")
+    val got = rows(WindowOps.duplicates(d, Seq("k"), Seq("ord", "id")).select("id").orderBy("id"))
+    assert(got == Seq(Seq(2), Seq(3)))
+    assert(rows(WindowOps.firstSeen(d, Seq("k"), Seq("ord", "id")).select("id").orderBy("id")) ==
+      Seq(Seq(1), Seq(4)))
+  }
+
+  test("observationStatus: Initial / Resighting / Remigrant sequence (U3)") {
+    // turtle T: 2 obs season 2011, then season 2013 -> Initial, Resighting, Remigrant
+    val d = Seq(("T", 1, 2011L), ("T", 2, 2011L), ("T", 3, 2013L), ("U", 4, 2012L))
+      .toDF("turtle", "ord", "season")
+    val got = rows(WindowOps.observationStatus(d, "turtle", Seq("ord"), "season")
+      .select("ord", "observation_status").orderBy("ord"))
+    assert(got == Seq(
+      Seq(1, "Initial"), Seq(2, "Resighting"), Seq(3, "Remigrant"), Seq(4, "Initial")))
+  }
+
+  test("remigration: per-entity season gaps (U4)") {
+    val d = Seq(("T", 2011L), ("T", 2013L), ("T", 2014L)).toDF("turtle", "season")
+    val got = rows(WindowOps.remigration(d, "turtle", "season")
+      .select("season", "prev_season", "remigration_interval").orderBy("season"))
+    assert(got == Seq(
+      Seq(2011L, null, null), Seq(2013L, 2011L, 2L), Seq(2014L, 2013L, 1L)))
+  }
+}
