@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val registry: Seq[Q] =
     RelationalQueries.defs ++ JoinQueries.defs ++ WindowPivotQueries.defs ++
-      SpatialQueries.defs ++ CorpusQueries.defs ++ Seq(
+      SpatialQueries.defs ++ CorpusQueries.defs ++ EtlQueries.defs ++ Seq(
         // §2.11 streaming: a real Structured Streaming job (file source,
         // dedup, event-time day window, AvailableNow) whose settled result
         // must equal the batch tally — the batch SQL IS the oracle.
