@@ -1,0 +1,69 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Sinks (SURVEY.md §2.2): header CSV products, timestamped snapshots,
+  * GeoJSON feature collections, parquet checkpoints, CKAN upload stub.
+  *
+  * Scale note: the CSV products in the reference are small analytic
+  * outputs (summaries, QA frames), so `coalesce(1)` mirrors R's
+  * single-file `write.csv`; for large outputs call with
+  * `singleFile = false` and let every partition write its own part file.
+  */
+object Sinks {
+
+  /** K1: `write.csv(x, file, row.names = F)` (ningaloo-etl.Rmd:86-368). */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", true).csv(path)
+  }
+
+  /** K2: snapshot CSV whose filename embeds a sanitized timestamp
+    * (turtle-tracks.Rmd:89-90: `str_replace_all(Sys.time(), " |:", "-")`). */
+  def writeCsvTimestamped(df: DataFrame, dir: String, prefix: String,
+                          timestamp: java.time.Instant): String = {
+    val tag = timestamp.toString.replaceAll("[ :]", "-")
+    val path = s"$dir/${prefix}_$tag"
+    writeCsv(df, path)
+    path
+  }
+
+  /** K5: parquet checkpoint (`save(d, file=...)`, track_analysis.R:45). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** GeoJSON Feature per row: geometry from a polygon-ring column
+    * (array<struct<lon,lat>>), properties from the named columns.
+    * Pure column expression — usable in distributed writes too. */
+  def geoJsonFeature(ring: Column, propCols: Seq[String]): Column =
+    to_json(struct(
+      lit("Feature").as("type"),
+      struct(
+        lit("Polygon").as("type"),
+        array(transform(ring, p => array(p("lon"), p("lat")))).as("coordinates"))
+        .as("geometry"),
+      struct(propCols.map(col): _*).as("properties")))
+
+  /** K3: GeoJSON FeatureCollection writer (`writeOGR(..., "GeoJSON")`,
+    * ningaloo-etl.Rmd:141). Feature JSON is built distributed; only the
+    * final concatenation collects — geometry products here are dimension
+    * data (dozens of polygons). */
+  def writeGeoJson(df: DataFrame, ringCol: String, propCols: Seq[String],
+                   path: String): Unit = {
+    val features = df.select(geoJsonFeature(col(ringCol), propCols).as("f"))
+      .collect().map(_.getString(0))
+    val doc = features.mkString(
+      """{"type":"FeatureCollection","features":[""", ",", "]}")
+    Files.write(Paths.get(path), doc.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+  }
+
+  /** K4: CKAN `resource_update` (ningaloo-etl.Rmd:429-438) — a driver-side
+    * HTTP POST in production. STUB: this environment has no egress, so the
+    * request is described, never sent. */
+  def ckanUploadStub(path: String, resourceId: String, apiUrl: String): String =
+    s"POST $apiUrl/api/3/action/resource_update id=$resourceId upload=@$path (stubbed, not sent)"
+}

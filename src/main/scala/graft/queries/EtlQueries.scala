@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.etl.{NingalooEtl, NingalooFixtures => F}
+import graft.etl.{NingalooEtl, TrackCounts, TrackFixtures, NingalooFixtures => F}
+import graft.io.JsonFeed
 
 /** The Ningaloo ETL chain (SURVEY.md §3.1, §7.2 slices 1-2) registered as
   * oracle-checked queries. Both sides read the SAME fixture rows — the
@@ -143,5 +144,40 @@ nests AS (SELECT n.NestID AS nest_id, nt.nest_type, sp.species_name, s.*
       "GROUP BY 1, 2, 4") { (s, _) =>
       val c = NingalooEtl.fixtureChain(s)
       NingalooEtl.completeness(c.surveys, c.sites)
+    },
+
+    // Tracks pipeline (S4/N1/J10/D6/A1, turtle-tracks.Rmd:24-103): the
+    // Spark side parses the actual GFT JSON body (positional splice +
+    // name sanitation); the oracle reads the same logical rows as VALUES.
+    Q("etl_track_tally", trackCte +
+      "SELECT location, obs_date, species, nest_age, CAST(count(*) AS BIGINT) AS n " +
+      "FROM geo GROUP BY 1, 2, 3, 4") { (s, _) =>
+      TrackCounts.dailySpeciesTally(trackGeo(s))
+    },
+
+    Q("etl_track_nest_types", trackCte +
+      "SELECT location, obs_date, species, nest_type, CAST(count(*) AS BIGINT) AS n " +
+      "FROM geo GROUP BY 1, 2, 3, 4") { (s, _) =>
+      TrackCounts.dailyNestTypeTally(trackGeo(s))
     })
+
+  private def trackGeo(s: org.apache.spark.sql.SparkSession) = {
+    val feed = JsonFeed.parseGft(s, TrackFixtures.jsonBody,
+      splice = Some("observed_at" -> TrackFixtures.spliceNames))
+    TrackCounts.geocoded(TrackCounts.typed(TrackCounts.dedup(feed)), TrackFixtures.areas)
+  }
+
+  // def, not val: referenced by `defs` above during object initialization.
+  private def trackCte: String =
+    s"""WITH feed AS (SELECT * FROM ${TrackFixtures.logical.valuesSql}),
+ded AS (SELECT DISTINCT * FROM feed),
+typed AS (SELECT CAST(longitude AS DOUBLE) AS lon, CAST(latitude AS DOUBLE) AS lat,
+  strptime(observed_at, '$fmt') AS obs_ts, species, nest_age, nest_type FROM ded),
+geo AS (SELECT *, CASE
+  WHEN lon > 114.0 AND lon < 115.0 AND lat > -22.0 AND lat < -21.0 THEN 'Thevenard'
+  WHEN lon > 115.3 AND lon < 115.6 AND lat > -20.6 AND lat < -20.2 THEN 'Montebello'
+  WHEN lon > 115.5 AND lon < 116.2 AND lat > -32.5 AND lat < -31.4 THEN 'Perth'
+  ELSE 'WA' END AS location,
+  CAST(obs_ts + INTERVAL 8 HOUR AS DATE) AS obs_date FROM typed)
+"""
 }
