@@ -113,17 +113,21 @@ object CorpusQueries {
     },
 
     // Exact word-level Jaccard pairs — the oracle-checked twin of the
-    // minhash pipeline's verification stage.
+    // minhash pipeline's verification stage. Brute force is quadratic by
+    // construction, so it runs on a fixed 500-doc sample at every SF;
+    // dd_minhash_neardups is the full-corpus scale path.
     Q("dd_jaccard_word",
       "WITH sets AS (SELECT DISTINCT * FROM (SELECT doc_id, " +
-        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS shingle FROM documents)), " +
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS shingle " +
+        "FROM documents WHERE doc_id < 500)), " +
         "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sets GROUP BY 1), " +
         "inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS i " +
         "FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard " +
         "FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2 " +
         "WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5") { (s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 1, 0.5)
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text", 1, 0.5)
     },
 
     // MinHash+LSH near-dup pipeline (xxhash64 — rows-only check; its

@@ -56,36 +56,49 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplanes (seeded), as literal
-    * columns. */
-  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
+  /** Deterministic pseudo-random hyperplane data (seeded). */
+  private[graft] def planeData(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(array((0 until dim).map(_ => lit(rng.nextGaussian())): _*))
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
+
+  /** Bucket key from a planes-array column (array<array<double>>): bit i
+    * is the sign of vec . planes[i]. One nested higher-order expression —
+    * the plane set is a single Literal, not numPlanes*dim of them, which
+    * keeps the plan small and codegen fast. */
+  private def bucketFromPlanes(vec: Column, planes: Column, numPlanes: Int): Column =
+    aggregate(
+      zip_with(planes, sequence(lit(0), lit(numPlanes - 1)), (p, i) =>
+        when(dot(vec, p) > 0,
+          pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
 
   /** r-bit sign-LSH bucket key for a vector. Fails loudly when the
     * vector's length differs from `dim` — a silent mismatch would
     * null-pad `zip_with`, collapse every row into bucket 0 and turn the
     * bucketed join into an all-pairs scan. */
   def hyperplaneBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long): Column = {
-    val raw = hyperplanes(numPlanes, dim, seed).zipWithIndex.map { case (h, i) =>
-      when(dot(vec, h) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    val raw = bucketFromPlanes(vec, typedlit(planeData(numPlanes, dim, seed)), numPlanes)
     when(size(vec) =!= dim, raise_error(
       concat(lit(s"embedding length != $dim: got "), size(vec).cast("string"))))
       .otherwise(raw)
   }
 
-  /** (id, tbl, bucket) rows: one bucket key per table per row. */
+  /** (id, tbl, bucket) rows: one bucket key per table per row. All
+    * numTables plane sets ride in ONE nested literal; buckets compute via
+    * transform + posexplode in a single narrow projection. */
   private[graft] def bucketTables(df: DataFrame, idCol: String, vecCol: String,
                                   numPlanes: Int, numTables: Int, dim: Int,
                                   seed: Long): DataFrame = {
-    val perTable = (0 until numTables).map { t =>
-      struct(lit(t).as("tbl"),
-        hyperplaneBucket(col(vecCol), numPlanes, dim, seed + 7919L * t).as("bucket"))
-    }
-    df.select(col(idCol), explode(array(perTable: _*)).as("tb"))
-      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val tables = typedlit((0 until numTables).map(t =>
+      planeData(numPlanes, dim, seed + 7919L * t)))
+    df.select(col(idCol),
+        posexplode(transform(tables, tb =>
+          when(size(col(vecCol)) =!= dim, raise_error(
+            concat(lit(s"embedding length != $dim: got "),
+              size(col(vecCol)).cast("string"))))
+            .otherwise(bucketFromPlanes(col(vecCol), tb, numPlanes)))))
+      .select(col(idCol), col("pos").as("tbl"), col("col").as("bucket"))
   }
 
   /** Candidate id pairs (id1 < id2) sharing any (table, bucket). */
