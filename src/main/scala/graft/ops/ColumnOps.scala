@@ -67,6 +67,25 @@ object ColumnOps {
   /** NA -> literal backfill (ningaloo-etl.Rmd:238: species_name NA->'NA'). */
   def naBackfill(c: Column, fallback: String): Column = coalesce(c, lit(fallback))
 
+  /** F5: interactive predicate pushdown, the Shiny picker semantics
+    * (app.R:193-203) — each picker either filters on equality or is
+    * "all" (None, a no-op). A parameterized `Seq` folded into filters,
+    * which Catalyst pushes into the scan like any static predicate. */
+  def applyPickers(df: DataFrame, pickers: Seq[(String, Option[String])]): DataFrame =
+    pickers.foldLeft(df) {
+      case (d, (_, None)) => d
+      case (d, (c, Some(v))) => d.filter(col(c) === v)
+    }
+
+  /** A5: schema dump as data (`contents(con)` / `summary()`,
+    * ningaloo-etl.Rmd:55; tagging-etl.Rmd:347). */
+  def schemaReport(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+      .toDF("col_name", "data_type")
+  }
+
   /** Pattern select, dplyr's `select(starts_with(prefix))`
     * (spatial_modelling.Rmd:220, 292). */
   def selectStartsWith(df: DataFrame, prefix: String, keep: Seq[String] = Nil): DataFrame =

@@ -51,4 +51,20 @@ object JoinOps {
     * The validation "tag exists" checks (tagging-etl.Rmd:170-183). */
   def existing(fact: DataFrame, parent: DataFrame, key: String): DataFrame =
     fact.join(parent, Seq(key), "left_semi")
+
+  /** J11: positional concat, R's `cbind(a, b)` (spatial_modelling.Rmd:218)
+    * — rows paired by explicit sort order on each side. Order-dependent by
+    * construction and intended for dimension-sized frames (the reference
+    * zips 61 sites with their PCNM scores): the global row_number windows
+    * below are single-partition. */
+  def cbindByOrder(left: DataFrame, right: DataFrame,
+                   leftOrder: Seq[String], rightOrder: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val lw = Window.orderBy(leftOrder.map(col): _*)
+    val rw = Window.orderBy(rightOrder.map(col): _*)
+    left.withColumn("_rn", row_number().over(lw))
+      .join(right.withColumn("_rn", row_number().over(rw)), Seq("_rn"))
+      .drop("_rn")
+  }
 }

@@ -42,6 +42,26 @@ object WindowOps {
         (col(seasonCol) - col("prev_season")).cast("long"))
   }
 
+  /** Gaps-and-islands sessionization: per entity, a new session starts
+    * when the gap to the previous event exceeds `gapMinutes`. Exact
+    * integer microsecond comparisons so the oracle can mirror it. One
+    * window pass + one aggregate — both keyed by entity. */
+  def sessionize(df: DataFrame, entity: String, tsCol: String, idCol: String,
+                 gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(tsCol), col(idCol))
+    val gapUs = gapMinutes * 60L * 1000000L
+    df.withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("_prev")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(entity), col("session_no"))
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Observation status derivation (tagging-etl.Rmd:188-196): per turtle
     * ordered by observation time — first ever is "Initial", same-season
     * repeat is "Resighting", new-season return is "Remigrant".

@@ -189,5 +189,40 @@ object RelationalQueries {
       val sliced = ColumnOps.selectSlice(Tables.part(s, d), 0, 2) // p_partkey, p_name
       val brands = ColumnOps.selectStartsWith(Tables.part(s, d), "p_b", keep = Seq("p_partkey"))
       graft.ops.JoinOps.naturalJoin(sliced, brands, "inner")
+    },
+
+    // F5: interactive pickers — one active equality picker, one "all"
+    // no-op (app.R:193-203).
+    Q("f5_interactive",
+      "SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1, 2") { (s, d) =>
+      ColumnOps.applyPickers(Tables.events(s, d),
+          Seq("event_type" -> Some("purchase"), "user_id" -> None))
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+    },
+
+    // J11: positional concat (cbind) of two ordered dimension frames
+    // (spatial_modelling.Rmd:218).
+    Q("j11_cbind",
+      "WITH l AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+        "row_number() OVER (ORDER BY o_orderpriority) AS _rn FROM orders GROUP BY 1), " +
+        "r AS (SELECT o_orderpriority AS rp, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+        "row_number() OVER (ORDER BY o_orderpriority) AS _rn FROM orders GROUP BY 1) " +
+        "SELECT l.o_orderpriority, l.n, r.rp, r.sum_price FROM l JOIN r USING (_rn)") { (s, d) =>
+      val l = Tables.orders(s, d).groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val r = Tables.orders(s, d).groupBy(col("o_orderpriority").as("rp"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      graft.ops.JoinOps.cbindByOrder(l, r, Seq("o_orderpriority"), Seq("rp"))
+    },
+
+    // A5: schema dump as data (contents(con), ningaloo-etl.Rmd:55).
+    Q("a5_schema",
+      "SELECT * FROM (VALUES ('l_orderkey', 'bigint'), ('l_partkey', 'bigint'), " +
+        "('l_suppkey', 'bigint'), ('l_linenumber', 'int'), ('l_quantity', 'double'), " +
+        "('l_extendedprice', 'double'), ('l_discount', 'double'), ('l_tax', 'double'), " +
+        "('l_returnflag', 'string'), ('l_linestatus', 'string'), " +
+        "('l_shipdate', 'timestamp_ntz')) AS t(col_name, data_type)") { (s, d) =>
+      ColumnOps.schemaReport(Tables.lineitem(s, d))
     })
 }

@@ -64,6 +64,20 @@ object WindowPivotQueries {
         .select("event_id", "observation_status")
     },
 
+    // Gaps-and-islands sessionization, 30-minute gap per user — the batch
+    // twin of the streaming flatMapGroupsWithState sessionizer.
+    Q("w_sessionize",
+      "WITH o AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+        "f AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS nw FROM o), " +
+        "s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS session_no FROM f) " +
+        "SELECT user_id, CAST(session_no AS BIGINT) AS session_no, min(ts) AS session_start, " +
+        "max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY 1, 2") { (s, d) =>
+      WindowOps.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 30)
+    },
+
     // R1: tidyr spread(key, n, fill = 0) (ningaloo-etl.Rmd:313).
     Q("r1_spread_fill0",
       "SELECT l_returnflag, " +
