@@ -173,6 +173,46 @@ object CorpusQueries {
           round(Similarity.l2dist(col("v1"), col("v2")), 4).as("dist"))
     },
 
+    // Multimodal metadata: binary media column (deterministic fake bytes
+    // with real magic headers), format sniff, byte length, content hash,
+    // stubbed decode dims. Oracle mirrors the bytes via encode()/hex().
+    Q("mm_metadata",
+      "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 " +
+        "THEN 'jpeg' ELSE 'unknown' END AS format, " +
+        "CAST(octet_length(encode(text)) + CASE WHEN doc_id % 3 IN (0, 1) THEN 4 ELSE 0 END " +
+        "AS BIGINT) AS n_bytes, md5(text) AS content_hash, " +
+        "CAST((octet_length(encode(text)) + CASE WHEN doc_id % 3 IN (0, 1) THEN 4 ELSE 0 END) % 640 " +
+        "AS BIGINT) AS width, " +
+        "CAST((octet_length(encode(text)) + CASE WHEN doc_id % 3 IN (0, 1) THEN 4 ELSE 0 END) % 480 " +
+        "AS BIGINT) AS height FROM documents") { (s, d) =>
+      import graft.multimodal.Multimodal
+      val withBin = Tables.documents(s, d)
+        .withColumn("bin", Multimodal.fakeMedia(col("text"), col("doc_id")))
+      withBin.select(
+        col("doc_id"),
+        Multimodal.sniffFormat(col("bin")).as("format"),
+        Multimodal.nBytes(col("bin")).as("n_bytes"),
+        md5(col("text")).as("content_hash"),
+        Multimodal.decodeStub(col("bin")).getField("width").as("width"),
+        Multimodal.decodeStub(col("bin")).getField("height").as("height"))
+    },
+
+    // Multimodal frame sampling: 3 byte-windows of 8 bytes at stride 16,
+    // hex-encoded; oracle slices the hex string (2 chars per byte).
+    Q("mm_frames",
+      "SELECT doc_id, CAST(g.i AS INT) AS frame_idx, " +
+        "lower(substring(hex(CASE WHEN doc_id % 3 = 0 THEN from_hex('89504E47') || encode(text) " +
+        "WHEN doc_id % 3 = 1 THEN from_hex('FFD8FFE0') || encode(text) ELSE encode(text) END), " +
+        "CAST(g.i * 32 + 1 AS INT), 16)) AS frame_hex " +
+        "FROM documents, generate_series(0, 2) g(i)") { (s, d) =>
+      import graft.multimodal.Multimodal
+      Tables.documents(s, d)
+        .withColumn("bin", Multimodal.fakeMedia(col("text"), col("doc_id")))
+        .select(col("doc_id"),
+          posexplode(Multimodal.frameWindows(col("bin"), 3, 8, 16)))
+        .select(col("doc_id"), col("pos").as("frame_idx"), col("col").as("frame_hex"))
+    },
+
     // Multi-table sign-LSH ANN top-k (seeded hyperplanes — rows-only;
     // exact-rescore semantics oracled by s_cosine_topk).
     Q.noOracle("s_ann_topk") { (s, d) =>
