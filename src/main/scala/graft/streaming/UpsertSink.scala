@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Idempotent batch reprocessing (SURVEY.md §2.11; tagging-etl.Rmd:116-132):
+  * WAMTRAM's `EntryBatchProcess` skips records whose ids were already
+  * loaded and reprocesses failures without duplicating. The streaming
+  * analog is a `foreachBatch` upsert keyed by id: replayed or overlapping
+  * micro-batches land exactly once in the target.
+  *
+  * Scale notes: the existing-keys probe is an anti-join against only the
+  * key column of the target (column-pruned parquet read); at warehouse
+  * scale the same hook body targets a keyed table format instead of raw
+  * parquet, with the identical foreachBatch contract.
+  */
+object UpsertSink {
+
+  /** One micro-batch: append only the rows whose key is not in the target. */
+  def upsertBatch(batch: DataFrame, targetPath: String, key: String): Unit = {
+    val spark = batch.sparkSession
+    val existingKeys: Option[DataFrame] =
+      try Some(spark.read.parquet(targetPath).select(key))
+      catch { case e: Exception if e.getMessage != null &&
+        e.getMessage.contains("PATH_NOT_FOUND") => None }
+    val fresh = existingKeys.fold(batch)(ex => batch.join(ex, Seq(key), "left_anti"))
+    // dedupe within the batch too (a replayed batch can carry repeats)
+    fresh.dropDuplicates(key).write.mode("append").parquet(targetPath)
+  }
+
+  /** Wire a streaming Dataset into the upsert sink. */
+  def start[T](stream: Dataset[T], targetPath: String, key: String,
+               checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch((batch: Dataset[T], _: Long) =>
+        upsertBatch(batch.toDF(), targetPath, key))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
