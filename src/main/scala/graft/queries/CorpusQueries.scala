@@ -223,5 +223,29 @@ object CorpusQueries {
     Q.noOracle("dd_cosine_neardups") { (s, d) =>
       Dedup.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.3)
+    },
+
+    // ANN quality report: recall of the LSH path vs the exact top-5 over a
+    // fixed 200-query sample — one row (n_exact, n_hit, recall). Rows-only
+    // (the ANN side is seeded-LSH), but deterministic. At the default
+    // 5 planes x 12 tables this sits at ~0.65 recall while rescoring
+    // roughly a third of the corpus per query on these clusterless random
+    // embeddings; raise numPlanes with log2(corpus) to hold the candidate
+    // fraction down at scale.
+    Q.noOracle("s_ann_recall") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.cosineTopK(
+        emb.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        emb, "qid", "vec_id", "qv", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = Similarity.annTopK(emb, "vec_id", "embedding", 5)
+        .filter(col("query_id") < 200)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+          hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
     })
 }

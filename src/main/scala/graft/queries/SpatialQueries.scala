@@ -57,6 +57,18 @@ object SpatialQueries {
         Spatial.geocode(col("lon"), col("lat"), areas, "WA").as("location"))
     },
 
+    // J10 + optimizer rule: PointInPolygon as a FILTER with
+    // BboxPrefilterRule enabled — the injected range predicates reach the
+    // parquet scan (PushedFilters), the exact ray-cast runs on survivors.
+    Q("j10_pip_pushdown",
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM " + synthSql +
+        " WHERE lon > -60.005 AND lon < 60.005 AND lat > -30.5 AND lat < 30.5") { (s, d) =>
+      graft.plans.GraftOptimizations.enable(s)
+      synth(s, d)
+        .filter(Spatial.pointInPolygon(col("lon"), col("lat"), areas.head._2))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // R4: bbox corners -> closed 5-point ring (ningaloo-etl.Rmd:96-120),
     // flattened via posexplode for the oracle.
     Q("r4_bbox_ring",

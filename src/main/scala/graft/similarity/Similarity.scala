@@ -118,7 +118,7 @@ object Similarity {
     * Results are symmetric: each unordered candidate pair scores in both
     * directions before the per-query top-k. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              numPlanes: Int = 8, numTables: Int = 4, dim: Int = 64,
+              numPlanes: Int = 5, numTables: Int = 12, dim: Int = 64,
               seed: Long = 42L): DataFrame = {
     val pairs = lshCandidates(df, idCol, vecCol, numPlanes, numTables, dim, seed)
     val sym = pairs.select(col("id1").as("query_id"), col("id2").as("neighbor_id"))
