@@ -11,6 +11,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: drive every query once at the smallest SF so JIT, codegen
+    // caches, and the parquet reader are hot before anything is timed —
+    // otherwise whichever query happens to run first absorbs multiple
+    // seconds of one-time JVM cost and the per-query numbers are noise.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
     // Failures are recorded explicitly (never timed as if they ran —
     // a broken query must not look like a fast query).
     val results: Map[String, Either[String, Double]] =

@@ -31,25 +31,32 @@ object Dedup {
       .groupBy("content_hash")
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
-  /** Word n-gram shingles of a text column. */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(textCol)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  /** Word n-gram shingles of a text column — the native one-pass
+    * [[graft.functions.WordShingles]] expression (tokenize + join fused;
+    * the HOF formulation's per-position slice/concat lambdas made this
+    * first full text pass the profile-dominant stage of the pipeline). */
+  def shingles(textCol: Column, n: Int): Column =
+    graft.functions.ShingleFunctions.shingles(textCol, n)
 
-  /** MinHash signature: k independent min-hashes per doc. Each hash is
-    * xxhash64 seeded by permutation index; the aggregate is k `min`s —
-    * map-side partial aggregation keeps the shuffle tiny regardless of
-    * document length. */
+  /** `array_distinct(shingles(...))` fused into the same pass. */
+  def distinctShingles(textCol: Column, n: Int): Column =
+    graft.functions.ShingleFunctions.distinctShingles(textCol, n)
+
+  /** Per-permutation re-mix of one base hash: `xxhash64(i, h)` hashes a
+    * fixed 12 bytes per permutation — the k-permutation MinHash
+    * construction with each shingle's string bytes hashed ONCE, instead
+    * of k full re-hashes of the text. (An affine `a_i*h + b_i` mix would
+    * be cheaper still, but ANSI mode makes wrap-around long arithmetic an
+    * overflow error.) */
+  private def permHash(h: Column, i: Int): Column = xxhash64(lit(i), h)
+
+  /** MinHash signature: k independent min-hashes per doc. The aggregate
+    * is k `min`s — map-side partial aggregation keeps the shuffle tiny
+    * regardless of document length. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sh = df.select(col(idCol), explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
+    minhashSignaturesFromSets(sh, idCol, numHashes)
   }
 
   /** LSH banding: split the k-wide signature into bands of `rowsPerBand`,
@@ -79,9 +86,11 @@ object Dedup {
     * verification pass. */
   def minhashSignaturesFromSets(sets: DataFrame, idCol: String,
                                 numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // Hash in a projection below the aggregate so each shingle's bytes
+    // are hashed exactly once, not once per permutation.
+    val hashed = sets.select(col(idCol), xxhash64(col("shingle")).as("_h"))
+    val aggs = (0 until numHashes).map(i => min(permHash(col("_h"), i)).as(s"mh_$i"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification of
@@ -94,7 +103,7 @@ object Dedup {
                       numHashes: Int = 32, rowsPerBand: Int = 4,
                       shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sets = df.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
+      explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignaturesFromSets(sets, idCol, numHashes)
     val cands = lshCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
@@ -126,7 +135,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     val sets = df.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      explode(distinctShingles(col(textCol), n)).as("shingle"))
     val allPairs = sets.withColumnRenamed(idCol, "id1").withColumnRenamed("shingle", "e1")
       .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("shingle", "e2"),
         col("e1") === col("e2") && col("id1") < col("id2"))
@@ -165,11 +174,15 @@ object Dedup {
                      dim: Int = 64, seed: Long = 42L): DataFrame = {
     import graft.similarity.Similarity
     val pairs = Similarity.lshCandidates(df, idCol, vecCol, numPlanes, numTables, dim, seed)
-    val vecs = df.select(col(idCol), col(vecCol))
+    val vecs = df.select(col(idCol), col(vecCol),
+      Similarity.l2norm(col(vecCol)).as("_n"))
     pairs
-      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("v1")), Seq("id1"))
-      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("v2")), Seq("id2"))
-      .withColumn("cosine", round(Similarity.cosine(col("v1"), col("v2")), 4))
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+        col("_n").as("_n1")), Seq("id1"))
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+        col("_n").as("_n2")), Seq("id2"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("v1"), col("v2")) / (col("_n1") * col("_n2")), 4))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }

@@ -24,11 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product in input order (float -> double first). */
+  /** Elementwise dot product in input order (float -> double first).
+    * Backed by the codegen'd [[graft.functions.DotProduct]] expression —
+    * same semantics as the `aggregate(zip_with(...))` formulation, minus
+    * the interpreted lambda-per-element cost that dominates pair scoring. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -46,9 +47,15 @@ object Similarity {
     * determinism. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, qId: String,
                  cId: String, qVec: String, cVec: String, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    // Norms are computed once per vector BEFORE the pair join (narrow
+    // projections), so per-pair work is a single codegen'd dot — not
+    // three. Same IEEE operations in the same order, just hoisted.
+    val q = queries.withColumn("_qn", l2norm(col(qVec)))
+    val c = corpus.withColumn("_cn", l2norm(col(cVec)))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cosine", round(cosine(col(qVec), col(cVec)), 4))
+      .withColumn("cosine",
+        round(dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn")), 4))
     val w = Window.partitionBy(col(qId)).orderBy(desc("cosine"), col(cId))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -123,11 +130,14 @@ object Similarity {
     val pairs = lshCandidates(df, idCol, vecCol, numPlanes, numTables, dim, seed)
     val sym = pairs.select(col("id1").as("query_id"), col("id2").as("neighbor_id"))
       .union(pairs.select(col("id2").as("query_id"), col("id1").as("neighbor_id")))
-    val vecs = df.select(col(idCol), col(vecCol))
+    val vecs = df.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
     val scored = sym
-      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
-      .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 4))
+      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("_n").as("_qn")), Seq("query_id"))
+      .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("_n").as("_cn")), Seq("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("_qn") * col("_cn")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
