@@ -52,15 +52,17 @@ object Similarity {
     // three. Same IEEE operations in the same order, just hoisted.
     val q = queries.withColumn("_qn", l2norm(col(qVec)))
     val c = corpus.withColumn("_cn", l2norm(col(cVec)))
+    // Project the vectors away BEFORE the per-query window: the top-k
+    // sort shuffles by query id, and carrying two 64-float arrays per
+    // scored pair through that exchange is ~5x the bytes of the three
+    // columns the result needs.
     val scored = c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cosine",
-        round(dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn")), 4))
-    val w = Window.partitionBy(col(qId)).orderBy(desc("cosine"), col(cId))
+      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
+        round(dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
-        col("cosine"), col("rank"))
   }
 
   /** Deterministic pseudo-random hyperplane data (seeded). */
@@ -131,16 +133,17 @@ object Similarity {
     val sym = pairs.select(col("id1").as("query_id"), col("id2").as("neighbor_id"))
       .union(pairs.select(col("id2").as("query_id"), col("id1").as("neighbor_id")))
     val vecs = df.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
+    // Vectors are projected away before the top-k window shuffle (same
+    // rationale as in cosineTopK).
     val scored = sym
       .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col("_n").as("_qn")), Seq("query_id"))
       .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("_n").as("_cn")), Seq("neighbor_id"))
-      .withColumn("cosine",
-        round(dot(col("qv"), col("cv")) / (col("_qn") * col("_cn")), 4))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("_qn") * col("_cn")), 4).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
   }
 }

@@ -44,13 +44,24 @@ object StreamingTallies {
       .select(to_date(col("window.start")).as("obs_date"), col("event_type"), col("n"))
 
     val qname = "graft_stream_daily_tally"
-    val query = stream.writeStream
-      .format("memory")
-      .queryName(qname)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // Stateful operators (dropDuplicates + window agg) create one state
+    // store per shuffle partition per micro-batch, each with its own
+    // commit I/O. The keyed state here (distinct ids + day windows) is
+    // tiny relative to a batch, so a handful of state partitions is the
+    // right shape; at real stream volume this is the knob to raise. The
+    // partition count is pinned at query start from the session conf, so
+    // set it just for the stream and restore after.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(qname)
   }
 }
