@@ -59,6 +59,22 @@ object ShingleUtil {
       }
     new GenericArrayData(out)
   }
+
+  /** All n-code-point substrings, start offsets 1..len-n+1 (matches
+    * `substring(text, i, n)` over a code-point sequence); shorter input
+    * yields the whole string. */
+  def charGrams(text: UTF8String, n: Int): ArrayData = {
+    val len = text.numChars()
+    if (len <= n) return new GenericArrayData(Array[Any](text))
+    val m = len - n + 1
+    val arr = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      arr(i) = text.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
 }
 
 /** Word n-gram shingles of a text column as a native expression.
@@ -89,7 +105,31 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Character n-grams of a string, one per start offset (1..len-n+1, by
+  * Unicode code point like Spark's `substring`); a string shorter than n
+  * yields the whole string as its single gram. The rolling pass feeds
+  * fingerprinting (winnowing) — same rationale as [[WordShingles]]: the
+  * `transform(sequence(...), i -> substring(text, i, n))` formulation
+  * pays an interpreted lambda per character of every document. */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(s: Any): Any =
+    ShingleUtil.charGrams(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.charGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
+  def charGrams(text: Column, n: Int): Column =
+    GraftShim.column(CharShingles(GraftShim.expression(text.cast("string")), n))
+
   def shingles(text: Column, n: Int): Column =
     GraftShim.column(WordShingles(GraftShim.expression(text.cast("string")), n, distinct = false))
 

@@ -247,5 +247,41 @@ object CorpusQueries {
           hits.agg(count(lit(1)).as("n_hit")))
         .select(col("n_exact"), col("n_hit"),
           round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+    },
+
+    // TF-IDF top-3 terms per doc: tf = in-doc count, idf = ln(N/df),
+    // rank on the rounded weight with term tiebreak (deterministic in
+    // both engines).
+    Q("t_tfidf",
+      "WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2), " +
+        "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), " +
+        "wtd AS (SELECT doc_id, term, tf, df, " +
+        "round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS weight " +
+        "FROM tf JOIN dfreq USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, term, tf, df, weight, CAST(row_number() OVER w AS BIGINT) AS rank " +
+        "FROM wtd WINDOW w AS (PARTITION BY doc_id ORDER BY weight DESC, term) " +
+        "QUALIFY row_number() OVER w <= 3") { (s, d) =>
+      graft.text.CorpusStats.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)
+    },
+
+    // Winnowing fingerprints (rolling-hash document fingerprinting,
+    // Schleimer et al.): char 5-grams, window-of-8 minima, distinct per
+    // doc. The oracle-reproducible variant hashes with md5 (lexicographic
+    // string min); the library default is xxhash64.
+    Q("t_fingerprint",
+      "WITH base AS (SELECT doc_id, text, " +
+        "unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i FROM documents), " +
+        "grams AS (SELECT doc_id, i - 1 AS pos, " +
+        "md5(substr(text, CAST(i AS INT), 5)) AS h FROM base), " +
+        "wins AS (SELECT doc_id, pos, " +
+        "min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin, " +
+        "count(*) OVER (PARTITION BY doc_id) AS m FROM grams) " +
+        "SELECT DISTINCT doc_id, wmin AS fingerprint FROM wins " +
+        "WHERE pos <= m - 8 OR (m < 8 AND pos = 0)") { (s, d) =>
+      graft.text.CorpusStats.winnowFingerprintsNative(
+        Tables.documents(s, d), "doc_id", "text", n = 5, w = 8, useMd5 = true)
     })
 }

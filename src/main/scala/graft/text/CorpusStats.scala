@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ShingleFunctions
+
+/** Corpus-level text statistics for training-data pipelines: TF-IDF term
+  * weighting and rolling-hash document fingerprinting (winnowing).
+  *
+  * Scale design:
+  *  - TF-IDF is two keyed aggregates over the exploded (doc, term) set —
+  *    term counts partial-aggregate map-side, the document-frequency
+  *    table joins back by term (a keyed shuffle; the term dictionary is
+  *    usually far smaller than the corpus but is NOT assumed to fit in a
+  *    broadcast), and the corpus size N rides in as a broadcast scalar.
+  *  - Winnowing is embarrassingly parallel per document: char n-gram
+  *    rolling hashes (one native-expression pass), a per-doc ordered
+  *    window min, then distinct — no cross-document shuffle except the
+  *    final per-doc distinct.
+  */
+object CorpusStats {
+
+  /** Top-k TF-IDF terms per document. tf = raw term count in the doc,
+    * idf = ln(N / df); rank on the ROUNDED weight (ties broken by term)
+    * so ordering is reproducible across engines. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val weighted = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("weight",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("weight"), col("term"))
+    weighted.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("weight"), col("rank"))
+  }
+
+  /** Winnowing fingerprints via the one-pass native expression
+    * [[graft.functions.WinnowFingerprints]]: scan -> project -> explode,
+    * no shuffle. Guarantees any shared substring of length >= n + w - 1
+    * contributes a shared fingerprint. `useMd5 = true` gives the
+    * oracle-reproducible hex-string variant; `false` the cheap xxhash64
+    * longs. */
+  def winnowFingerprintsNative(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int, w: Int,
+                               useMd5: Boolean = false): DataFrame = {
+    import graft.functions.WinnowFunctions
+    val fps =
+      if (useMd5) WinnowFunctions.winnowMd5(col(textCol), n, w)
+      else WinnowFunctions.winnowXx(col(textCol), n, w)
+    docs.select(col(idCol), explode(fps).as("fingerprint"))
+  }
+
+  /** Composable-operator formulation of the same algorithm (hash every
+    * char n-gram, per-doc ordered window min, distinct minima) — kept as
+    * the cross-checkable twin of the native expression; it explodes one
+    * row per character and shuffles them through a window sort, so
+    * prefer [[winnowFingerprintsNative]] anywhere performance matters.
+    *
+    * `hash` maps a gram column to an orderable hash column — `xxhash64`
+    * for production, `md5` (hex string, lexicographic min) when the
+    * result must be reproducible in an engine without xxhash64. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, w: Int,
+                         hash: Column => Column = xxhash64(_)): DataFrame = {
+    val grams = docs.select(col(idCol),
+      posexplode(ShingleFunctions.charGrams(col(textCol), n)))
+      .select(col(idCol), col("pos"), hash(col("col")).as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val cnt = Window.partitionBy(col(idCol))
+    // Only full windows count (positions 0..m-w); a doc with fewer than
+    // w grams keeps its single global min (position 0's partial window).
+    grams
+      .withColumn("wmin", min(col("h")).over(win))
+      .withColumn("m", count(lit(1)).over(cnt))
+      .filter(col("pos") <= col("m") - w || (col("m") < w && col("pos") === 0))
+      .select(col(idCol), col("wmin").as("fingerprint"))
+      .distinct()
+  }
+}

@@ -1,0 +1,66 @@
+package graft.corpus
+
+import graft.SparkSpec
+import graft.functions.ShingleFunctions
+import graft.text.CorpusStats
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+
+  test("charGrams == substring-per-position formulation, incl. short/unicode") {
+    val d = df("text string")(Seq(
+      Row("abcdefgh"), Row("abc"), Row(""), Row("中文字符串测试"), Row("ab cd")))
+    val n = 3
+    val hof = expr(s"CASE WHEN length(text) <= $n THEN array(text) ELSE " +
+      s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)) END")
+    d.select(ShingleFunctions.charGrams(col("text"), n).as("native"), hof.as("hof"))
+      .collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("tfidf: corpus-wide term weighs zero, rare term ranks first") {
+    val docs = df("doc_id bigint, text string")(Seq(
+      Row(1L, "common rare1 common"),
+      Row(2L, "common rare2"),
+      Row(3L, "common other")))
+    val out = CorpusStats.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4), r.getLong(5)))
+    // 'common' appears in every doc -> idf = ln(3/3) = 0.
+    assert(out.filter(_._2 == "common").forall(_._3 == 0.0))
+    // rank 1 for doc 1 is the unique term with idf ln(3).
+    val top1 = out.filter(t => t._1 == 1L && t._4 == 1L).head
+    assert(top1._2 == "rare1" && top1._3 == BigDecimal(math.log(3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("native winnowing == composable winnowing (md5 and xxhash64)") {
+    val docs = df("doc_id bigint, text string")(Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog and keeps going"),
+      Row(2L, "aaaaaaaaaaaaaaaaaa"), // degenerate: all grams equal
+      Row(3L, "short"),              // exactly one gram at n=5
+      Row(4L, "abc"),                // shorter than n
+      Row(5L, "中文字符串的测试文本内容与更多字符")))
+    def asSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.get(1).toString)).toSet
+    val nMd5 = CorpusStats.winnowFingerprintsNative(docs, "doc_id", "text", 5, 8, useMd5 = true)
+    val cMd5 = CorpusStats.winnowFingerprints(docs, "doc_id", "text", 5, 8, hash = md5(_))
+    assert(asSet(nMd5) == asSet(cMd5))
+    val nXx = CorpusStats.winnowFingerprintsNative(docs, "doc_id", "text", 5, 8)
+    val cXx = CorpusStats.winnowFingerprints(docs, "doc_id", "text", 5, 8)
+    assert(asSet(nXx) == asSet(cXx))
+  }
+
+  test("winnowing: shared long substring => shared fingerprint; short doc => one") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = df("doc_id bigint, text string")(Seq(
+      Row(1L, "AAAA " + shared + " BBBB"),
+      Row(2L, "XXXX " + shared + " YYYY"),
+      Row(3L, "tiny")))
+    val fp = CorpusStats.winnowFingerprints(docs, "doc_id", "text", n = 5, w = 8)
+    val byDoc = fp.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    // guarantee: any shared substring of length >= n + w - 1 = 12 shares a print
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+    // 'tiny' has a single (4-char) gram -> exactly one fingerprint
+    assert(byDoc(3L).size == 1)
+  }
+}
