@@ -144,10 +144,19 @@ object Dedup {
       sets, idCol, threshold)
   }
 
-  /** 64-bit SimHash signature per document: fold token hashes into
-    * per-bit vote counts, then take the sign bit-vector. Higher-order
-    * array functions only — the per-doc state is one 64-long array. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash signature per document via the native
+    * [[graft.functions.SimHash64]] expression (one primitive loop per
+    * doc; see [[simhashComposable]] for the operator formulation it
+    * replaces, kept as its cross-checkable twin). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHashFunctions.simhash64(col(textCol)).as("simhash"))
+
+  /** SimHash via higher-order array functions only — fold token hashes
+    * into per-bit vote counts, then take the sign bit-vector. Allocates
+    * a 64-wide array per token through interpreted lambdas; prefer
+    * [[simhash]] anywhere performance matters. */
+  def simhashComposable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = df.select(col(idCol),
       transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
     hashed.select(col(idCol),

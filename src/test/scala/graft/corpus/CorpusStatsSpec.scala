@@ -50,6 +50,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(asSet(nXx) == asSet(cXx))
   }
 
+  test("native simhash == composable simhash, incl. empty/blank text") {
+    val docs = df("doc_id bigint, text string")(Seq(
+      Row(1L, "the quick brown fox"),
+      Row(2L, ""),
+      Row(3L, "   "),
+      Row(4L, "one"),
+      Row(5L, "repeat repeat repeat distinct words here")))
+    val n = graft.dedup.Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val c = graft.dedup.Dedup.simhashComposable(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(n == c)
+    assert(n(2L) == 0L && n(3L) == 0L)
+  }
+
   test("winnowing: shared long substring => shared fingerprint; short doc => one") {
     val shared = "the quick brown fox jumps over the lazy dog"
     val docs = df("doc_id bigint, text string")(Seq(
