@@ -249,6 +249,31 @@ object CorpusQueries {
           round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
     },
 
+    // IVF ANN top-k (deterministic sampled centroids — rows-only; exact
+    // rescore semantics oracled by s_cosine_topk).
+    Q.noOracle("s_ivf_topk") { (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", 5)
+    },
+
+    // IVF quality report vs exact top-5 over the 200-query sample:
+    // (n_exact, n_hit, recall), the IVF twin of s_ann_recall.
+    Q.noOracle("s_ivf_recall") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.cosineTopK(
+        emb.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        emb, "qid", "vec_id", "qv", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 5)
+        .filter(col("query_id") < 200)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+          hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+    },
+
     // TF-IDF top-3 terms per doc: tf = in-doc count, idf = ln(N/df),
     // rank on the rounded weight with term tiebreak (deterministic in
     // both engines).

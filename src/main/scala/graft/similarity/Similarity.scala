@@ -121,6 +121,48 @@ object Similarity {
       .select("id1", "id2").distinct()
   }
 
+  /** IVF (inverted-file) ANN top-k: partition the corpus into `numCells`
+    * cells around centroid vectors, then search each query only against
+    * the corpus rows assigned to its `nprobe` most-similar cells.
+    *
+    * Centroids here are a deterministic sample (the `numCells` smallest
+    * ids) — the IVF-flat shape without the k-means refinement pass; at
+    * cluster scale the same plan takes k-means-trained centroids as the
+    * `cents` input. Scale design: the centroid table is tiny and rides
+    * as a broadcast; assignment and probing are narrow passes over the
+    * corpus (C codegen'd dots per row); the only wide operations are
+    * keyed by cell id — candidate volume per query is bounded by
+    * nprobe/numCells of the corpus, tunable independently of N.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              numCells: Int = 64, nprobe: Int = 8): DataFrame = {
+    val vecs = df.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
+    val cents = vecs.orderBy(col(idCol)).limit(numCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("cv"), col("_n").as("_cn"))
+    val sim = dot(col(vecCol), col("cv")) / (col("_n") * col("_cn"))
+    val scoredCells = vecs.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cell"), sim.as("sim"))
+    // Deterministic best-cell pick: highest similarity, lowest cell id.
+    val byCell = Window.partitionBy(col(idCol)).orderBy(desc("sim"), col("cell"))
+    val ranked = scoredCells.withColumn("rn", row_number().over(byCell))
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+      .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col("_n").as("_nn")), Seq("neighbor_id"))
+    val probes = ranked.filter(col("rn") <= nprobe)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val scored = probes
+      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("_n").as("_qn")), Seq("query_id"))
+      .join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("_qn") * col("_nn")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN top-k via multi-table sign-LSH: union of per-table bucket
     * candidates, exact cosine rescoring, per-query window. Recall < 1 by
     * design — the scale path; [[cosineTopK]] is the exact baseline.

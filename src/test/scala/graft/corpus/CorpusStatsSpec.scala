@@ -65,6 +65,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(n(2L) == 0L && n(3L) == 0L)
   }
 
+  test("ivfTopK finds planted near-neighbors in clustered vectors") {
+    import graft.similarity.Similarity
+    // Two tight clusters far apart; every vector's true top-1 is in its
+    // own cluster, and probing even 1 cell must find it.
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 10.0f else -10.0f
+      Row(i.toLong, Seq.fill(8)(base + rng.nextFloat()))
+    }
+    val d = df("vec_id bigint, embedding array<float>")(rows)
+    val ivf = Similarity.ivfTopK(d, "vec_id", "embedding", 1, numCells = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ivf.size == 40)
+    ivf.foreach { case (q, n) => assert(q % 2 == n % 2, s"$q -> $n crossed clusters") }
+  }
+
   test("winnowing: shared long substring => shared fingerprint; short doc => one") {
     val shared = "the quick brown fox jumps over the lazy dog"
     val docs = df("doc_id bigint, text string")(Seq(
