@@ -45,6 +45,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // O2/O3: explicit multi-key sort + limit (`arrange(subsection,
+    // season)` ningaloo-etl.Rmd:341; `head(o)` tagging-etl.Rmd:408).
+    // Deterministic because the sort suffix is the unique key; at scale
+    // sort+limit plans as TakeOrderedAndProject — a per-partition top-N
+    // plus a single merge, never a full global sort.
+    Q("o23_sort_limit",
+      "SELECT o_orderstatus, o_totalprice, o_orderkey FROM orders " +
+        "ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey LIMIT 20") { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_orderstatus"), desc("o_totalprice"), col("o_orderkey"))
+        .limit(20)
+        .select("o_orderstatus", "o_totalprice", "o_orderkey")
+    },
+
     // Aggregate battery: sum/avg through DECIMAL for order-independence.
     Q("agg_pricing",
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
