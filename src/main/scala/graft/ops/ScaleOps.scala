@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew and co-location utilities — the two shuffle-shaping patterns a
+  * 100 TB deployment leans on that the small-SF queries can't surface on
+  * their own.
+  *
+  *  - Salted aggregation: a hot grouping key (one beach section with
+  *    millions of observations, one stop-word shingle) turns a keyed
+  *    shuffle into a single straggler task. Salting splits each key into
+  *    `salts` sub-keys for a partial aggregate, then re-aggregates the
+  *    partials — two small shuffles instead of one skewed one. The salt
+  *    is derived from a second column's hash, so the result is exactly
+  *    the unsalted aggregate (verified by test).
+  *  - Bucketed joins: writing both fact tables bucketed by the join key
+  *    lets every subsequent join between them run with NO exchange — the
+  *    scan itself is already co-partitioned. This is the physical-layout
+  *    answer to a join that repeats across many queries/days.
+  */
+object ScaleOps {
+
+  /** `groupBy(keys).count()` in two phases: partial count per
+    * (keys, salt), then sum of partials per keys. Identical output to
+    * the direct tally; bounded per-task input even when one key
+    * dominates. `saltFrom` should be a high-cardinality column (a row
+    * id); the salt is its hash mod `salts`, deterministic end to end. */
+  def saltedTally(df: DataFrame, keys: Seq[String], saltFrom: String,
+                  salts: Int): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(xxhash64(col(saltFrom)), lit(salts.toLong)))
+    val partial = salted.groupBy((keys :+ "_salt").map(col): _*)
+      .agg(count(lit(1)).as("_partial"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial")).as("n"))
+  }
+
+  /** Write `df` as a bucketed+sorted table (parquet, session catalog).
+    * Joins between tables bucketed the same way on `key` plan with zero
+    * exchanges. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key. The caller is
+    * asserting the physical layout matches; the plan check lives in the
+    * test suite (no Exchange above either scan). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}

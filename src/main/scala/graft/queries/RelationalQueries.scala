@@ -45,6 +45,15 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Skew-safe two-phase tally (ScaleOps.saltedTally): same oracle as a
+    // direct GROUP BY count — the salting must be invisible in the
+    // result. The scale rationale lives in ops/ScaleOps.scala.
+    Q("a1s_salted_tally",
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1") { (s, d) =>
+      graft.ops.ScaleOps.saltedTally(
+        Tables.events(s, d), Seq("event_type"), "event_id", 16)
+    },
+
     // O2/O3: explicit multi-key sort + limit (`arrange(subsection,
     // season)` ningaloo-etl.Rmd:341; `head(o)` tagging-etl.Rmd:408).
     // Deterministic because the sort suffix is the unique key; at scale

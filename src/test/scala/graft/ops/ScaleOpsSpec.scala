@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("saltedTally == direct tally (skew-safe two-phase count)") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = ScaleOps.saltedTally(ev, Seq("event_type"), "event_id", 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("bucketed join plans with zero exchanges") {
+    // Tables land in the default ./spark-warehouse (warehouse.dir is a
+    // static conf); dropped in finally, dir is gitignored.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Disable broadcast so the test exercises the co-located sort-merge
+    // path a large-fact x large-fact join would take.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ScaleOps.writeBucketed(
+        Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+        "b_orders", "o_orderkey", 4)
+      ScaleOps.writeBucketed(
+        Tables.lineitem(spark, sf)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "b_lineitem", "o_orderkey", 4)
+      val joined = ScaleOps.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no shuffle, got:\n$plan")
+      // and it still computes the right thing
+      val n = joined.count()
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
