@@ -47,7 +47,10 @@ object Sources {
     * (ningaloo-etl.Rmd:47-53's download+unzip, minus the HTTP fetch which
     * is environment I/O). Returns the extracted file paths. */
   def stageZip(zipPath: String, stagingDir: String): Seq[String] = {
-    val dir = Paths.get(stagingDir)
+    // Normalize to an absolute base so the zip-slip check below compares
+    // clean paths (a staging dir spelled with ".." would otherwise make
+    // legitimate entries fail the startsWith test).
+    val dir = Paths.get(stagingDir).toAbsolutePath.normalize()
     Files.createDirectories(dir)
     val zin = new ZipInputStream(Files.newInputStream(Paths.get(zipPath)))
     try {

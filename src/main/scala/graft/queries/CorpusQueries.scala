@@ -19,13 +19,37 @@ import graft.text.TextFunctions
   */
 object CorpusQueries {
 
+  /** Shared recall protocol for the approximate-ANN quality reports:
+    * exact top-5 over the vec_id < 200 query sample vs an approximate
+    * result's (query_id, neighbor_id) pairs -> one (n_exact, n_hit,
+    * recall) row. */
+  private def recallReport(s: org.apache.spark.sql.SparkSession, d: String)(
+      approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val exact = Similarity.cosineTopK(
+      emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      emb, "qid", "vec_id", "qv", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(
+      approx.filter(col("query_id") < 200).select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+        hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
   // ---- SQL fragments mirroring TextFunctions ----
 
   private def occSql(padded: String, sub: String): String =
     s"CAST((length($padded) - length(replace($padded, '$sub', ''))) / ${sub.length} AS BIGINT)"
 
+  // Blank text must count 0 tokens like TextFunctions.tokens (DuckDB's
+  // regexp_split of '' yields [''] = 1 otherwise).
   private val tokCountSql =
-    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
 
   private val punctStripped =
     Seq(".", ",", ";", ":", "!", "?").foldLeft("text")((acc, p) =>
@@ -233,20 +257,8 @@ object CorpusQueries {
     // embeddings; raise numPlanes with log2(corpus) to hold the candidate
     // fraction down at scale.
     Q.noOracle("s_ann_recall") { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val exact = Similarity.cosineTopK(
-        emb.filter(col("vec_id") < 200)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        emb, "qid", "vec_id", "qv", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val ann = Similarity.annTopK(emb, "vec_id", "embedding", 5)
-        .filter(col("query_id") < 200)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact")).crossJoin(
-          hits.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_exact"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+      recallReport(s, d)(
+        Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding", 5))
     },
 
     // IVF ANN top-k (deterministic sampled centroids — rows-only; exact
@@ -258,20 +270,8 @@ object CorpusQueries {
     // IVF quality report vs exact top-5 over the 200-query sample:
     // (n_exact, n_hit, recall), the IVF twin of s_ann_recall.
     Q.noOracle("s_ivf_recall") { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val exact = Similarity.cosineTopK(
-        emb.filter(col("vec_id") < 200)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        emb, "qid", "vec_id", "qv", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 5)
-        .filter(col("query_id") < 200)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact")).crossJoin(
-          hits.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_exact"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+      recallReport(s, d)(
+        Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", 5))
     },
 
     // TF-IDF top-3 terms per doc: tf = in-doc count, idf = ln(N/df),

@@ -52,8 +52,23 @@ object Multivariate {
         "aggregate to dimension granularity first (spatial_modelling.Rmd:211)")
     val d = distanceMatrix(pts)
     val n = pts.length
-    val positives = for { i <- 0 until n; j <- 0 until n if d(i, j) > 0 } yield d(i, j)
-    val trunc = truncationOpt.getOrElse(4.0 * positives.min)
+    // Min positive distance via a primitive scan (upper triangle) — no
+    // O(n^2) boxed materialization just to take a min.
+    var minPos = Double.PositiveInfinity
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val v = d(i, j)
+        if (v > 0 && v < minPos) minPos = v
+        j += 1
+      }
+      i += 1
+    }
+    require(truncationOpt.isDefined || minPos.isFinite,
+      "pcnm: all points are coincident (no positive pairwise distance); " +
+        "pass an explicit truncation or deduplicate the coordinates")
+    val trunc = truncationOpt.getOrElse(4.0 * minPos)
     // vegan: distances beyond the truncation become 4 * truncation
     val dt = d.map(v => if (v > trunc) 4.0 * trunc else v)
     // Gower double-centering of -0.5 * D^2

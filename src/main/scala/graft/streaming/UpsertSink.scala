@@ -19,10 +19,16 @@ object UpsertSink {
   /** One micro-batch: append only the rows whose key is not in the target. */
   def upsertBatch(batch: DataFrame, targetPath: String, key: String): Unit = {
     val spark = batch.sparkSession
+    // An unreadable target means "nothing upserted yet": either the path
+    // does not exist (first batch) or it exists but holds no committed
+    // parquet footer (a crashed first write left only _temporary/ —
+    // surfaces as UNABLE_TO_INFER_SCHEMA, and the sink must still
+    // recover, that's its whole contract).
     val existingKeys: Option[DataFrame] =
       try Some(spark.read.parquet(targetPath).select(key))
       catch { case e: Exception if e.getMessage != null &&
-        e.getMessage.contains("PATH_NOT_FOUND") => None }
+        (e.getMessage.contains("PATH_NOT_FOUND") ||
+          e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) => None }
     val fresh = existingKeys.fold(batch)(ex => batch.join(ex, Seq(key), "left_anti"))
     // dedupe within the batch too (a replayed batch can carry repeats)
     fresh.dropDuplicates(key).write.mode("append").parquet(targetPath)
