@@ -99,25 +99,16 @@ object Dedup {
     * both the signature aggregation and the verification join, so the
     * corpus text is read and shingled exactly once. (At cluster scale the
     * same role is played by checkpointing the set to parquet.) */
-  // The last pipeline's persisted shingle set, released on the next
-  // call: persist() entries are held by the session's CacheManager (the
-  // ContextCleaner never reclaims them), so without this a long-lived
-  // session leaks one cached copy of the heaviest intermediate per call.
-  private var lastShingleCache: Option[DataFrame] = None
-
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, rowsPerBand: Int = 4,
-                      shingleN: Int = 3, threshold: Double = 0.8): DataFrame =
-    synchronized {
-      lastShingleCache.foreach(_.unpersist())
-      val sets = df.select(col(idCol),
-        explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lastShingleCache = Some(sets)
-      val sigs = minhashSignaturesFromSets(sets, idCol, numHashes)
-      val cands = lshCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
-      verifyJaccard(cands, sets, idCol, threshold)
-    }
+                      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = graft.ops.CacheOnce.swap("minhash-shingles",
+      df.select(col(idCol),
+        explode(distinctShingles(col(textCol), shingleN)).as("shingle")))
+    val sigs = minhashSignaturesFromSets(sets, idCol, numHashes)
+    val cands = lshCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
+    verifyJaccard(cands, sets, idCol, threshold)
+  }
 
   /** Exact Jaccard for candidate pairs given exploded distinct element
     * sets (id, element). Shuffles by element and by pair — both keyed,

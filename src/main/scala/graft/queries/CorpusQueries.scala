@@ -271,7 +271,34 @@ object CorpusQueries {
     // (n_exact, n_hit, recall), the IVF twin of s_ann_recall.
     Q.noOracle("s_ivf_recall") { (s, d) =>
       recallReport(s, d)(
-        Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", 5))
+        Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", 5,
+          queryPred = Some(col("vec_id") < 200)))
+    },
+
+    // Embedding generation -> similarity, end to end: hashed
+    // bag-of-words embeddings (feature hashing, vocabulary-free) fed
+    // into IVF top-k search. Top-k, not a threshold: template-generated
+    // corpora put most pairs above any fixed cosine cutoff, so a
+    // threshold query degenerates quadratically while top-k stays
+    // bounded at k rows per query. (xxhash64 buckets — rows-only; the
+    // cosine semantics are oracled via s_cosine_topk.)
+    Q.noOracle("s_bow_ivf_topk") { (s, d) =>
+      // ivfTopK references its input several times (centroids,
+      // assignment, probes, rescoring). Deliberately NOT persisted:
+      // columnar-caching the array<float> column costs ~25x one warm
+      // recompute of the aggregation (nested-type ColumnVector
+      // serialization), so recomputation wins at this shape. At cluster
+      // scale the seam is a parquet checkpoint of the feature table,
+      // not executor cache.
+      val emb = graft.text.CorpusStats.hashedBowEmbedding(
+        Tables.documents(s, d), "doc_id", "text", dim = 32)
+      // Feature hashing is per-document, so centroid embeddings can be
+      // computed from a pushed-down filtered scan of just those docs.
+      val cents = graft.text.CorpusStats.hashedBowEmbedding(
+        Tables.documents(s, d).filter(col("doc_id") < 32), "doc_id", "text", dim = 32)
+      Similarity.ivfTopK(emb, "doc_id", "embedding", 3,
+        numCells = 32, nprobe = 4, queryPred = Some(col("doc_id") < 200),
+        centroids = Some(cents))
     },
 
     // TF-IDF top-3 terms per doc: tf = in-doc count, idf = ln(N/df),

@@ -135,25 +135,49 @@ object Similarity {
     * nprobe/numCells of the corpus, tunable independently of N.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              numCells: Int = 64, nprobe: Int = 8): DataFrame = {
+              numCells: Int = 64, nprobe: Int = 8,
+              queryPred: Option[Column] = None,
+              centroids: Option[DataFrame] = None): DataFrame = {
     val vecs = df.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
-    val cents = vecs.orderBy(col(idCol)).limit(numCells)
+    // Default centroids: the numCells smallest-id vectors. When `df` is
+    // itself a computed feature table, pass `centroids` built from a
+    // FILTERED input instead — it avoids executing the full feature
+    // pipeline once more just to sample a few rows.
+    val centSrc = centroids.fold(vecs.orderBy(col(idCol)).limit(numCells))(c =>
+      c.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
+        .orderBy(col(idCol)).limit(numCells))
+    val cents = centSrc
       .select(col(idCol).as("cell"), col(vecCol).as("cv"), col("_n").as("_cn"))
     val sim = dot(col(vecCol), col("cv")) / (col("_n") * col("_cn"))
+    // The vector rides THROUGH the cell-ranking window (unlike the
+    // final top-k window below, this one is bounded at numCells rows per
+    // vector), so assignment and probing need no join back to the input:
+    // the input plan executes exactly twice (centroid sample + this
+    // scan), which matters when it is a computed feature table rather
+    // than a parquet scan.
     val scoredCells = vecs.crossJoin(broadcast(cents))
-      .select(col(idCol), col("cell"), sim.as("sim"))
+      .select(col(idCol), col(vecCol), col("_n"), col("cell"), sim.as("sim"))
     // Deterministic best-cell pick: highest similarity, lowest cell id.
     val byCell = Window.partitionBy(col(idCol)).orderBy(desc("sim"), col("cell"))
     val ranked = scoredCells.withColumn("rn", row_number().over(byCell))
-    val assigned = ranked.filter(col("rn") === 1)
-      .select(col(idCol).as("neighbor_id"), col("cell"))
-      .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-        col("_n").as("_nn")), Seq("neighbor_id"))
-    val probes = ranked.filter(col("rn") <= nprobe)
-      .select(col(idCol).as("query_id"), col("cell"))
+    // Both assignment (rn == 1) and probing (rn <= nprobe) derive from
+    // one lazily checkpointed candidate set: referencing the windowed
+    // frame twice would otherwise duplicate the whole upstream subtree
+    // (the diverging WindowGroupLimits make the exchanges non-reusable),
+    // executing the input plan twice more.
+    val cand = ranked.filter(col("rn") <= math.max(nprobe, 1))
+      .localCheckpoint(false)
+    val assigned = cand.filter(col("rn") === 1)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col("_n").as("_nn"), col("cell"))
+    // Restricting the query set must happen HERE, on the probe side —
+    // a filter applied above the final top-k window does not push down
+    // past it, so without this every corpus row would be scored as a
+    // query.
+    val probes = queryPred.foldLeft(cand.filter(col("rn") <= nprobe))(_.filter(_))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("_n").as("_qn"), col("cell"))
     val scored = probes
-      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        col("_n").as("_qn")), Seq("query_id"))
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

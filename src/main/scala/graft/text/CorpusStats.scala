@@ -42,6 +42,39 @@ object CorpusStats {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("weight"), col("rank"))
   }
 
+  /** Hashed bag-of-words embedding (feature hashing): token -> bucket
+    * xxhash64(token) mod dim, per-bucket counts, L2-normalized
+    * `array<float>` — deterministic, vocabulary-free embedding
+    * generation for the similarity/dedup operators when no model
+    * embeddings exist. One explode + one keyed aggregate per doc;
+    * the dense array materializes per document, never per token. Empty
+    * documents embed as the zero vector. */
+  def hashedBowEmbedding(docs: DataFrame, idCol: String, textCol: String,
+                         dim: Int): DataFrame = {
+    // One codegen'd HashAggregate of `dim` conditional counts (the same
+    // fixed-width-aggregate shape as the MinHash signature) — NOT a
+    // collect_list/map build, which would run on the non-codegen
+    // ObjectHashAggregate path and dominate the pipeline.
+    val buckets = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .select(col(idCol), pmod(xxhash64(col("term")), lit(dim.toLong)).as("bucket"))
+    val countCols = (0 until dim).map(i =>
+      count(when(col("bucket") === i, 1)).as(s"_c$i"))
+    val counted = buckets.groupBy(col(idCol)).agg(countCols.head, countCols.tail: _*)
+    val dense = array((0 until dim).map(i => col(s"_c$i").cast("double")): _*)
+    val norm = sqrt((0 until dim).map(i => col(s"_c$i") * col(s"_c$i"))
+      .reduce(_ + _).cast("double"))
+    val unit = counted.select(col(idCol),
+      transform(dense, v =>
+        (v / when(norm === 0.0, lit(1.0)).otherwise(norm)).cast("float"))
+        .as("embedding"))
+    // Left join keeps empty docs (no tokens -> no aggregate row) as zeros.
+    docs.select(col(idCol))
+      .join(unit, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("embedding"), array_repeat(lit(0.0f), dim)).as("embedding"))
+  }
+
   /** Winnowing fingerprints via the one-pass native expression
     * [[graft.functions.WinnowFingerprints]]: scan -> project -> explode,
     * no shuffle. Guarantees any shared substring of length >= n + w - 1

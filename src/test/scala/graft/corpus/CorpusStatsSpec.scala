@@ -65,6 +65,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(n(2L) == 0L && n(3L) == 0L)
   }
 
+  test("hashedBowEmbedding: unit norm, shared-text similarity, empty doc = zeros") {
+    val docs = df("doc_id bigint, text string")(Seq(
+      Row(1L, "alpha beta gamma delta"),
+      Row(2L, "alpha beta gamma delta"),    // identical -> identical embedding
+      Row(3L, "totally different words here"),
+      Row(4L, "")))
+    val emb = CorpusStats.hashedBowEmbedding(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(emb.keySet == Set(1L, 2L, 3L, 4L))
+    assert(emb(1L) == emb(2L))
+    assert(emb(4L).forall(_ == 0.0f))
+    def norm(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm(emb(1L)) - 1.0) < 1e-5)
+    assert(math.abs(norm(emb(3L)) - 1.0) < 1e-5)
+    assert(emb(1L) != emb(3L))
+  }
+
   test("ivfTopK finds planted near-neighbors in clustered vectors") {
     import graft.similarity.Similarity
     // Two tight clusters far apart; every vector's true top-1 is in its

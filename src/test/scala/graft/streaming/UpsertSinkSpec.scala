@@ -34,4 +34,14 @@ class UpsertSinkSpec extends SparkSpec {
     q3.awaitTermination()
     assert(spark.read.parquet(target).count() == 3)
   }
+
+  test("upsertBatch recovers when the target dir exists but holds no parquet") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsert_empty")
+    val target = dir.resolve("target")
+    // Simulate a crashed first write: directory created, no data committed.
+    Files.createDirectories(target.resolve("_temporary"))
+    UpsertSink.upsertBatch(Seq(Rec(1, "a")).toDF(), target.toString, "id")
+    assert(spark.read.parquet(target.toString).count() == 1)
+  }
 }
