@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
 object PivotOps {
 
   /** `group_by(keys) %>% tally(sort = sorted)` (ningaloo-etl.Rmd:308-311
-    * and 11 other call sites). Count column is named `n` like dplyr's. */
+    * and 11 other call sites). Count column is named `n` like dplyr's.
+    * The sort is presentation-only (dplyr `sort=T` parity): it adds a
+    * global range exchange, so callers feeding a pivot or join should
+    * use the unsorted form and order at the very end if at all. */
   def tally(df: DataFrame, keys: Seq[String], sorted: Boolean = false): DataFrame = {
     val counted = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
     if (sorted) counted.orderBy(desc("n")) else counted
