@@ -94,7 +94,7 @@ object ColumnOps {
   /** Positional column slice, R's `d[, from:until]` (ningaloo-etl.Rmd:403,
     * 406, 424). Zero-based, `until` exclusive. */
   def selectSlice(df: DataFrame, from: Int, until: Int): DataFrame =
-    df.select(df.columns.slice(from, until).map(col): _*)
+    df.select(df.columns.slice(from, until).toIndexedSeq.map(col): _*)
 
   /** Compose a timestamp from a date's day part plus another timestamp's
     * time-of-day (ningaloo-etl.Rmd:176-178, tagging-etl.Rmd:393-395).
