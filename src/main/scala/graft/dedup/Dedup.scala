@@ -174,6 +174,37 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
+  /** SimHash near-duplicate pairs: split each 64-bit signature into
+    * `bands` equal bit-blocks, emit candidates sharing any (band, value)
+    * bucket, verify by exact Hamming distance. Pigeonhole guarantee:
+    * with `maxHamming < bands`, any pair within distance maxHamming
+    * differs in fewer bands than exist, so at least one band matches —
+    * recall is exactly 1, no sketch miss (Manku-style dedup). Same
+    * bucket-keyed join shape as the MinHash path: cost scales with
+    * bucket population, never corpus². */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "recall guarantee needs maxHamming < bands")
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = simhash(df, idCol, textCol)
+    val bandCols = (0 until bands).map(b =>
+      shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)))
+    val buckets = sigs.select(col(idCol), col("simhash"),
+        posexplode(array(bandCols: _*)))
+      .select(col(idCol), col("simhash"), col("pos").as("band"), col("col").as("bval"))
+    val l = buckets.select(col(idCol).as("id1"), col("simhash").as("s1"),
+      col("band"), col("bval"))
+    val r = buckets.select(col(idCol).as("id2"), col("simhash").as("s2"),
+      col("band"), col("bval"))
+    l.join(r, Seq("band", "bval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming64(col("s1"), col("s2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-duplicate pairs by embedding cosine >= threshold, using
     * multi-table sign-LSH candidates (union over tables) with exact
     * cosine verification — see

@@ -166,6 +166,13 @@ object CorpusQueries {
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // SimHash banded Hamming near-dup pairs (maxHamming < bands gives
+    // recall 1 by pigeonhole — xxhash64 sigs, rows-only check).
+    Q.noOracle("dd_simhash_neardups") { (s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 7, bands = 8)
+    },
+
     // Brute-force exact cosine top-k (broadcast query set).
     Q("s_cosine_topk",
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8), " +

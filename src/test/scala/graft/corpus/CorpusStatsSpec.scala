@@ -98,6 +98,30 @@ class CorpusStatsSpec extends SparkSpec {
     ivf.foreach { case (q, n) => assert(q % 2 == n % 2, s"$q -> $n crossed clusters") }
   }
 
+  test("simhashNearDups: identical + near-identical pair found, distinct pair not") {
+    import graft.dedup.Dedup
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = df("doc_id bigint, text string")(Seq(
+      Row(1L, base),
+      Row(2L, base),                        // identical: hamming 0
+      Row(3L, base.replace("tok40", "zzz")), // near-dup: few bits differ
+      Row(4L, (1 to 40).map(i => s"other$i").mkString(" "))))
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 12, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // exact-recall guarantee: banded candidates find ALL pairs within
+    // maxHamming — cross-check against the brute-force all-pairs answer
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 12
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+  }
+
   test("winnowing: shared long substring => shared fingerprint; short doc => one") {
     val shared = "the quick brown fox jumps over the lazy dog"
     val docs = df("doc_id bigint, text string")(Seq(
