@@ -55,10 +55,12 @@ object Tagging {
           .otherwise(lit("ok")).as("validation"))
 
   /** Per-turtle observation status + inter-season remigration
-    * (tagging-etl.Rmd:188-204). */
+    * (tagging-etl.Rmd:188-204): the full 4-status set — the first-ever
+    * encounter splits on the resolved activity's nesting flag into
+    * "Initial Nesting" / "Initial Sighting". */
   def turtleHistory(obs: DataFrame): DataFrame =
     WindowOps.observationStatus(obs, "turtle_id",
-      Seq("obs_utc", "observation_id"), "season")
+      Seq("obs_utc", "observation_id"), "season", nestingCol = Some("nesting"))
 
   /** Tag × season 0/1 encounter history (tagging-etl.Rmd:434-437). */
   def tagHistory(recordedTags: DataFrame, obs: DataFrame, seasons: Seq[String]): DataFrame = {

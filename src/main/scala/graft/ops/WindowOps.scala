@@ -62,18 +62,26 @@ object WindowOps {
         count(lit(1)).as("n_events"))
   }
 
-  /** Observation status derivation (tagging-etl.Rmd:188-196): per turtle
-    * ordered by observation time — first ever is "Initial", same-season
-    * repeat is "Resighting", new-season return is "Remigrant".
-    * `orderCols` must be a total order (tie-break with a unique id) or
-    * the status labels are partition-order-dependent. */
+  /** Observation status derivation (tagging-etl.Rmd:188-196,
+    * `dbo.ObservationStatus`): per turtle ordered by observation time —
+    * the first-ever encounter is "Initial", a same-season repeat is
+    * "Resighting", a new-season return is "Remigrant". When `nestingCol`
+    * is given, the first encounter splits on the activity's nesting flag
+    * into the reference's full 4-status set: "Initial Nesting" (flag
+    * 'Y') vs "Initial Sighting" (anything else, including an unresolved
+    * activity). `orderCols` must be a total order (tie-break with a
+    * unique id) or the status labels are partition-order-dependent. */
   def observationStatus(df: DataFrame, entity: String, orderCols: Seq[String],
-                        seasonCol: String): DataFrame = {
+                        seasonCol: String,
+                        nestingCol: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(col(entity)).orderBy(orderCols.map(col): _*)
+    val initial = nestingCol.fold(lit("Initial"))(n =>
+      when(col(n) === "Y", lit("Initial Nesting"))
+        .otherwise(lit("Initial Sighting")))
     df.withColumn("_rn", row_number().over(w))
       .withColumn("_prev_season", lag(col(seasonCol), 1).over(w))
       .withColumn("observation_status",
-        when(col("_rn") === 1, lit("Initial"))
+        when(col("_rn") === 1, initial)
           .when(col("_prev_season") === col(seasonCol), lit("Resighting"))
           .otherwise(lit("Remigrant")))
       .drop("_rn", "_prev_season")

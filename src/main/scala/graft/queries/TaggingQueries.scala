@@ -51,13 +51,17 @@ FROM m LEFT JOIN t USING (MEASUREMENT_TYPE)""") { (s, _) =>
         TF.rawMeasurementTypes.toDF(s))
     },
 
-    // Per-turtle status sequence (U3) — season depends on the Perth shift.
+    // Per-turtle status sequence (U3, full 4-status dbo.ObservationStatus:
+    // first encounter splits on the activity's nesting flag) — season
+    // depends on the Perth shift.
     Q("tg_turtle_history", tagCte +
-      "SELECT observation_id, CASE WHEN rn = 1 THEN 'Initial' " +
+      "SELECT observation_id, CASE WHEN rn = 1 THEN " +
+      "(CASE WHEN nesting = 'Y' THEN 'Initial Nesting' ELSE 'Initial Sighting' END) " +
       "WHEN prev_season = season THEN 'Resighting' ELSE 'Remigrant' END AS observation_status " +
-      "FROM (SELECT observation_id, season, row_number() OVER w AS rn, " +
-      "lag(season) OVER w AS prev_season FROM obs_season " +
-      "WINDOW w AS (PARTITION BY turtle_id ORDER BY obs_utc, observation_id))") { (s, _) =>
+      "FROM (SELECT o.observation_id, o.season, a.nesting, row_number() OVER w AS rn, " +
+      "lag(o.season) OVER w AS prev_season FROM obs_season o " +
+      "LEFT JOIN activities a ON o.ACTIVITY_CODE = a.ACTIVITY_CODE_PK " +
+      "WINDOW w AS (PARTITION BY o.turtle_id ORDER BY o.obs_utc, o.observation_id))") { (s, _) =>
       Tagging.turtleHistory(
         Tagging.observations(TF.rawObservations.toDF(s), TF.rawActivities.toDF(s)))
         .select("observation_id", "observation_status")

@@ -52,6 +52,22 @@ class JoinWindowSpec extends SparkSpec {
       Seq(1, "Initial"), Seq(2, "Resighting"), Seq(3, "Remigrant"), Seq(4, "Initial")))
   }
 
+  test("observationStatus 4-status: first encounter splits on nesting flag") {
+    // dbo.ObservationStatus (tagging-etl.Rmd:188-196): Initial Nesting /
+    // Initial Sighting / Resighting / Remigrant. Null nesting (unresolved
+    // activity) counts as a sighting.
+    val d = Seq(
+      ("T", 1, 2011L, "Y"), ("T", 2, 2011L, "N"), ("T", 3, 2013L, "Y"),
+      ("U", 4, 2012L, "N"), ("V", 5, 2012L, null.asInstanceOf[String]))
+      .toDF("turtle", "ord", "season", "nesting")
+    val got = rows(WindowOps.observationStatus(d, "turtle", Seq("ord"), "season",
+        nestingCol = Some("nesting"))
+      .select("ord", "observation_status").orderBy("ord"))
+    assert(got == Seq(
+      Seq(1, "Initial Nesting"), Seq(2, "Resighting"), Seq(3, "Remigrant"),
+      Seq(4, "Initial Sighting"), Seq(5, "Initial Sighting")))
+  }
+
   test("remigration: per-entity season gaps (U4)") {
     val d = Seq(("T", 2011L), ("T", 2013L), ("T", 2014L)).toDF("turtle", "season")
     val got = rows(WindowOps.remigration(d, "turtle", "season")
