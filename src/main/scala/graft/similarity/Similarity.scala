@@ -20,7 +20,20 @@ import org.apache.spark.sql.functions._
   *    the candidate set multiplicatively while the union keeps recall.
   *    The hyperplanes are plan-time literal arrays (seeded), so bucketing
   *    is a narrow map — the only shuffles are the bucket-key join and the
-  *    candidate-pair distinct.
+  *    candidate-pair aggregate.
+  *  - Corpus-size discipline: `numPlanes` defaults to [[planesFor]] (grows
+  *    with log2 of the corpus so expected bucket population stays fixed as
+  *    N grows), `bucketCap` drops degenerate hot buckets (a near-constant
+  *    embedding region must not turn the bucket join quadratic), and
+  *    `candidateCap` bounds the exact-rescore cost per query by keeping
+  *    only the candidates with the strongest cross-table collision
+  *    evidence. All three are the knobs that hold the candidate fraction
+  *    flat on a 100 TB corpus.
+  *  - Zero-norm vectors (e.g. empty documents under a bag-of-words
+  *    embedding) are excluded from scoring everywhere: cosine against a
+  *    zero vector is 0/0 = NaN, and NaN sorts ABOVE every real cosine in
+  *    a descending Spark sort, so one blank document would otherwise rank
+  *    as the top neighbor of every query.
   */
 object Similarity {
 
@@ -42,16 +55,35 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Plane count that holds expected bucket population at `targetBucket`
+    * as the corpus grows: 2^p buckets per table with p = log2(n /
+    * targetBucket). This is the auto default for [[annTopK]] — at 5e11
+    * rows (100 TB of 200-byte docs) it yields ~34 planes where a fixed
+    * small default would leave each bucket with billions of members. */
+  def planesFor(corpusCount: Long, targetBucket: Int = 32): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(corpusCount, 1).toDouble / targetBucket) / math.log(2.0)).toInt)
+
+  /** Per-query top-k window over scored pairs: highest cosine first,
+    * ties (and equal-cosine rounding collisions) broken by neighbor id
+    * so both engines resolve them identically. */
+  private[graft] def topKWindow(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact top-k by cosine for each query row: broadcast queries, one
     * corpus pass, per-query window. Ties broken by corpus id for
-    * determinism. */
+    * determinism. Zero-norm rows are excluded on both sides (see the
+    * class note on NaN cosine). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, qId: String,
                  cId: String, qVec: String, cVec: String, k: Int): DataFrame = {
     // Norms are computed once per vector BEFORE the pair join (narrow
     // projections), so per-pair work is a single codegen'd dot — not
     // three. Same IEEE operations in the same order, just hoisted.
-    val q = queries.withColumn("_qn", l2norm(col(qVec)))
-    val c = corpus.withColumn("_cn", l2norm(col(cVec)))
+    val q = queries.withColumn("_qn", l2norm(col(qVec))).filter(col("_qn") > 0)
+    val c = corpus.withColumn("_cn", l2norm(col(cVec))).filter(col("_cn") > 0)
     // Project the vectors away BEFORE the per-query window: the top-k
     // sort shuffles by query id, and carrying two 64-float arrays per
     // scored pair through that exchange is ~5x the bytes of the three
@@ -60,9 +92,7 @@ object Similarity {
       .filter(col(qId) =!= col(cId))
       .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
         round(dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKWindow(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane data (seeded). */
@@ -70,6 +100,13 @@ object Similarity {
     val rng = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
+
+  /** All `numTables` plane sets (table t seeded at seed + 7919 * t) — the
+    * single source of truth shared by the Spark plan and the generated
+    * oracle SQL, so both engines bucket with bit-identical planes. */
+  private[graft] def tableData(numPlanes: Int, numTables: Int, dim: Int,
+                               seed: Long): Seq[Seq[Seq[Double]]] =
+    (0 until numTables).map(t => planeData(numPlanes, dim, seed + 7919L * t))
 
   /** Bucket key from a planes-array column (array<array<double>>): bit i
     * is the sign of vec . planes[i]. One nested higher-order expression —
@@ -99,8 +136,7 @@ object Similarity {
   private[graft] def bucketTables(df: DataFrame, idCol: String, vecCol: String,
                                   numPlanes: Int, numTables: Int, dim: Int,
                                   seed: Long): DataFrame = {
-    val tables = typedlit((0 until numTables).map(t =>
-      planeData(numPlanes, dim, seed + 7919L * t)))
+    val tables = typedlit(tableData(numPlanes, numTables, dim, seed))
     df.select(col(idCol),
         posexplode(transform(tables, tb =>
           when(size(col(vecCol)) =!= dim, raise_error(
@@ -110,47 +146,129 @@ object Similarity {
       .select(col(idCol), col("pos").as("tbl"), col("col").as("bucket"))
   }
 
-  /** Candidate id pairs (id1 < id2) sharing any (table, bucket). */
-  private[graft] def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
+  /** Candidate id pairs (id1 < id2) with their cross-table collision
+    * count `n_tbl` (how many of the `numTables` tables bucketed them
+    * together — the ranking signal for [[annScored]]'s candidateCap).
+    * `bucketCap` drops any (table, bucket) with more members than the
+    * cap BEFORE the self-join: a degenerate hot bucket (all-similar
+    * embedding region, adversarial constant vectors) would otherwise
+    * contribute population² candidate pairs on its own. */
+  private[graft] def lshCollisions(df: DataFrame, idCol: String, vecCol: String,
                                    numPlanes: Int, numTables: Int, dim: Int,
-                                   seed: Long): DataFrame = {
-    val b = bucketTables(df, idCol, vecCol, numPlanes, numTables, dim, seed)
+                                   seed: Long, bucketCap: Option[Int] = None): DataFrame = {
+    val b0 = bucketTables(df, idCol, vecCol, numPlanes, numTables, dim, seed)
+    val b = bucketCap.fold(b0) { cap =>
+      // Keyed by the same (tbl, bucket) the join shuffles on; the size
+      // table is bucket-cardinality-sized, never corpus-sized.
+      val sizes = b0.groupBy("tbl", "bucket").agg(count(lit(1)).as("_bsz"))
+      b0.join(sizes.filter(col("_bsz") <= cap), Seq("tbl", "bucket"))
+        .select(col(idCol), col("tbl"), col("bucket"))
+    }
     val l = b.select(col(idCol).as("id1"), col("tbl"), col("bucket"))
     val r = b.select(col(idCol).as("id2"), col("tbl"), col("bucket"))
     l.join(r, Seq("tbl", "bucket")).filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_tbl"))
   }
 
-  /** IVF (inverted-file) ANN top-k: partition the corpus into `numCells`
-    * cells around centroid vectors, then search each query only against
-    * the corpus rows assigned to its `nprobe` most-similar cells.
+  /** Candidate id pairs (id1 < id2) sharing any (table, bucket). */
+  private[graft] def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
+                                   numPlanes: Int, numTables: Int, dim: Int,
+                                   seed: Long, bucketCap: Option[Int] = None): DataFrame =
+    lshCollisions(df, idCol, vecCol, numPlanes, numTables, dim, seed, bucketCap)
+      .select("id1", "id2")
+
+  /** Exact-rescored LSH candidate pairs, both directions, pre-top-k:
+    * (query_id, neighbor_id, cosine) — [[annTopK]] minus the final
+    * window, exposed so quality reports can count the rescored volume
+    * (candidate fraction) from the same plan they rank.
+    *
+    * numPlanes None -> [[planesFor]] of a corpus count pass (pass an
+    * explicit value to avoid the extra count job, or when the same
+    * planes must be reproduced elsewhere, e.g. in an oracle).
+    * `candidateCap` keeps, per query, only the cap candidates with the
+    * most table collisions (ties by id) — a hard per-query bound on
+    * rescore cost that a raw bucket union does not give. */
+  def annScored(df: DataFrame, idCol: String, vecCol: String,
+                numPlanes: Option[Int] = None, numTables: Int = 12,
+                dim: Int = 64, seed: Long = 42L,
+                bucketCap: Option[Int] = None,
+                candidateCap: Option[Int] = None): DataFrame = {
+    val base = df.filter(l2norm(col(vecCol)) > 0)
+    val planes = numPlanes.getOrElse(planesFor(base.count()))
+    val pairs = lshCollisions(base, idCol, vecCol, planes, numTables, dim, seed, bucketCap)
+    val sym = pairs.select(col("id1").as("query_id"), col("id2").as("neighbor_id"), col("n_tbl"))
+      .union(pairs.select(col("id2").as("query_id"), col("id1").as("neighbor_id"), col("n_tbl")))
+    val capped = candidateCap.fold(sym) { cap =>
+      val w = Window.partitionBy(col("query_id")).orderBy(desc("n_tbl"), col("neighbor_id"))
+      sym.withColumn("_cr", row_number().over(w)).filter(col("_cr") <= cap).drop("_cr")
+    }
+    val vecs = base.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
+    // Vectors are projected away before the top-k window shuffle (same
+    // rationale as in cosineTopK).
+    capped
+      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("_n").as("_qn")), Seq("query_id"))
+      .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("_n").as("_cn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("_qn") * col("_cn")), 4).as("cosine"))
+  }
+
+  /** ANN top-k via multi-table sign-LSH: union of per-table bucket
+    * candidates, exact cosine rescoring, per-query window. Recall < 1 by
+    * design — the scale path; [[cosineTopK]] is the exact baseline.
+    * Results are symmetric: each unordered candidate pair scores in both
+    * directions before the per-query top-k. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              numPlanes: Option[Int] = None, numTables: Int = 12,
+              dim: Int = 64, seed: Long = 42L,
+              bucketCap: Option[Int] = None,
+              candidateCap: Option[Int] = None): DataFrame =
+    topKWindow(
+      annScored(df, idCol, vecCol, numPlanes, numTables, dim, seed, bucketCap, candidateCap), k)
+
+  /** Exact-rescored IVF candidate pairs pre-top-k — [[ivfTopK]] minus the
+    * final window (same exposure rationale as [[annScored]]).
+    *
+    * IVF (inverted-file) ANN: partition the corpus into `numCells` cells
+    * around centroid vectors, then search each query only against the
+    * corpus rows assigned to its `nprobe` most-similar cells.
     *
     * Centroids here are a deterministic sample (the `numCells` smallest
     * ids) — the IVF-flat shape without the k-means refinement pass; at
     * cluster scale the same plan takes k-means-trained centroids as the
-    * `cents` input. Scale design: the centroid table is tiny and rides
-    * as a broadcast; assignment and probing are narrow passes over the
-    * corpus (C codegen'd dots per row); the only wide operations are
-    * keyed by cell id — candidate volume per query is bounded by
-    * nprobe/numCells of the corpus, tunable independently of N.
-    */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              numCells: Int = 64, nprobe: Int = 8,
-              queryPred: Option[Column] = None,
-              centroids: Option[DataFrame] = None): DataFrame = {
+    * `centroids` input. Scale design: the centroid table is tiny and
+    * rides as a broadcast; assignment and probing are narrow passes over
+    * the corpus (numCells codegen'd dots per row); the only wide
+    * operations are keyed by cell id — candidate volume per query is
+    * bounded by nprobe/numCells of the corpus, tunable independently of N.
+    *
+    * `materialize` pins the shared candidate set that both the
+    * assignment and probe branches read (referencing the windowed frame
+    * twice would otherwise duplicate the whole upstream subtree). The
+    * default `localCheckpoint(false)` is executor-storage — fine on one
+    * box, lost with an executor on a real cluster — so a cluster
+    * deployment should pass a durable materializer (write+read parquet,
+    * or reliable `checkpoint()` with a checkpoint dir). */
+  def ivfScored(df: DataFrame, idCol: String, vecCol: String,
+                numCells: Int = 64, nprobe: Int = 8,
+                queryPred: Option[Column] = None,
+                centroids: Option[DataFrame] = None,
+                materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
     val vecs = df.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
+      .filter(col("_n") > 0)
     // Default centroids: the numCells smallest-id vectors. When `df` is
     // itself a computed feature table, pass `centroids` built from a
     // FILTERED input instead — it avoids executing the full feature
     // pipeline once more just to sample a few rows.
     val centSrc = centroids.fold(vecs.orderBy(col(idCol)).limit(numCells))(c =>
       c.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
-        .orderBy(col(idCol)).limit(numCells))
+        .filter(col("_n") > 0).orderBy(col(idCol)).limit(numCells))
     val cents = centSrc
       .select(col(idCol).as("cell"), col(vecCol).as("cv"), col("_n").as("_cn"))
     val sim = dot(col(vecCol), col("cv")) / (col("_n") * col("_cn"))
     // The vector rides THROUGH the cell-ranking window (unlike the
-    // final top-k window below, this one is bounded at numCells rows per
+    // final top-k window, this one is bounded at numCells rows per
     // vector), so assignment and probing need no join back to the input:
     // the input plan executes exactly twice (centroid sample + this
     // scan), which matters when it is a computed feature table rather
@@ -160,13 +278,7 @@ object Similarity {
     // Deterministic best-cell pick: highest similarity, lowest cell id.
     val byCell = Window.partitionBy(col(idCol)).orderBy(desc("sim"), col("cell"))
     val ranked = scoredCells.withColumn("rn", row_number().over(byCell))
-    // Both assignment (rn == 1) and probing (rn <= nprobe) derive from
-    // one lazily checkpointed candidate set: referencing the windowed
-    // frame twice would otherwise duplicate the whole upstream subtree
-    // (the diverging WindowGroupLimits make the exchanges non-reusable),
-    // executing the input plan twice more.
-    val cand = ranked.filter(col("rn") <= math.max(nprobe, 1))
-      .localCheckpoint(false)
+    val cand = materialize(ranked.filter(col("rn") <= math.max(nprobe, 1)))
     val assigned = cand.filter(col("rn") === 1)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
         col("_n").as("_nn"), col("cell"))
@@ -177,39 +289,19 @@ object Similarity {
     val probes = queryPred.foldLeft(cand.filter(col("rn") <= nprobe))(_.filter(_))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col("_n").as("_qn"), col("cell"))
-    val scored = probes
+    probes
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("nv")) / (col("_qn") * col("_nn")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
   }
 
-  /** ANN top-k via multi-table sign-LSH: union of per-table bucket
-    * candidates, exact cosine rescoring, per-query window. Recall < 1 by
-    * design — the scale path; [[cosineTopK]] is the exact baseline.
-    * Results are symmetric: each unordered candidate pair scores in both
-    * directions before the per-query top-k. */
-  def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              numPlanes: Int = 5, numTables: Int = 12, dim: Int = 64,
-              seed: Long = 42L): DataFrame = {
-    val pairs = lshCandidates(df, idCol, vecCol, numPlanes, numTables, dim, seed)
-    val sym = pairs.select(col("id1").as("query_id"), col("id2").as("neighbor_id"))
-      .union(pairs.select(col("id2").as("query_id"), col("id1").as("neighbor_id")))
-    val vecs = df.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
-    // Vectors are projected away before the top-k window shuffle (same
-    // rationale as in cosineTopK).
-    val scored = sym
-      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        col("_n").as("_qn")), Seq("query_id"))
-      .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        col("_n").as("_cn")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) / (col("_qn") * col("_cn")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-  }
+  /** IVF ANN top-k — see [[ivfScored]] for the shape and knobs. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              numCells: Int = 64, nprobe: Int = 8,
+              queryPred: Option[Column] = None,
+              centroids: Option[DataFrame] = None,
+              materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame =
+    topKWindow(
+      ivfScored(df, idCol, vecCol, numCells, nprobe, queryPred, centroids, materialize), k)
 }

@@ -1,0 +1,86 @@
+package graft.corpus
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.similarity.Similarity
+
+/** Scale discipline of the ANN path: auto plane count, hot-bucket cap,
+  * per-query candidate cap, zero-norm exclusion — and the headline
+  * property: on clustered data (the 100 TB reality for near-dup corpora)
+  * the LSH path reaches recall >= 0.6 while rescoring < 5% of all pairs.
+  * (On clusterless uniform-random vectors no sub-linear index can do
+  * that — see SCALE.md's measured Pareto for the synthetic embeddings
+  * table.) */
+class AnnScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planesFor holds expected bucket population flat as N grows") {
+    assert(Similarity.planesFor(1000, 32) == 5)
+    assert(Similarity.planesFor(1000000, 32) == 15)
+    // 100 TB of ~200-byte docs
+    assert(Similarity.planesFor(500000000000L, 32) == 34)
+    // never degenerate for tiny corpora
+    assert(Similarity.planesFor(1, 32) == 4)
+  }
+
+  test("zero-norm vectors are excluded from queries and neighbors") {
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f))).toDF("id", "v")
+    val q = d.select($"id".as("qid"), $"v".as("qv"))
+    val exact = rows(Similarity.cosineTopK(q, d, "qid", "id", "qv", "v", 3)
+      .select("query_id", "neighbor_id"))
+    assert(exact.nonEmpty)
+    assert(exact.forall { case Seq(a: Long, b: Long) => a != 3L && b != 3L })
+    val ann = rows(Similarity.annTopK(d, "id", "v", 3, numPlanes = Some(4),
+      numTables = 4, dim = 2, seed = 1L).select("query_id", "neighbor_id"))
+    assert(ann.forall { case Seq(a: Long, b: Long) => a != 3L && b != 3L })
+  }
+
+  test("bucketCap drops a degenerate hot bucket; candidateCap bounds per-query rescore") {
+    // 40 identical vectors: every table has ONE bucket holding all of
+    // them -> 780 pairs uncapped; a bucketCap below 40 kills them all.
+    val same = (0 until 40).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("id", "v")
+    val uncapped = Similarity.lshCandidates(same, "id", "v", 4, 3, 4, 1L)
+    assert(uncapped.count() == 780L)
+    val capped = Similarity.lshCandidates(same, "id", "v", 4, 3, 4, 1L, bucketCap = Some(10))
+    assert(capped.count() == 0L)
+    // candidateCap: no query rescores more than cap neighbors
+    val scored = Similarity.annScored(same, "id", "v", numPlanes = Some(4),
+      numTables = 3, dim = 4, seed = 1L, candidateCap = Some(5))
+    val maxPerQuery = scored.groupBy("query_id").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerQuery <= 5L)
+  }
+
+  test("clustered corpus: recall >= 0.6 at < 5% rescored pairs") {
+    // 60 tight clusters of 10 on the unit sphere (within-cluster cosine
+    // ~0.96): the regime LSH is built for. Deterministic seed.
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(60) {
+      val c = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(x => (x / n).toFloat)
+    }
+    val data = (0 until 600).map { i =>
+      val c = centers(i % 60)
+      (i.toLong, c.map(x => x + 0.05f * rng.nextGaussian().toFloat))
+    }.toDF("id", "v")
+    val n = 600L
+    val exact = Similarity.cosineTopK(
+        data.select($"id".as("qid"), $"v".as("qv")), data, "qid", "id", "qv", "v", 5)
+      .select("query_id", "neighbor_id")
+    val scored = Similarity.annScored(data, "id", "v", numPlanes = Some(10),
+      numTables = 8, dim = dim, seed = 7L).cache()
+    val nCand = scored.count().toDouble
+    val frac = nCand / (n * (n - 1))
+    val hits = exact.join(scored.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count().toDouble
+    val recall = hits / exact.count()
+    scored.unpersist()
+    assert(frac < 0.05, s"candidate fraction $frac")
+    assert(recall >= 0.6, s"recall $recall at frac $frac")
+  }
+}

@@ -82,7 +82,7 @@ class CorpusSpec extends SparkSpec {
       val base = if (i < 4) Array(1.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f, 0.0f)
       (i.toLong, base.zipWithIndex.map { case (v, j) => v + 0.01f * ((i + j) % 3) })
     }.toDF("id", "v")
-    val ann = rows(Similarity.annTopK(vecs, "id", "v", 1, numPlanes = 6,
+    val ann = rows(Similarity.annTopK(vecs, "id", "v", 1, numPlanes = Some(6),
       numTables = 6, dim = 4, seed = 1L).select("query_id", "neighbor_id"))
     // with 6 tables every in-cluster pair shares some bucket: all 8 get a hit
     assert(ann.size == 8)
