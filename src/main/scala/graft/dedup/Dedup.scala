@@ -174,35 +174,84 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** SimHash near-duplicate pairs: split each 64-bit signature into
-    * `bands` equal bit-blocks, emit candidates sharing any (band, value)
-    * bucket, verify by exact Hamming distance. Pigeonhole guarantee:
-    * with `maxHamming < bands`, any pair within distance maxHamming
-    * differs in fewer bands than exist, so at least one band matches —
-    * recall is exactly 1, no sketch miss (Manku-style dedup). Same
-    * bucket-keyed join shape as the MinHash path: cost scales with
-    * bucket population, never corpus². */
-  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(maxHamming < bands, "recall guarantee needs maxHamming < bands")
-    require(64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = simhash(df, idCol, textCol)
-    val bandCols = (0 until bands).map(b =>
-      shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)))
-    val buckets = sigs.select(col(idCol), col("simhash"),
-        posexplode(array(bandCols: _*)))
-      .select(col(idCol), col("simhash"), col("pos").as("band"), col("col").as("bval"))
+  /** Contiguous bit ranges `(startBit, width)` covering bits 0..63 in
+    * `blocks` near-equal pieces, LSB first. */
+  private[graft] def blockRanges(blocks: Int): Seq[(Int, Int)] = {
+    val base = 64 / blocks
+    val extra = 64 % blocks
+    val widths = Seq.tabulate(blocks)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** Manku-style block-combination bucket keys: one key per
+    * `m`-combination of blocks, each key the concatenation of the chosen
+    * block values (plus the combination index as part of the join key).
+    * Any pair agreeing on >= m blocks shares at least one combination's
+    * full key. Returned as (comboIdx, key) structs. */
+  private[graft] def comboKeys(blockVals: Seq[(Column, Int)], m: Int): Seq[Column] =
+    blockVals.indices.combinations(m).toSeq.zipWithIndex.map { case (combo, ci) =>
+      val key = combo.foldLeft(lit(0L)) { (acc, bi) =>
+        shiftleft(acc, blockVals(bi)._2).bitwiseOR(blockVals(bi)._1)
+      }
+      struct(lit(ci).as("combo"), key.as("bkey"))
+    }
+
+  /** (id, simhash, combo, bkey) bucket rows for the Manku scheme. */
+  private[graft] def simhashBuckets(sigs: DataFrame, idCol: String,
+                                    maxHamming: Int, blocks: Int): DataFrame = {
+    require(maxHamming < blocks, "recall guarantee needs maxHamming < blocks")
+    require(blocks >= 2 && blocks <= 64, "blocks must be in 2..64")
+    val m = blocks - maxHamming
+    val vals = blockRanges(blocks).map { case (start, w) =>
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      (shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask)), w)
+    }
+    sigs.select(col(idCol), col("simhash"),
+        explode(array(comboKeys(vals, m): _*)).as("_ck"))
+      .select(col(idCol), col("simhash"),
+        col("_ck.combo").as("combo"), col("_ck.bkey").as("bkey"))
+  }
+
+  /** Candidate pairs (id1 < id2, with both signatures) sharing any
+    * block-combination bucket — pre-Hamming-verification, exposed so the
+    * sub-quadratic candidate growth is assertable in tests. */
+  private[graft] def simhashCandidatePairs(sigs: DataFrame, idCol: String,
+                                           maxHamming: Int, blocks: Int): DataFrame = {
+    val buckets = simhashBuckets(sigs, idCol, maxHamming, blocks)
     val l = buckets.select(col(idCol).as("id1"), col("simhash").as("s1"),
-      col("band"), col("bval"))
+      col("combo"), col("bkey"))
     val r = buckets.select(col(idCol).as("id2"), col("simhash").as("s2"),
-      col("band"), col("bval"))
-    l.join(r, Seq("band", "bval"))
-      .filter(col("id1") < col("id2"))
+      col("combo"), col("bkey"))
+    l.join(r, Seq("combo", "bkey")).filter(col("id1") < col("id2"))
+  }
+
+  /** SimHash near-duplicate pairs, Manku-style (Manku, Jain & Das Sarma,
+    * WWW'07 block-permutation dedup, re-expressed as a bucket join):
+    * split the 64-bit signature into `blocks` near-equal bit-blocks and
+    * bucket each doc once per `m = blocks - maxHamming` combination of
+    * blocks, keyed by the CONCATENATION of those block values. Pigeonhole
+    * recall guarantee: a pair within Hamming distance maxHamming differs
+    * in at most maxHamming blocks, so it agrees on >= m blocks and shares
+    * at least one combination key — recall is exactly 1, no sketch miss.
+    *
+    * Scale: the key is ~ (blocks - maxHamming) * 64/blocks bits wide —
+    * with the defaults (maxHamming 3, blocks 6) that is 32 bits, so
+    * unrelated docs collide with p ~ 2^-32 per combination and candidate
+    * volume grows linearly with true near-dup density, never as N²/2^band
+    * (the failure mode of single-block bucketing, whose 8..16-bit keys
+    * collapse at corpus scale). The cost knob: C(blocks, m) bucket rows
+    * per doc (20 at the defaults); raising maxHamming means choosing
+    * more/narrower blocks — keep maxHamming small and blocks ~ 2x
+    * maxHamming for corpus-scale runs. Hamming verification runs BEFORE
+    * the pair distinct, so far-apart collisions never cross the distinct
+    * exchange. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    simhashCandidatePairs(sigs, idCol, maxHamming, blocks)
       .select(col("id1"), col("id2"), hamming64(col("s1"), col("s2")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Near-duplicate pairs by embedding cosine >= threshold, using

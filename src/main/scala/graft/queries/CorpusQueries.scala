@@ -166,11 +166,11 @@ object CorpusQueries {
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
     },
 
-    // SimHash banded Hamming near-dup pairs (maxHamming < bands gives
-    // recall 1 by pigeonhole — xxhash64 sigs, rows-only check).
+    // SimHash Manku block-combination near-dup pairs (recall 1 within
+    // maxHamming by pigeonhole; 32-bit bucket keys at the defaults).
     Q.noOracle("dd_simhash_neardups") { (s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 7, bands = 8)
+        maxHamming = 3, blocks = 6)
     },
 
     // Brute-force exact cosine top-k (broadcast query set).

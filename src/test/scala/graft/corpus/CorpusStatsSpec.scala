@@ -106,7 +106,7 @@ class CorpusStatsSpec extends SparkSpec {
       Row(2L, base),                        // identical: hamming 0
       Row(3L, base.replace("tok40", "zzz")), // near-dup: few bits differ
       Row(4L, (1 to 40).map(i => s"other$i").mkString(" "))))
-    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 12, bands = 16)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 12, blocks = 13)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
@@ -120,6 +120,32 @@ class CorpusStatsSpec extends SparkSpec {
       if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 12
     } yield (a, b)).toSet
     assert(pairs == brute)
+  }
+
+  test("simhash Manku banding: candidate volume grows linearly, not quadratically") {
+    import graft.dedup.Dedup
+    // Synthetic 64-bit signatures: random base population plus one
+    // planted near-dup (<= 3 flipped bits) per 10 docs. With 32-bit
+    // combination keys, candidates ~ planted pairs (linear in N);
+    // single-block 8-bit banding would give ~ N^2/2^8 random collisions.
+    val rng = new scala.util.Random(5)
+    def sigs(n: Int) = {
+      val base = (0 until n).map(i => (i.toLong, rng.nextLong()))
+      val planted = base.filter(_._1 % 10 == 0).map { case (i, s) =>
+        (i + 1000000L, s ^ (1L << rng.nextInt(64)) ^ (1L << rng.nextInt(64)))
+      }
+      df("doc_id bigint, simhash bigint")((base ++ planted).map(p => Row(p._1, p._2)))
+    }
+    def cands(n: Int): Long =
+      Dedup.simhashCandidatePairs(sigs(n), "doc_id", maxHamming = 3, blocks = 6)
+        .select("id1", "id2").distinct().count()
+    val c300 = cands(300)
+    val c1200 = cands(1200)
+    // linear scaling: 4x docs -> ~4x candidates (quadratic would be 16x)
+    assert(c300 >= 30L, s"planted pairs must surface (got $c300)")
+    assert(c1200 <= 8 * math.max(c300, 1), s"super-linear growth: $c300 -> $c1200")
+    // and candidates stay a vanishing fraction of all pairs
+    assert(c1200 < 1200L * 5, s"candidate volume $c1200 not linear-bounded")
   }
 
   test("winnowing: shared long substring => shared fingerprint; short doc => one") {
