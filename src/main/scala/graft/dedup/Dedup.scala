@@ -254,6 +254,136 @@ object Dedup {
       .distinct()
   }
 
+  // ---- md5 twins ----------------------------------------------------
+  //
+  // Every sketch above hashes with xxhash64 (cheap, codegen'd) — which no
+  // ANSI-SQL oracle can reproduce. Each sketch therefore has an md5 twin
+  // built from exactly the same pipeline shape with md5-derived hash
+  // material (hex strings compared lexicographically, or 32-bit halves
+  // parsed from hex nibbles), so an independent engine can recompute the
+  // whole pipeline — signatures, banding, candidate join, verification —
+  // bit for bit. The twins trade per-row hash cost for auditability; the
+  // xxhash64 variants remain the production path.
+
+  /** Per-permutation MinHash value as an md5 hex string (lexicographic
+    * min is the aggregate); `i:` prefixing makes the k permutations
+    * independent. */
+  private def permHashMd5(shingle: Column, i: Int): Column =
+    md5(concat(lit(s"$i:"), shingle))
+
+  /** [[minhashSignaturesFromSets]]' md5 twin: signature components are
+    * hex strings, minimized lexicographically (identical byte order in
+    * Spark and ANSI engines). */
+  def minhashSignaturesFromSetsMd5(sets: DataFrame, idCol: String,
+                                   numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(permHashMd5(col("shingle"), i)).as(s"mh_$i"))
+    sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[lshCandidatePairs]]' md5 twin: the band key is
+    * md5(mh_a || '|' || ... || mh_b) over the band's signature columns in
+    * order. */
+  def lshCandidatePairsMd5(sigs: DataFrame, idCol: String, numHashes: Int,
+                           rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band_idx"), md5(concat_ws("|", cols: _*)).as("band_hash"))
+    }
+    val buckets = sigs.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+    val l = buckets.as("l")
+    val r = buckets.as("r")
+    l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id1"), col(s"r.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** [[minhashNearDups]]' md5 twin — same pipeline (shared shingle set,
+    * signature aggregate, banded bucket join, exact Jaccard
+    * verification), oracle-reproducible end to end. */
+  def minhashNearDupsMd5(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 32, rowsPerBand: Int = 4,
+                         shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = graft.ops.CacheOnce.swap("minhash-md5-shingles",
+      df.select(col(idCol),
+        explode(distinctShingles(col(textCol), shingleN)).as("shingle")))
+    val sigs = minhashSignaturesFromSetsMd5(sets, idCol, numHashes)
+    val cands = lshCandidatePairsMd5(sigs, idCol, numHashes, rowsPerBand)
+    verifyJaccard(cands, sets, idCol, threshold)
+  }
+
+  /** [[simhash]]'s md5 twin: token hash = the first 16 hex chars of
+    * md5(token) read as a big-endian 64-bit value, carried as two
+    * non-negative 32-bit halves (`sig_hi` = bits 32..63, `sig_lo` = bits
+    * 0..31) so neither engine ever parses a >= 2^63 literal. Tokenless
+    * documents sign as (0, 0). */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("_t"))
+      .select(col(idCol), md5(col("_t")).as("_h"))
+    // Parse the 16 hex nibbles once per token; bit b of the 64-bit hash
+    // lives in nibble 16 - b/4 (hex is big-endian), at nibble bit b%4.
+    val nib = tok.select(col(idCol) +:
+      (1 to 16).map(i =>
+        conv(substring(col("_h"), i, 1), 16, 10).cast("long").as(s"_n$i")): _*)
+    val votes = (0 until 64).map { b =>
+      val bit = shiftright(col(s"_n${16 - b / 4}"), b % 4).bitwiseAND(lit(1L))
+      sum(bit * 2 - 1).as(s"_v$b")
+    }
+    val agg = nib.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val lo = (0 until 32).map(b =>
+      when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val hi = (32 until 64).map(b =>
+      when(col(s"_v$b") > 0, lit(1L << (b - 32))).otherwise(lit(0L))).reduce(_ + _)
+    val sigs = agg.select(col(idCol), hi.as("sig_hi"), lo.as("sig_lo"))
+    df.select(col(idCol)).join(sigs, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("sig_hi"), lit(0L)).as("sig_hi"),
+        coalesce(col("sig_lo"), lit(0L)).as("sig_lo"))
+  }
+
+  /** Hamming distance over the (hi, lo) 32-bit-half signature encoding. */
+  def hammingHiLo(h1: Column, l1: Column, h2: Column, l2: Column): Column =
+    (bit_count(h1.bitwiseXOR(h2)) + bit_count(l1.bitwiseXOR(l2))).cast("long")
+
+  /** [[simhashNearDups]]' md5 twin: the same Manku block-combination
+    * scheme over (sig_hi, sig_lo) halves. `blocks` must be even — each
+    * 32-bit half is split into blocks/2 pieces so no block straddles the
+    * half boundary (keeps the oracle's bit arithmetic trivial). */
+  def simhashNearDupsMd5(df: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+    require(blocks % 2 == 0, "md5-twin blocks must be even (split per 32-bit half)")
+    require(maxHamming < blocks, "recall guarantee needs maxHamming < blocks")
+    val m = blocks - maxHamming
+    val half = blocks / 2
+    val base32 = 32 / half
+    val extra32 = 32 % half
+    val widths = Seq.tabulate(half)(i => base32 + (if (i < extra32) 1 else 0))
+    val ranges = widths.scanLeft(0)(_ + _).zip(widths)
+    def vals(c: Column): Seq[(Column, Int)] = ranges.map { case (s, w) =>
+      (shiftright(c, s).bitwiseAND(lit((1L << w) - 1)), w)
+    }
+    val sigs = simhashMd5(df, idCol, textCol)
+    val blockVals = vals(col("sig_lo")) ++ vals(col("sig_hi"))
+    val buckets = sigs.select(col(idCol), col("sig_hi"), col("sig_lo"),
+        explode(array(comboKeys(blockVals, m): _*)).as("_ck"))
+      .select(col(idCol), col("sig_hi"), col("sig_lo"),
+        col("_ck.combo").as("combo"), col("_ck.bkey").as("bkey"))
+    val l = buckets.select(col(idCol).as("id1"), col("sig_hi").as("h1"),
+      col("sig_lo").as("l1"), col("combo"), col("bkey"))
+    val r = buckets.select(col(idCol).as("id2"), col("sig_hi").as("h2"),
+      col("sig_lo").as("l2"), col("combo"), col("bkey"))
+    l.join(r, Seq("combo", "bkey")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        hammingHiLo(col("h1"), col("l1"), col("h2"), col("l2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Near-duplicate pairs by embedding cosine >= threshold, using
     * multi-table sign-LSH candidates (union over tables) with exact
     * cosine verification — see

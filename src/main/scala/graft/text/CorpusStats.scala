@@ -50,14 +50,20 @@ object CorpusStats {
     * the dense array materializes per document, never per token. Empty
     * documents embed as the zero vector. */
   def hashedBowEmbedding(docs: DataFrame, idCol: String, textCol: String,
-                         dim: Int): DataFrame = {
+                         dim: Int, useMd5: Boolean = false): DataFrame = {
+    // `useMd5` swaps the bucket hash for the first 8 hex chars of
+    // md5(term) (a 32-bit value any ANSI engine can re-derive) — the
+    // oracle-reproducible twin of the xxhash64 production hash.
+    val bucketOf: Column => Column =
+      if (useMd5) t => pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+      else t => pmod(xxhash64(t), lit(dim.toLong))
     // One codegen'd HashAggregate of `dim` conditional counts (the same
     // fixed-width-aggregate shape as the MinHash signature) — NOT a
     // collect_list/map build, which would run on the non-codegen
     // ObjectHashAggregate path and dominate the pipeline.
     val buckets = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .select(col(idCol), pmod(xxhash64(col("term")), lit(dim.toLong)).as("bucket"))
+      .select(col(idCol), bucketOf(col("term")).as("bucket"))
     val countCols = (0 until dim).map(i =>
       count(when(col("bucket") === i, 1)).as(s"_c$i"))
     val counted = buckets.groupBy(col(idCol)).agg(countCols.head, countCols.tail: _*)

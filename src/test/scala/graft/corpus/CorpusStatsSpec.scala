@@ -122,6 +122,70 @@ class CorpusStatsSpec extends SparkSpec {
     assert(pairs == brute)
   }
 
+  test("simhashMd5 (hi/lo halves) matches a pure-Scala recomputation") {
+    import graft.dedup.Dedup
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expected(text: String): (Long, Long) = {
+      val toks = if (text.trim.isEmpty) Seq.empty else text.trim.split("\\s+", -1).toSeq
+      if (toks.isEmpty) return (0L, 0L)
+      val votes = Array.fill(64)(0)
+      toks.foreach { t =>
+        val h = java.lang.Long.parseUnsignedLong(md5hex(t).take(16), 16)
+        (0 until 64).foreach(b => votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1))
+      }
+      val bits = (0 until 64).map(b => if (votes(b) > 0) 1L else 0L)
+      ((32 until 64).map(b => bits(b) << (b - 32)).reduce(_ | _),
+        (0 until 32).map(b => bits(b) << b).reduce(_ | _))
+    }
+    val texts = Seq("the quick brown fox", "a", "", "  ", "x y z x y z zz")
+    val docs = df("doc_id bigint, text string")(
+      texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) })
+    val got = Dedup.simhashMd5(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == expected(t), s"doc $i '$t'")
+    }
+  }
+
+  test("simhashNearDupsMd5: near pair found with recall-1 vs brute force") {
+    import graft.dedup.Dedup
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = df("doc_id bigint, text string")(Seq(
+      Row(1L, base), Row(2L, base),
+      Row(3L, (1 to 40).map(i => s"other$i").mkString(" "))))
+    val pairs = Dedup.simhashNearDupsMd5(docs, "doc_id", "text",
+        maxHamming = 3, blocks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // recall-1 cross-check against brute-force hi/lo Hamming
+    val sigs = Dedup.simhashMd5(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a)._1 ^ sigs(b)._1) +
+        java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2)
+      if h <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+  }
+
+  test("minhashNearDupsMd5 finds the same high-Jaccard pairs as the xxhash64 path") {
+    import graft.dedup.Dedup
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = df("doc_id bigint, text string")(Seq(
+      Row(1L, base), Row(2L, base + " extra"),
+      Row(3L, (1 to 30).map(i => s"q$i").mkString(" "))))
+    def pairsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5p = pairsOf(Dedup.minhashNearDupsMd5(docs, "doc_id", "text",
+      numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
+    val xxp = pairsOf(Dedup.minhashNearDups(docs, "doc_id", "text",
+      numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
+    assert(md5p.contains((1L, 2L)))
+    assert(md5p == xxp)
+  }
+
   test("simhash Manku banding: candidate volume grows linearly, not quadratically") {
     import graft.dedup.Dedup
     // Synthetic 64-bit signatures: random base population plus one
