@@ -87,6 +87,83 @@ object CorpusQueries {
     s"CASE $whens ELSE 'und' END"
   }
 
+  // ---- md5-twin sketch SQL (single source of truth with Dedup's twins) ----
+
+  /** Per-doc md5 SimHash as (sig_hi, sig_lo) 32-bit halves: hex-nibble
+    * bit votes, strictly-positive majority, tokenless docs sign (0, 0).
+    * Mirrors [[Dedup.simhashMd5]] bit for bit. */
+  private val simhashSigCte: String =
+    """tok AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id,
+  unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0) u),
+bits AS (SELECT doc_id, g.b AS b,
+  CASE WHEN (((instr('0123456789abcdef', substr(h, CAST(16 - g.b // 4 AS INT), 1)) - 1)
+    >> (g.b % 4)) & 1) = 1 THEN 1 ELSE -1 END AS vote
+  FROM tok, generate_series(0, 63) g(b)),
+votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2),
+sg0 AS (SELECT doc_id,
+  sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << CAST(b - 32 AS INT)) ELSE 0 END) AS sig_hi,
+  sum(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS sig_lo
+  FROM votes GROUP BY 1),
+sg AS (SELECT d.doc_id, CAST(coalesce(sg0.sig_hi, 0) AS BIGINT) AS sig_hi,
+  CAST(coalesce(sg0.sig_lo, 0) AS BIGINT) AS sig_lo
+  FROM documents d LEFT JOIN sg0 USING (doc_id))"""
+
+  // Manku layout for (maxHamming 3, blocks 6) over hi/lo halves: each
+  // 32-bit half splits [11, 11, 10], blocks 0-2 from sig_lo, 3-5 from
+  // sig_hi; keys are every 3-combination of blocks, concatenated. Must
+  // match Dedup.simhashNearDupsMd5's layout and combination order.
+  private val mankuWidths = Seq(11, 11, 10, 11, 11, 10)
+  private val mankuStarts = Seq(0, 11, 22, 0, 11, 22)
+  private def mankuBlockSql(i: Int): String = {
+    val c = if (i < 3) "sig_lo" else "sig_hi"
+    s"(($c >> ${mankuStarts(i)}) & ${(1L << mankuWidths(i)) - 1})"
+  }
+  private val mankuCombos: Seq[Seq[Int]] = (0 until 6).combinations(3).toSeq.map(_.toSeq)
+
+  private val simhashNearDupsMd5Sql: String = {
+    val unions = mankuCombos.zipWithIndex.map { case (combo, ci) =>
+      val key = combo.foldLeft("(0::BIGINT)") { (acc, bi) =>
+        s"(($acc << ${mankuWidths(bi)}) | ${mankuBlockSql(bi)})"
+      }
+      s"SELECT doc_id, sig_hi, sig_lo, $ci AS combo, $key AS bkey FROM sg"
+    }.mkString(" UNION ALL ")
+    s"""WITH $simhashSigCte,
+bu AS ($unions),
+cd AS (SELECT l.doc_id AS id1, r.doc_id AS id2, l.sig_hi AS h1, l.sig_lo AS l1,
+  r.sig_hi AS h2, r.sig_lo AS l2
+  FROM bu l JOIN bu r ON l.combo = r.combo AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+SELECT DISTINCT id1, id2,
+  CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS BIGINT) AS hamming
+FROM cd WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3"""
+  }
+
+  /** MinHash md5 twin: distinct word 2-gram shingles (fewer than 2
+    * tokens collapse to the space-joined whole, matching WordShingles),
+    * 32 per-permutation md5 min-hashes, md5 band hashes over 4-wide
+    * bands, bucket join, exact Jaccard >= 0.5. Mirrors
+    * [[Dedup.minhashNearDupsMd5]]. */
+  private val minhashMd5Sql: String =
+    """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+    ELSE list_transform(ts, (x, i) -> CASE WHEN i < len(ts) THEN x || ' ' || ts[i + 1] END)
+    END) AS shingle FROM tk) WHERE shingle IS NOT NULL),
+pm AS (SELECT doc_id, shingle, g.p AS p, md5(CAST(g.p AS VARCHAR) || ':' || shingle) AS h
+  FROM sh, generate_series(0, 31) g(p)),
+sgl AS (SELECT doc_id, p, min(h) AS mh FROM pm GROUP BY 1, 2),
+bnd AS (SELECT doc_id, p // 4 AS band, md5(string_agg(mh, '|' ORDER BY p)) AS bh
+  FROM sgl GROUP BY doc_id, p // 4),
+cd AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM bnd l JOIN bnd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+intr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM cd c
+  JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2 AND a.shingle = b.shingle
+  GROUP BY 1, 2)
+SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+FROM intr JOIN szs s1 ON s1.doc_id = id1 JOIN szs s2 ON s2.doc_id = id2
+WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5"""
+
   // ---- embedding SQL fragments ----
 
   private def dotSql(a: String, b: String): String =
@@ -154,22 +231,30 @@ object CorpusQueries {
         Tables.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text", 1, 0.5)
     },
 
-    // MinHash+LSH near-dup pipeline (xxhash64 — rows-only check; its
-    // Jaccard verification semantics are oracled by dd_jaccard_word).
-    Q.noOracle("dd_minhash_neardups") { (s, d) =>
-      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+    // MinHash+LSH near-dup pipeline, registered as its md5 twin so the
+    // ENTIRE pipeline — distinct 2-gram shingles, 32 permutation min-
+    // hashes, 8 banded band-hashes, bucket join, exact Jaccard verify —
+    // is recomputed independently by DuckDB. (The xxhash64 production
+    // variant is pipeline-identical; twin equivalence is spec-proven.)
+    Q("dd_minhash_neardups", minhashMd5Sql) { (s, d) =>
+      Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
         numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
     },
 
-    // SimHash 64-bit signatures (xxhash64 — rows-only check).
-    Q.noOracle("dd_simhash") { (s, d) =>
-      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+    // SimHash signatures, md5 twin: token hash = first 16 hex chars of
+    // md5, signature carried as two 32-bit halves so neither engine
+    // parses a >= 2^63 literal. Oracle recomputes the per-bit votes from
+    // the hex nibbles.
+    Q("dd_simhash", s"WITH $simhashSigCte SELECT doc_id, sig_hi, sig_lo FROM sg") { (s, d) =>
+      Dedup.simhashMd5(Tables.documents(s, d), "doc_id", "text")
     },
 
-    // SimHash Manku block-combination near-dup pairs (recall 1 within
-    // maxHamming by pigeonhole; 32-bit bucket keys at the defaults).
-    Q.noOracle("dd_simhash_neardups") { (s, d) =>
-      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+    // SimHash Manku block-combination near-dup pairs over the md5 twin
+    // signatures (recall 1 within maxHamming by pigeonhole; 32-bit
+    // combination keys): the oracle rebuilds the same 20 block
+    // combinations and the Hamming verification from the hi/lo halves.
+    Q("dd_simhash_neardups", simhashNearDupsMd5Sql) { (s, d) =>
+      Dedup.simhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3, blocks = 6)
     },
 

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.similarity.Similarity
+
+/** Generators for the DuckDB oracle SQL of the hash-sketch and vector
+  * queries. Everything a sketch depends on — seeded hyperplanes, Manku
+  * block layouts, permutation prefixes — is emitted as SQL literals FROM
+  * THE SAME Scala values the Spark plan uses, so both engines start from
+  * identical inputs while every derived number (hashes, buckets, bucket
+  * joins, cosines, signatures) is recomputed independently by DuckDB.
+  * Double literals are written with `Double.toString` (shortest
+  * round-tripping form), which both engines parse to the identical IEEE
+  * value.
+  */
+object OracleSqlGen {
+
+  /** Big-endian parse of 8 hex chars of `x` starting at 1-based `pos`
+    * -> a BIGINT in [0, 2^32). Plain instr/substr arithmetic — no
+    * engine-specific hex casts. */
+  def hex8(x: String, pos: Int): String =
+    (0 until 8).map { i =>
+      s"(instr('0123456789abcdef', substr($x, ${pos + i}, 1)) - 1) * ${1L << ((7 - i) * 4)}"
+    }.mkString("(", " + ", ")")
+
+  /** Index-ordered dot product of two array columns (elements cast to
+    * DOUBLE; same left-to-right IEEE accumulation as the codegen'd
+    * DotProduct expression). */
+  def dot(a: String, b: String, dim: Int): String =
+    s"(SELECT sum(CAST($a[g.i] AS DOUBLE) * CAST($b[g.i] AS DOUBLE)) " +
+      s"FROM generate_series(1, $dim) g(i))"
+
+  def norm(a: String, dim: Int): String = s"sqrt(${dot(a, a, dim)})"
+
+  /** Dot of an array column against table `t`/plane `p` of the inlined
+    * hyperplane literal `tabs` (already DOUBLE). */
+  def planeDot(vec: String, dim: Int): String =
+    s"(SELECT sum(CAST($vec[g.i] AS DOUBLE) * tabs[t.t][p.p][g.i]) " +
+      s"FROM generate_series(1, $dim) g(i))"
+
+  /** The full numTables x numPlanes x dim hyperplane set as one nested
+    * DuckDB list literal — the same values `Similarity.tableData` bakes
+    * into the Spark plan. */
+  def tablesLit(numPlanes: Int, numTables: Int, dim: Int, seed: Long): String =
+    Similarity.tableData(numPlanes, numTables, dim, seed)
+      .map(t => t.map(p => p.mkString("[", ", ", "]")).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+
+  /** Sign-LSH bucket pipeline over a norm-filtered corpus CTE `nv`
+    * (vec_id, embedding, nrm): emits CTEs pl, dp, bk where bk =
+    * (vec_id, t, bucket). */
+  def lshBucketCtes(numPlanes: Int, numTables: Int, dim: Int, seed: Long): String =
+    s"""pl AS (SELECT ${tablesLit(numPlanes, numTables, dim, seed)} AS tabs),
+dp AS (SELECT v.vec_id, t.t, p.p, ${planeDot("v.embedding", dim)} AS dp
+  FROM nv v, generate_series(1, $numTables) t(t), generate_series(1, $numPlanes) p(p), pl),
+bk AS (SELECT vec_id, t, CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << CAST(p - 1 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dp GROUP BY 1, 2)"""
+
+  /** Norm-filtered corpus CTE over the embeddings table. */
+  def nvCte(dim: Int): String =
+    s"""nv AS (SELECT * FROM (SELECT vec_id, embedding, ${norm("embedding", dim)} AS nrm
+  FROM embeddings) WHERE nrm > 0)"""
+}
