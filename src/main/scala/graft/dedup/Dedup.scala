@@ -392,8 +392,12 @@ object Dedup {
                      threshold: Double, numPlanes: Int = 8, numTables: Int = 4,
                      dim: Int = 64, seed: Long = 42L): DataFrame = {
     import graft.similarity.Similarity
-    val pairs = Similarity.lshCandidates(df, idCol, vecCol, numPlanes, numTables, dim, seed)
-    val vecs = df.select(col(idCol), col(vecCol),
+    // Zero-norm vectors are excluded up front: their cosine is 0/0 = NaN,
+    // which Spark orders above every real value, so they would otherwise
+    // pass any >= threshold filter.
+    val base = df.filter(Similarity.l2norm(col(vecCol)) > 0)
+    val pairs = Similarity.lshCandidates(base, idCol, vecCol, numPlanes, numTables, dim, seed)
+    val vecs = base.select(col(idCol), col(vecCol),
       Similarity.l2norm(col(vecCol)).as("_n"))
     pairs
       .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("v1"),
