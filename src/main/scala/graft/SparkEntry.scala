@@ -15,21 +15,7 @@ object SparkEntry {
   private val registry: Seq[Q] =
     RelationalQueries.defs ++ JoinQueries.defs ++ WindowPivotQueries.defs ++
       SpatialQueries.defs ++ CorpusQueries.defs ++ EtlQueries.defs ++
-      TaggingQueries.defs ++ Seq(
-        // U5/J9: PCNM spatial eigenvectors computed dimension-first on the
-        // sites (driver-side Breeze, spatial_modelling.Rmd:211-224), then
-        // broadcast-joined out to the surveys. Eigendecomposition is not
-        // SQL-expressible -> rows-only check.
-        Q.noOracle("u5_pcnm_join") { (s, _) =>
-          import org.apache.spark.sql.functions.{broadcast, col}
-          val c = graft.etl.NingalooEtl.fixtureChain(s)
-          val scores = graft.stats.Multivariate.pcnmScores(
-            s, c.sites.select(col("id"), col("lon"), col("lat")),
-            "id", "lon", "lat", 3)
-          c.surveys.filter(col("site_id").isNotNull)
-            .join(broadcast(scores.withColumnRenamed("id", "site_id")), Seq("site_id"))
-            .select("survey_id", "site_id", "pcnm_1", "pcnm_2", "pcnm_3")
-        }) ++ Seq(
+      TaggingQueries.defs ++ StatsQueries.defs ++ Seq(
         // §2.11 streaming: a real Structured Streaming job (file source,
         // dedup, event-time day window, AvailableNow) whose settled result
         // must equal the batch tally — the batch SQL IS the oracle.

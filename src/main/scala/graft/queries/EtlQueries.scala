@@ -17,7 +17,7 @@ object EtlQueries {
   private val fmt = "%m/%d/%Y %H:%M:%S"
 
   /** Shared CTE prefix: fixture tables + the transformed frames. */
-  private val cte: String =
+  private[queries] val cte: String =
     s"""WITH raw_sites AS (SELECT * FROM ${F.rawSites.valuesSql}),
 sites AS (SELECT SubSect_Id AS id, Divsion_name AS division, txtSections AS section,
   txtSubSection AS subsection, -center_lat AS lat, center_long AS lon,

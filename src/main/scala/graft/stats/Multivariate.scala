@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Multivariate {
 
-  val maxPcnmPoints = 5000
+  /** Direct-PCNM size cap. 10k covers the reference's own largest
+    * demonstrated direct run (9,366 surveys, spatial_modelling.Rmd:213 —
+    * "this one's gonna hurt": ~3 min of optimized-LAPACK R; pure-JVM
+    * F2J is ~10x that, so the dimension-first path below remains the
+    * recommended shape). Beyond the cap the O(n^3) eigendecomposition
+    * stops being a sane driver-side call anywhere. */
+  val maxPcnmPoints = 10000
 
   /** Pairwise Euclidean distance matrix (O5, spatial_modelling.Rmd:217). */
   def distanceMatrix(pts: Array[(Double, Double)]): DenseMatrix[Double] = {
@@ -44,12 +50,12 @@ object Multivariate {
     * scores n x k), both ordered by descending eigenvalue. Eigenvector
     * sign is normalized so each column's largest-magnitude entry is
     * positive (eigen sign is otherwise arbitrary). */
-  def pcnm(pts: Array[(Double, Double)], truncationOpt: Option[Double] = None)
-      : (Array[Double], DenseMatrix[Double]) = {
-    require(pts.length >= 3, "pcnm needs >= 3 points")
-    require(pts.length <= maxPcnmPoints,
-      s"pcnm is O(n^3) driver-side work; cap is $maxPcnmPoints points — " +
-        "aggregate to dimension granularity first (spatial_modelling.Rmd:211)")
+  /** The Gower-centered truncated matrix G that PCNM eigendecomposes:
+    * truncate D at `truncation` (default 4 * min positive distance,
+    * distances beyond become 4 * truncation per vegan), double-center
+    * -0.5 * D^2. */
+  private[stats] def centeredTruncated(pts: Array[(Double, Double)],
+                                       truncationOpt: Option[Double]): DenseMatrix[Double] = {
     val d = distanceMatrix(pts)
     val n = pts.length
     // Min positive distance via a primitive scan (upper triangle) — no
@@ -69,27 +75,43 @@ object Multivariate {
       "pcnm: all points are coincident (no positive pairwise distance); " +
         "pass an explicit truncation or deduplicate the coordinates")
     val trunc = truncationOpt.getOrElse(4.0 * minPos)
-    // vegan: distances beyond the truncation become 4 * truncation
     val dt = d.map(v => if (v > trunc) 4.0 * trunc else v)
-    // Gower double-centering of -0.5 * D^2
     val a = dt.map(v => -0.5 * v * v)
     val rowMeans = DenseVector.tabulate(n)(i => sum(a(i, ::).t) / n)
     val grand = sum(rowMeans) / n
-    val g = DenseMatrix.tabulate(n, n)((i, j) => a(i, j) - rowMeans(i) - rowMeans(j) + grand)
+    DenseMatrix.tabulate(n, n)((i, j) => a(i, j) - rowMeans(i) - rowMeans(j) + grand)
+  }
+
+  /** Full spectrum of the PCNM matrix: ALL eigenpairs (negative
+    * eigenvalues included), ordered by descending eigenvalue, sign
+    * normalized. The complete VΛV' = G factorization — [[pcnm]] filters
+    * it to the positive axes vegan keeps. */
+  def pcnmFull(pts: Array[(Double, Double)], truncationOpt: Option[Double] = None)
+      : (Array[Double], DenseMatrix[Double]) = {
+    require(pts.length >= 3, "pcnm needs >= 3 points")
+    require(pts.length <= maxPcnmPoints,
+      s"pcnm is O(n^3) driver-side work; cap is $maxPcnmPoints points — " +
+        "aggregate to dimension granularity first (spatial_modelling.Rmd:211)")
+    val n = pts.length
+    val g = centeredTruncated(pts, truncationOpt)
     val es = eigSym((g + g.t) *:* 0.5)
     val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1)
-    val keep = order.filter(_._1 > 1e-9)
-    val vals = keep.map(_._1)
-    val scores = DenseMatrix.tabulate(n, keep.length) { (i, k) =>
-      es.eigenvectors(i, keep(k)._2)
-    }
-    // sign normalization per column
+    val vals = order.map(_._1)
+    val scores = DenseMatrix.tabulate(n, n)((i, k) => es.eigenvectors(i, order(k)._2))
     for (k <- 0 until scores.cols) {
       val colV = scores(::, k)
       val mx = (0 until n).maxBy(i => math.abs(colV(i)))
       if (colV(mx) < 0) scores(::, k) :*= -1.0
     }
     (vals, scores)
+  }
+
+  def pcnm(pts: Array[(Double, Double)], truncationOpt: Option[Double] = None)
+      : (Array[Double], DenseMatrix[Double]) = {
+    val (vals, scores) = pcnmFull(pts, truncationOpt)
+    val keep = vals.zipWithIndex.filter(_._1 > 1e-9)
+    (keep.map(_._1),
+      DenseMatrix.tabulate(pts.length, keep.length)((i, k) => scores(i, keep(k)._2)))
   }
 
   /** Multi-response OLS fit: residuals of Y on X (with intercept) — the
@@ -111,6 +133,125 @@ object Multivariate {
   private def center(m: DenseMatrix[Double]): DenseMatrix[Double] = {
     val means = DenseVector.tabulate(m.cols)(j => sum(m(::, j)) / m.rows)
     DenseMatrix.tabulate(m.rows, m.cols)((i, j) => m(i, j) - means(j))
+  }
+
+  /** Adjusted R^2 (Ezekiel): 1 - (1 - R^2)(n - 1)/(n - p - 1) — what
+    * vegan's varpart/forward.sel actually compare, so fractions don't
+    * inflate with predictor count. */
+  def adjustedR2(r2: Double, n: Int, p: Int): Double =
+    if (n - p - 1 <= 0) Double.NaN
+    else 1.0 - (1.0 - r2) * (n - 1).toDouble / (n - p - 1)
+
+  /** Two-matrix variance partitioning (spatial_modelling.Rmd:236-264,
+    * vegan::varpart): decompose the variance of (centered) Y into the
+    * pure X1 fraction [a], the joint fraction [b], the pure X2 fraction
+    * [c] and the unexplained residual [d], from the three RDA R^2s via
+    * inclusion-exclusion:
+    *   [a] = R2(X1 ∪ X2) - R2(X2),  [c] = R2(X1 ∪ X2) - R2(X1),
+    *   [b] = R2(X1) + R2(X2) - R2(X1 ∪ X2),  [d] = 1 - R2(X1 ∪ X2).
+    * `adjusted = true` replaces each R^2 with its Ezekiel adjustment
+    * (vegan's default; joint fractions can then be negative — that is
+    * the expected reading, not an error). */
+  def varpart2(y: DenseMatrix[Double], x1: DenseMatrix[Double],
+               x2: DenseMatrix[Double],
+               adjusted: Boolean = false): Map[String, Double] = {
+    val n = y.rows
+    def r2Of(x: DenseMatrix[Double]): Double = {
+      val raw = varianceExplained(y, x)
+      if (adjusted) adjustedR2(raw, n, x.cols) else raw
+    }
+    val r1 = r2Of(x1)
+    val r2 = r2Of(x2)
+    val r12 = r2Of(DenseMatrix.horzcat(x1, x2))
+    Map(
+      "a" -> (r12 - r2),
+      "b" -> (r1 + r2 - r12),
+      "c" -> (r12 - r1),
+      "d" -> (1.0 - r12))
+  }
+
+  /** Three-matrix variance partitioning: the 7 testable fractions of
+    * R2(X1), R2(X2), R2(X3) and their unions, plus the residual, by
+    * inclusion-exclusion (the reference's space/time/env decomposition).
+    * Keys: "x1", "x2", "x3" (pure), "x1x2", "x1x3", "x2x3" (pairwise
+    * joint), "x1x2x3" (triple joint), "resid". */
+  def varpart3(y: DenseMatrix[Double], x1: DenseMatrix[Double],
+               x2: DenseMatrix[Double], x3: DenseMatrix[Double],
+               adjusted: Boolean = false): Map[String, Double] = {
+    val n = y.rows
+    def r2Of(xs: Seq[DenseMatrix[Double]]): Double = {
+      val x = xs.reduce(DenseMatrix.horzcat(_, _))
+      val raw = varianceExplained(y, x)
+      if (adjusted) adjustedR2(raw, n, x.cols) else raw
+    }
+    val r1 = r2Of(Seq(x1)); val r2 = r2Of(Seq(x2)); val r3 = r2Of(Seq(x3))
+    val r12 = r2Of(Seq(x1, x2)); val r13 = r2Of(Seq(x1, x3)); val r23 = r2Of(Seq(x2, x3))
+    val r123 = r2Of(Seq(x1, x2, x3))
+    val pure1 = r123 - r23
+    val pure2 = r123 - r13
+    val pure3 = r123 - r12
+    val j12 = r13 + r23 - r123 - r3   // (R2 common to 1&2 but not 3)
+    val j13 = r12 + r23 - r123 - r2
+    val j23 = r12 + r13 - r123 - r1
+    val j123 = r123 - pure1 - pure2 - pure3 - j12 - j13 - j23
+    Map("x1" -> pure1, "x2" -> pure2, "x3" -> pure3,
+      "x1x2" -> j12, "x1x3" -> j13, "x2x3" -> j23,
+      "x1x2x3" -> j123, "resid" -> (1.0 - r123))
+  }
+
+  /** Greedy forward selection of predictor columns (vegan/packfor
+    * forward.sel shape): repeatedly add the column that maximizes the
+    * model R^2, stopping when the ADJUSTED R^2 stops improving, the
+    * full-model adjusted R^2 is reached (Blanchard-Legendre stop), or
+    * `maxVars` columns are selected. Returns the selected column indices
+    * in selection order. */
+  def forwardSelect(y: DenseMatrix[Double], x: DenseMatrix[Double],
+                    maxVars: Int = Int.MaxValue): Seq[Int] = {
+    val n = y.rows
+    val all = (0 until x.cols).toVector
+    val fullAdj = adjustedR2(varianceExplained(y, x), n, x.cols)
+    var selected = Vector.empty[Int]
+    var bestAdj = 0.0
+    var improved = true
+    while (improved && selected.size < math.min(maxVars, x.cols)) {
+      improved = false
+      val candidates = all.filterNot(selected.contains)
+      val scored = candidates.map { c =>
+        val cols = selected :+ c
+        val xs = DenseMatrix.tabulate(n, cols.size)((i, k) => x(i, cols(k)))
+        c -> varianceExplained(y, xs)
+      }
+      val (best, bestR2) = scored.maxBy(_._2)
+      val adj = adjustedR2(bestR2, n, selected.size + 1)
+      if (adj > bestAdj && adj <= fullAdj + 1e-12) {
+        selected = selected :+ best
+        bestAdj = adj
+        improved = true
+      }
+    }
+    selected
+  }
+
+  /** Per-point spectral reconstruction of the PCNM matrix diagonal:
+    * sum_k lambda_k * v_ik^2 == G_ii (exact for the full spectrum) —
+    * the eigendecomposition invariant an engine WITHOUT an eigensolver
+    * can still verify, since G_ii is plain distance arithmetic. Returns
+    * (key, g_diag) keyed for broadcast join-out. */
+  def pcnmDiagScores(spark: SparkSession, dim: DataFrame, keyCol: String,
+                     xCol: String, yCol: String): DataFrame = {
+    val rows = dim.select(col(keyCol).cast("long"), col(xCol).cast("double"),
+      col(yCol).cast("double")).orderBy(col(keyCol)).collect()
+    val keys = rows.map(_.getLong(0))
+    val pts = rows.map(r => (r.getDouble(1), r.getDouble(2)))
+    val (vals, scores) = pcnmFull(pts)
+    import scala.jdk.CollectionConverters._
+    val out = keys.indices.map { i =>
+      val diag = vals.indices.map(k => vals(k) * scores(i, k) * scores(i, k)).sum
+      org.apache.spark.sql.Row(keys(i), diag)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"$keyCol BIGINT, g_diag DOUBLE")
+    spark.createDataFrame(out.asJava, schema)
   }
 
   /** Dimension-first PCNM scores as a DataFrame keyed for broadcast
