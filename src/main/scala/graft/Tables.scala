@@ -26,14 +26,20 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
-    * legacy conf and truncate to microseconds — the same truncation DuckDB
-    * applies natively, so oracle comparisons agree.
-    */
+    * rejects by default (PARQUET_TYPE_ILLEGAL). Requesting an explicit
+    * read schema with `ts BIGINT` makes the reader surface the raw nanos
+    * WITHOUT the session-global `nanosAsLong` legacy conf — a per-read
+    * fix, so concurrent queries never see a mutated session. Nanos are
+    * truncated to microseconds — the same truncation DuckDB applies
+    * natively, so oracle comparisons agree. */
+  val eventsRawSchema: String =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.expr
-    load(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -10,19 +10,44 @@ import org.apache.spark.storage.StorageLevel
   * `persist()` entries live in the session CacheManager until explicitly
   * released — the ContextCleaner never reclaims them — so a library
   * function that persists on every call leaks its heaviest intermediate
-  * for the session lifetime. `swap` bounds that to one live cache per
-  * key: the previous holder is unpersisted when a new one arrives. At
-  * cluster scale the same seam is where a parquet checkpoint goes.
-  */
+  * for the session lifetime. `swap` bounds that: entries are keyed by
+  * (name, SEMANTIC HASH of the analyzed plan), so
+  *  - the same input re-requested returns the already-persisted frame
+  *    (no duplicate cache, no mid-job unpersist of a frame an earlier
+  *    caller still references lazily), and
+  *  - two interleaved calls over DIFFERENT corpora each keep their own
+  *    cache instead of evicting each other (a silent 2x read regression
+  *    exactly where caching mattered).
+  * Only when a name accumulates more than `maxPerName` distinct plans is
+  * the oldest evicted (LRU) — the bound that keeps a long session from
+  * pinning every corpus it ever touched. At cluster scale the same seam
+  * is where a parquet checkpoint goes. */
 object CacheOnce {
-  private val live = scala.collection.mutable.Map.empty[String, DataFrame]
+  val maxPerName = 4
 
-  def swap(key: String, df: DataFrame,
+  private val live = scala.collection.mutable.LinkedHashMap.empty[(String, Int), DataFrame]
+
+  def swap(name: String, df: DataFrame,
            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     synchronized {
-      live.remove(key).foreach(_.unpersist())
-      val cached = df.persist(level)
-      live(key) = cached
-      cached
+      val key = (name, df.queryExecution.analyzed.semanticHash())
+      live.get(key) match {
+        case Some(cached) => cached
+        case None =>
+          val cached = df.persist(level)
+          live(key) = cached
+          val mine = live.keys.filter(_._1 == name).toSeq
+          if (mine.size > maxPerName) {
+            val victim = mine.head // LinkedHashMap keeps insertion order
+            live.remove(victim).foreach(_.unpersist())
+          }
+          cached
+      }
     }
+
+  /** Drop and unpersist every cached plan under `name`. */
+  def release(name: String): Unit = synchronized {
+    live.keys.filter(_._1 == name).toSeq
+      .foreach(k => live.remove(k).foreach(_.unpersist()))
+  }
 }

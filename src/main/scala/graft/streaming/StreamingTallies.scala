@@ -22,17 +22,29 @@ import graft.Tables
 object StreamingTallies {
 
   /** Daily tally per (Perth-local day, event_type), computed by a
-    * streaming query driven to completion. Returns the settled result. */
+    * streaming query driven to completion. Returns the settled result.
+    *
+    * Stateful operators (dropDuplicates + window agg) create one state
+    * store per shuffle partition per micro-batch, each with its own
+    * commit I/O. The keyed state here (distinct ids + day windows) is
+    * tiny relative to a batch, so a handful of state partitions is the
+    * right shape; at real stream volume this is the knob to raise. The
+    * partition count is pinned at query start from the SESSION conf —
+    * so the stream runs on a CLONED session (shared SparkContext,
+    * isolated SQLConf): a batch query planned on the caller's session
+    * while the stream is live keeps its own shuffle-partition setting
+    * (asserted by StreamingIsolationSpec). */
   def dailyTallyOnce(spark: SparkSession, sfDir: String,
                      tz: String = "Australia/Perth"): DataFrame = {
-    // Side effect: sets the nanosAsLong conf the raw-schema read needs.
-    Tables.events(spark, sfDir)
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
 
     // The file stream source requires a directory; glob-filter the events
-    // file out of the shared sf directory.
-    val stream = spark.readStream
-      .schema(rawSchema)
+    // file out of the shared sf directory. The explicit raw schema
+    // (ts BIGINT) reads the TIMESTAMP(NANOS) column without any legacy
+    // session conf — same per-read fix as Tables.events.
+    val stream = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(Tables.eventsRawSchema))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -44,24 +56,15 @@ object StreamingTallies {
       .select(to_date(col("window.start")).as("obs_date"), col("event_type"), col("n"))
 
     val qname = "graft_stream_daily_tally"
-    // Stateful operators (dropDuplicates + window agg) create one state
-    // store per shuffle partition per micro-batch, each with its own
-    // commit I/O. The keyed state here (distinct ids + day windows) is
-    // tiny relative to a batch, so a handful of state partitions is the
-    // right shape; at real stream volume this is the knob to raise. The
-    // partition count is pinned at query start from the session conf, so
-    // set it just for the stream and restore after.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val query = stream.writeStream
-        .format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(qname)
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // The memory sink registers its view in the session that started the
+    // query — hand back that session's table (same SparkContext).
+    ss.table(qname)
   }
 }

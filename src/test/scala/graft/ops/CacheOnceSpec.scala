@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.storage.StorageLevel
+import graft.SparkSpec
+
+class CacheOnceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleaved swaps over different inputs both keep their caches") {
+    val a = Seq(1, 2, 3).toDF("x").filter($"x" > 0)
+    val b = Seq(4, 5).toDF("x").filter($"x" > 4)
+    val ca = CacheOnce.swap("spec-corpus", a)
+    val cb = CacheOnce.swap("spec-corpus", b)
+    assert(ca.storageLevel != StorageLevel.NONE, "first corpus evicted by second")
+    assert(cb.storageLevel != StorageLevel.NONE)
+    // the same plan re-requested returns the SAME persisted frame
+    val ca2 = CacheOnce.swap("spec-corpus", Seq(1, 2, 3).toDF("x").filter($"x" > 0))
+    assert(ca2 eq ca)
+    CacheOnce.release("spec-corpus")
+    assert(ca.storageLevel == StorageLevel.NONE)
+    assert(cb.storageLevel == StorageLevel.NONE)
+  }
+
+  test("per-name entries are bounded: oldest evicted beyond maxPerName") {
+    val frames = (0 to CacheOnce.maxPerName).map(i =>
+      CacheOnce.swap("spec-bound", Seq(i).toDF("x")))
+    assert(frames.head.storageLevel == StorageLevel.NONE, "oldest not evicted")
+    frames.tail.foreach(f => assert(f.storageLevel != StorageLevel.NONE))
+    CacheOnce.release("spec-bound")
+  }
+}
