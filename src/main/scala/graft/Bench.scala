@@ -15,11 +15,24 @@ object Bench {
     // caches, and the parquet reader are hot before anything is timed —
     // otherwise whichever query happens to run first absorbs multiple
     // seconds of one-time JVM cost and the per-query numbers are noise.
+    // Warmup state is LOGGED (stderr, away from the JSON line): numbers
+    // from a skipped or failing warmup are cold-JVM numbers, and that
+    // must be visible in the bench record, not silently absorbed.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      var warmFailed = 0
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, warmDir).count() catch {
+          case e: Throwable =>
+            warmFailed += 1
+            System.err.println(s"[bench] warmup FAILED for $name: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
+        }
       }
+      if (warmFailed > 0)
+        System.err.println(s"[bench] $warmFailed warmup queries failed — their timings below are cold")
+    } else {
+      System.err.println(s"[bench] warmup SKIPPED: $warmDir is not a directory — all timings are cold-JVM")
     }
     // Failures are recorded explicitly (never timed as if they ran —
     // a broken query must not look like a fast query).
