@@ -37,14 +37,27 @@ object ScaleOps {
 
   /** Write `df` as a bucketed+sorted table (parquet, session catalog).
     * Joins between tables bucketed the same way on `key` plan with zero
-    * exchanges. */
+    * exchanges. Idempotent across JVMs: a stale warehouse directory left
+    * by a previous process (whose in-memory metastore is gone) is
+    * removed before the create — `mode(overwrite)` alone only replaces
+    * tables the CURRENT catalog knows about. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key. The caller is
     * asserting the physical layout matches; the plan check lives in the

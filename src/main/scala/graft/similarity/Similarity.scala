@@ -296,6 +296,67 @@ object Similarity {
         round(dot(col("qv"), col("nv")) / (col("_qn") * col("_nn")), 4).as("cosine"))
   }
 
+  /** Spherical k-means centroid training for the IVF index (the
+    * "pre-trained centroids" input of [[ivfScored]]): initialize from
+    * the k smallest-id vectors, then alternate (a) assign every vector
+    * to its max-cosine centroid — one narrow pass, centroids ride as a
+    * broadcast literal-sized table — and (b) recompute each centroid as
+    * its cell's component-wise mean (posexplode + keyed average, one
+    * shuffle per iteration, k*dim rows collected to the driver to build
+    * the next round's broadcast). Empty cells keep their previous
+    * centroid. Returns (id, vecCol) with ids 0..k-1, ready to pass as
+    * `centroids`. Deterministic: seedless init, max-cosine ties broken
+    * by centroid id. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      iters: Int = 5, dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val vecs = df.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
+      .filter(col("_n") > 0)
+    var cents: Array[Seq[Double]] = vecs.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    for (_ <- 0 until iters) {
+      val lit = typedlit(cents.toSeq)
+      // best cell per vector: argmax over k dots (normalized centroids
+      // not required for argmax ranking within an iteration as long as
+      // the same norm divides every dot — use cosine for stability)
+      val scored = vecs.select(col(idCol), col(vecCol), col("_n"),
+          posexplode(transform(lit, c =>
+            dot(col(vecCol), c) / (col("_n") * sqrt(aggregate(transform(c, x => x * x),
+              typedlit(0.0), (a, b) => a + b))))))
+        .select(col(idCol), col(vecCol), col("pos").as("cell"), col("col").as("sim"))
+      val best = topCell(scored)
+      val means = best
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+      val next = cents.zipWithIndex.map { case (prev, c) =>
+        val comps = means.filter(_.getInt(0) == c)
+        if (comps.isEmpty) prev
+        else {
+          val arr = Array.fill(dim)(0.0)
+          comps.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr.toSeq
+        }
+      }
+      cents = next
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i.toLong, c.map(_.toFloat))
+    }.toSeq.asJava
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        s"$idCol BIGINT, $vecCol ARRAY<FLOAT>"))
+  }
+
+  /** Deterministic per-vector best cell: highest sim, lowest cell id. */
+  private def topCell(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(scored.columns.head).orderBy(desc("sim"), col("cell"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn", "sim")
+  }
+
   /** IVF ANN top-k — see [[ivfScored]] for the shape and knobs. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               numCells: Int = 64, nprobe: Int = 8,

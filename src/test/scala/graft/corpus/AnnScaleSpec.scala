@@ -54,6 +54,28 @@ class AnnScaleSpec extends SparkSpec {
     assert(maxPerQuery <= 5L)
   }
 
+  test("kmeans-trained IVF centroids: cells reflect cluster structure") {
+    // 4 tight clusters; k-means with k=4 must separate them so that
+    // probing ONE cell finds every in-cluster neighbor.
+    val rng = new scala.util.Random(13)
+    val dim = 8
+    val centers = Array.fill(4) {
+      val c = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(x => (x / n).toFloat)
+    }
+    val data = (0 until 80).map { i =>
+      (i.toLong, centers(i % 4).map(x => x + 0.03f * rng.nextGaussian().toFloat))
+    }.toDF("id", "v")
+    val cents = Similarity.kmeansCentroids(data, "id", "v", k = 4, iters = 4, dim = dim)
+    assert(cents.count() == 4)
+    val ivf = Similarity.ivfTopK(data, "id", "v", 1, numCells = 4, nprobe = 1,
+      centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.length == 80)
+    ivf.foreach { case (q, n) => assert(q % 4 == n % 4, s"$q -> $n crossed clusters") }
+  }
+
   test("clustered corpus: recall >= 0.6 at < 5% rescored pairs") {
     // 60 tight clusters of 10 on the unit sphere (within-cluster cosine
     // ~0.96): the regime LSH is built for. Deterministic seed.
