@@ -111,9 +111,10 @@ class MultivariateSpec extends AnyFunSuite {
   test("pcnm handles the reference's 9,366-point direct workload (env-gated)") {
     // spatial_modelling.Rmd:213 runs PCNM directly on 9,366 surveys
     // (~3 min of optimized-LAPACK R). Pure-JVM F2J LAPACK is ~10x
-    // slower (measured: n=2000 -> 17 s => n=9366 ~ 30 min), so the full
-    // run is opt-in: SPARK_GRAFT_BIG_PCNM=1 sbt test. The cap itself
-    // must admit the workload either way.
+    // slower (measured: this test ran to completion in 27m34s on the
+    // build container), so the full run is opt-in:
+    // SPARK_GRAFT_BIG_PCNM=1 sbt test. The cap itself must admit the
+    // workload either way.
     assert(Multivariate.maxPcnmPoints >= 9366)
     assume(sys.env.get("SPARK_GRAFT_BIG_PCNM").contains("1"),
       "set SPARK_GRAFT_BIG_PCNM=1 to run the 9,366-point eigendecomposition")
