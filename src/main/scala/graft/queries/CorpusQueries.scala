@@ -149,13 +149,14 @@ SELECT DISTINCT id1, id2,
 FROM cd WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3"""
   }
 
-  /** MinHash md5 twin: distinct word 2-gram shingles (fewer than 2
-    * tokens collapse to the space-joined whole, matching WordShingles),
-    * 32 per-permutation md5 min-hashes, md5 band hashes over 4-wide
-    * bands, bucket join, exact Jaccard >= 0.5. Mirrors
-    * [[Dedup.minhashNearDupsMd5]]. */
-  private val minhashMd5Sql: String =
-    """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+  /** MinHash md5-twin CTE chain over a source relation `src`
+    * (doc_id, text): distinct word 2-gram shingles (fewer than 2 tokens
+    * collapse to the space-joined whole, matching WordShingles), 32
+    * per-permutation md5 min-hashes, md5 band hashes over 4-wide bands,
+    * bucket join, exact Jaccard >= `threshold`; ends with CTE `nd`
+    * (id1, id2, jaccard). Mirrors [[Dedup.minhashNearDupsMd5]]. */
+  private[queries] def minhashMd5Ctes(src: String, threshold: Double): String =
+    s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM $src),
 sh AS (SELECT DISTINCT doc_id, shingle FROM (
   SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
     ELSE list_transform(ts, (x, i) -> CASE WHEN i < len(ts) THEN x || ' ' || ts[i + 1] END)
@@ -170,10 +171,13 @@ cd AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
 szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
 intr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM cd c
   JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2 AND a.shingle = b.shingle
-  GROUP BY 1, 2)
-SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
-FROM intr JOIN szs s1 ON s1.doc_id = id1 JOIN szs s2 ON s2.doc_id = id2
-WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5"""
+  GROUP BY 1, 2),
+nd AS (SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+  FROM intr JOIN szs s1 ON s1.doc_id = id1 JOIN szs s2 ON s2.doc_id = id2
+  WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= $threshold)"""
+
+  private val minhashMd5Sql: String =
+    s"WITH ${minhashMd5Ctes("documents", 0.5)} SELECT id1, id2, jaccard FROM nd"
 
   // ---- embedding SQL fragments ----
 
@@ -522,6 +526,23 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
       Similarity.ivfTopK(emb, "doc_id", "embedding", 3,
         numCells = 32, nprobe = 4, queryPred = Some(col("doc_id") < 200),
         centroids = Some(cents))
+    },
+
+    // The composed corpus-cleaning pipeline, end to end: quality gate ->
+    // language gate -> exact dedup (min-id survivor) -> MinHash near-dup
+    // removal (md5 twin; greedy min-id survivor). The oracle recomputes
+    // every stage — the strongest composition check in the registry: one
+    // wrong stage anywhere shifts the surviving id set.
+    Q("pipe_corpus_clean",
+      s"""WITH gated AS (SELECT doc_id, text FROM documents
+  WHERE $qualitySql >= 0.6667 AND $langCaseSql <> 'und'),
+grp AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM gated GROUP BY 1),
+kept AS (SELECT g.doc_id, g.text FROM gated g JOIN grp ON g.doc_id = grp.keep_id),
+${minhashMd5Ctes("kept", 0.5)}
+SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT id2 FROM nd)""") { (s, d) =>
+      graft.text.CorpusPipeline.cleanCorpus(
+          Tables.documents(s, d), "doc_id", "text", useMd5 = true)
+        .select("doc_id")
     },
 
     // TF-IDF top-3 terms per doc: tf = in-doc count, idf = ln(N/df),

@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** End-to-end corpus cleaning — the composed pipeline a training-data
+  * deployment actually runs over raw documents, built entirely from the
+  * operators in this library:
+  *
+  *   1. quality gate   (Gopher-style score >= minQuality)
+  *   2. language gate  (drop unidentifiable docs)
+  *   3. exact dedup    (content digest, min-id survivor)
+  *   4. near-dup removal (MinHash+LSH + exact Jaccard verify; greedy
+  *      min-id survivor: every id that appears as the larger member of
+  *      a >= threshold pair is dropped)
+  *
+  * Scale shape: two narrow filters, one digest-keyed aggregate + semi
+  * join, then the bucketed MinHash pipeline — no stage is all-pairs, no
+  * stage collects. The greedy survivor rule is deterministic (pairs are
+  * ordered id1 < id2), so the surviving set is reproducible — and, in
+  * the md5-twin variant, recomputable by an independent SQL engine.
+  */
+object CorpusPipeline {
+
+  def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
+                  minQuality: Double = 0.6667, dropUnidentified: Boolean = true,
+                  jaccardThreshold: Double = 0.5, shingleN: Int = 2,
+                  useMd5: Boolean = false): DataFrame = {
+    val langGate: Column =
+      if (dropUnidentified) TextFunctions.langId(col(textCol)) =!= "und" else lit(true)
+    val gated = df
+      .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+      .filter(langGate)
+    val groups = Dedup.exactGroups(gated, idCol, textCol)
+    val exactKept = gated.join(
+      groups.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+    val pairs =
+      if (useMd5)
+        Dedup.minhashNearDupsMd5(exactKept, idCol, textCol,
+          numHashes = 32, rowsPerBand = 4, shingleN = shingleN,
+          threshold = jaccardThreshold)
+      else
+        Dedup.minhashNearDups(exactKept, idCol, textCol,
+          numHashes = 32, rowsPerBand = 4, shingleN = shingleN,
+          threshold = jaccardThreshold)
+    exactKept.join(pairs.select(col("id2").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+}

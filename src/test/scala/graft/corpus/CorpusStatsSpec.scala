@@ -212,6 +212,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(c1200 < 1200L * 5, s"candidate volume $c1200 not linear-bounded")
   }
 
+  test("cleanCorpus pipeline: gates, exact dedup, near-dup removal compose") {
+    import graft.text.CorpusPipeline
+    val good = "the quick brown fox jumps over a lazy dog and keeps " +
+      "running in the warm sun across the wide open field all day"
+    val docs = df("doc_id bigint, text string")(Seq(
+      Row(1L, good),                    // survives
+      Row(2L, good),                    // exact dup of 1 -> dropped
+      Row(3L, good + " tail"),          // near-dup of 1 -> dropped
+      Row(4L, "!!!???..."),             // quality gate drops
+      Row(5L, "zzz qqq xxx yyy www vvv uuu ttt sss rrr qq2 zz2 xx2 yy2 " +
+        "ww2 vv2 uu2 tt2 ss2 rr2")))    // no markers -> lang gate drops
+    val survivors = CorpusPipeline.cleanCorpus(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L))
+    // md5 twin agrees with the xxhash64 production path
+    val md5Survivors = CorpusPipeline.cleanCorpus(docs, "doc_id", "text", useMd5 = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(md5Survivors == survivors)
+  }
+
   test("winnowing: shared long substring => shared fingerprint; short doc => one") {
     val shared = "the quick brown fox jumps over the lazy dog"
     val docs = df("doc_id bigint, text string")(Seq(
