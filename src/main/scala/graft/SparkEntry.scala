@@ -23,6 +23,14 @@ object SparkEntry {
           "SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type, " +
             "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2") { (s, d) =>
           graft.streaming.StreamingTallies.dailyTallyOnce(s, d)
+        },
+        // Streaming corpus ingest: quality/lang gates + digest-keyed
+        // dedup state + per-language unique-doc tally, drained with
+        // AvailableNow; the settled result is arrival-order-independent,
+        // so the batch aggregate IS the oracle.
+        Q("st_corpus_ingest",
+          CorpusQueries.corpusIngestOracleSql) { (s, d) =>
+          graft.streaming.CorpusIngest.ingestOnce(s, d)
         })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

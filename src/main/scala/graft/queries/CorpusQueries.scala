@@ -98,6 +98,14 @@ object CorpusQueries {
     s"CASE $whens ELSE 'und' END"
   }
 
+  /** Oracle for the streaming corpus ingest (SparkEntry): the settled
+    * stream result is arrival-order-independent, so the batch aggregate
+    * over the same gates is the exact oracle. */
+  private[graft] lazy val corpusIngestOracleSql: String =
+    s"SELECT $langCaseSql AS lang_guess, " +
+      "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs " +
+      s"FROM documents WHERE $qualitySql >= 0.6667 AND $langCaseSql <> 'und' GROUP BY 1"
+
   // ---- md5-twin sketch SQL (single source of truth with Dedup's twins) ----
 
   /** Per-doc md5 SimHash as (sig_hi, sig_lo) 32-bit halves: hex-nibble

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.text.TextFunctions
+
+/** Streaming training-data ingest (SURVEY §2.11 x LLM-pipeline): the
+  * corpus-cleaning front gate run as a Structured Streaming job — file
+  * source over the documents parquet, quality + language gates as pure
+  * column expressions (identical plan to the batch path), exact-dedup
+  * state via dropDuplicates on the content digest, per-language
+  * unique-document tally in complete mode, AvailableNow to drain.
+  *
+  * At scale the same plan runs against a landing directory that keeps
+  * receiving crawl shards (or a Kafka source): dedup state is keyed by
+  * the 128-bit digest and distributes across state partitions; a
+  * watermark on ingest time would bound it for append sinks. The output
+  * is chosen to be arrival-order-INDEPENDENT (which physical row
+  * survives dedup cannot matter), so the settled result equals the
+  * batch aggregate and the batch SQL is the oracle. */
+object CorpusIngest {
+
+  def ingestOnce(spark: SparkSession, sfDir: String,
+                 minQuality: Double = 0.6667): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    val stream = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
+      .filter(TextFunctions.langId(col("text")) =!= "und")
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("lang_guess", TextFunctions.langId(col("text")))
+      .dropDuplicates("content_hash")
+      .groupBy(col("lang_guess"))
+      .agg(count(lit(1)).as("n_unique_docs"))
+
+    val qname = "graft_stream_corpus_ingest"
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    ss.table(qname)
+  }
+}
