@@ -30,10 +30,13 @@ object CorpusIngest {
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
-      .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
-      .filter(TextFunctions.langId(col("text")) =!= "und")
-      .withColumn("content_hash", md5(col("text")))
+      // lang is computed ONCE as a column and the gate filters on it —
+      // repeating the marker-count expression in filter and select would
+      // double the most expensive narrow work of the stream.
       .withColumn("lang_guess", TextFunctions.langId(col("text")))
+      .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
+      .filter(col("lang_guess") =!= "und")
+      .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
       .groupBy(col("lang_guess"))
       .agg(count(lit(1)).as("n_unique_docs"))

@@ -29,9 +29,14 @@ object CorpusPipeline {
                   useMd5: Boolean = false): DataFrame = {
     val langGate: Column =
       if (dropUnidentified) TextFunctions.langId(col(textCol)) =!= "und" else lit(true)
-    val gated = df
-      .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
-      .filter(langGate)
+    // The gate expressions (marker-count language ID, quality ratios)
+    // are the most expensive narrow work in the pipeline, and the gated
+    // set feeds three plan branches (digest aggregate, shingle pipeline,
+    // final survivor join) — persist it once. At cluster scale this is
+    // the parquet-checkpoint seam, same as the shingle set.
+    val gated = graft.ops.CacheOnce.swap("corpus-clean-gated",
+      df.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+        .filter(langGate))
     val groups = Dedup.exactGroups(gated, idCol, textCol)
     val exactKept = gated.join(
       groups.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")

@@ -21,6 +21,18 @@ class CacheOnceSpec extends SparkSpec {
     assert(cb.storageLevel == StorageLevel.NONE)
   }
 
+  test("GraftSession.configure applies the documented deployment confs") {
+    val b = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+    val s = graft.GraftSession.configure(b, 2).getOrCreate()
+    // getOrCreate returns the existing test session but applies configs
+    // to it; assert the knobs landed where not static.
+    assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(s.conf.get("spark.sql.files.maxPartitionBytes") == "268435456")
+    // restore the suite's shuffle-partition setting
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("per-name entries are bounded: oldest evicted beyond maxPerName") {
     val frames = (0 to CacheOnce.maxPerName).map(i =>
       CacheOnce.swap("spec-bound", Seq(i).toDF("x")))
