@@ -316,14 +316,18 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
     for (_ <- 0 until iters) {
-      val lit = typedlit(cents.toSeq)
-      // best cell per vector: argmax over k dots (normalized centroids
-      // not required for argmax ranking within an iteration as long as
-      // the same norm divides every dot — use cosine for stability)
+      // Centroids are normalized ON THE DRIVER (k*dim doubles) so the
+      // per-row work is one codegen'd dot per centroid — no per-row
+      // norm recomputation of a plan-time constant.
+      val unitCents = cents.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0) c else c.map(_ / n)
+      }
+      val lit = typedlit(unitCents.toSeq)
+      // best cell per vector: argmax cosine (vector norm divides every
+      // dot equally, kept for numeric stability of the sim values)
       val scored = vecs.select(col(idCol), col(vecCol), col("_n"),
-          posexplode(transform(lit, c =>
-            dot(col(vecCol), c) / (col("_n") * sqrt(aggregate(transform(c, x => x * x),
-              typedlit(0.0), (a, b) => a + b))))))
+          posexplode(transform(lit, c => dot(col(vecCol), c) / col("_n"))))
         .select(col(idCol), col(vecCol), col("pos").as("cell"), col("col").as("sim"))
       val best = topCell(scored)
       val means = best
