@@ -281,18 +281,24 @@ object Dedup {
     sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** [[lshCandidatePairs]]' md5 twin: the band key is
-    * md5(mh_a || '|' || ... || mh_b) over the band's signature columns in
-    * order. */
-  def lshCandidatePairsMd5(sigs: DataFrame, idCol: String, numHashes: Int,
-                           rowsPerBand: Int): DataFrame = {
+  /** (id, band_idx, band_hash) bucket rows, md5 banding: the band key is
+    * md5(mh_a || '|' || ... || mh_b) over the band's signature columns
+    * in order. */
+  private[graft] def bandBucketsMd5(sigs: DataFrame, idCol: String,
+                                    numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
       struct(lit(b).as("band_idx"), md5(concat_ws("|", cols: _*)).as("band_hash"))
     }
-    val buckets = sigs.select(col(idCol), explode(array(bands: _*)).as("band"))
+    sigs.select(col(idCol), explode(array(bands: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** [[lshCandidatePairs]]' md5 twin. */
+  def lshCandidatePairsMd5(sigs: DataFrame, idCol: String, numHashes: Int,
+                           rowsPerBand: Int): DataFrame = {
+    val buckets = bandBucketsMd5(sigs, idCol, numHashes, rowsPerBand)
     val l = buckets.as("l")
     val r = buckets.as("r")
     l.join(r,
@@ -301,6 +307,56 @@ object Dedup {
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id1"), col(s"r.$idCol").as("id2"))
       .distinct()
+  }
+
+  /** Exact Jaccard for CROSS-corpus candidate pairs: id1 draws its
+    * shingle set from `setsA`, id2 from `setsB`. Same shuffle shape as
+    * [[verifyJaccard]] (keyed by element, then by pair). */
+  private def verifyJaccardCross(pairs: DataFrame, setsA: DataFrame,
+                                 setsB: DataFrame, idCol: String,
+                                 threshold: Double): DataFrame = {
+    val szA = setsA.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val szB = setsB.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(setsA.withColumnRenamed(idCol, "id1").withColumnRenamed("shingle", "e1"), Seq("id1"))
+      .join(setsB.withColumnRenamed(idCol, "id2").withColumnRenamed("shingle", "e2"), Seq("id2"))
+      .filter(col("e1") === col("e2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(szA.withColumnRenamed(idCol, "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(szB.withColumnRenamed(idCol, "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Cross-corpus contamination detection (the decontamination pass of a
+    * training pipeline): find (train_id, test_id) pairs whose word-
+    * shingle Jaccard reaches `threshold`, via the SAME MinHash+LSH shape
+    * as [[minhashNearDupsMd5]] but with the band-bucket join taken
+    * BETWEEN the two corpora — candidates are bucket-keyed, never
+    * |train| x |test|. md5 twin hashing, so an independent engine can
+    * recompute the whole pass. Output: (train_id, test_id, jaccard). */
+  def crossCorpusNearDupsMd5(train: DataFrame, test: DataFrame, idCol: String,
+                             textCol: String, numHashes: Int = 32,
+                             rowsPerBand: Int = 4, shingleN: Int = 3,
+                             threshold: Double = 0.8): DataFrame = {
+    def sets(df: DataFrame, key: String) = graft.ops.CacheOnce.swap(key,
+      df.select(col(idCol),
+        explode(distinctShingles(col(textCol), shingleN)).as("shingle")))
+    val setsA = sets(train, "contamination-train-shingles")
+    val setsB = sets(test, "contamination-test-shingles")
+    val bA = bandBucketsMd5(minhashSignaturesFromSetsMd5(setsA, idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+    val bB = bandBucketsMd5(minhashSignaturesFromSetsMd5(setsB, idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+    val cands = bA.select(col(idCol).as("id1"), col("band_idx"), col("band_hash"))
+      .join(bB.select(col(idCol).as("id2"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select("id1", "id2").distinct()
+    verifyJaccardCross(cands, setsA, setsB, idCol, threshold)
+      .select(col("id1").as("train_id"), col("id2").as("test_id"), col("jaccard"))
   }
 
   /** [[minhashNearDups]]' md5 twin — same pipeline (shared shingle set,

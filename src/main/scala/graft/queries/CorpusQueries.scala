@@ -157,23 +157,28 @@ SELECT DISTINCT id1, id2,
 FROM cd WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3"""
   }
 
-  /** MinHash md5-twin CTE chain over a source relation `src`
-    * (doc_id, text): distinct word 2-gram shingles (fewer than 2 tokens
-    * collapse to the space-joined whole, matching WordShingles), 32
-    * per-permutation md5 min-hashes, md5 band hashes over 4-wide bands,
-    * bucket join, exact Jaccard >= `threshold`; ends with CTE `nd`
-    * (id1, id2, jaccard). Mirrors [[Dedup.minhashNearDupsMd5]]. */
-  private[queries] def minhashMd5Ctes(src: String, threshold: Double): String =
-    s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM $src),
-sh AS (SELECT DISTINCT doc_id, shingle FROM (
+  /** One corpus side of the MinHash md5-twin pipeline, CTE names
+    * prefixed with `p`: distinct word 2-gram shingles (fewer than 2
+    * tokens collapse to the space-joined whole, matching WordShingles),
+    * 32 per-permutation md5 min-hashes, md5 band hashes over 4-wide
+    * bands — ends at `{p}bnd` (doc_id, band, bh). */
+  private def minhashSideCtes(p: String, src: String): String =
+    s"""${p}tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM $src),
+${p}sh AS (SELECT DISTINCT doc_id, shingle FROM (
   SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
     ELSE list_transform(ts, (x, i) -> CASE WHEN i < len(ts) THEN x || ' ' || ts[i + 1] END)
-    END) AS shingle FROM tk) WHERE shingle IS NOT NULL),
-pm AS (SELECT doc_id, shingle, g.p AS p, md5(CAST(g.p AS VARCHAR) || ':' || shingle) AS h
-  FROM sh, generate_series(0, 31) g(p)),
-sgl AS (SELECT doc_id, p, min(h) AS mh FROM pm GROUP BY 1, 2),
-bnd AS (SELECT doc_id, p // 4 AS band, md5(string_agg(mh, '|' ORDER BY p)) AS bh
-  FROM sgl GROUP BY doc_id, p // 4),
+    END) AS shingle FROM ${p}tk) WHERE shingle IS NOT NULL),
+${p}pm AS (SELECT doc_id, shingle, g.p AS p, md5(CAST(g.p AS VARCHAR) || ':' || shingle) AS h
+  FROM ${p}sh, generate_series(0, 31) g(p)),
+${p}sgl AS (SELECT doc_id, p, min(h) AS mh FROM ${p}pm GROUP BY 1, 2),
+${p}bnd AS (SELECT doc_id, p // 4 AS band, md5(string_agg(mh, '|' ORDER BY p)) AS bh
+  FROM ${p}sgl GROUP BY doc_id, p // 4)"""
+
+  /** Single-corpus chain: side CTEs + self bucket join + exact Jaccard
+    * >= `threshold`; ends with CTE `nd` (id1, id2, jaccard). Mirrors
+    * [[Dedup.minhashNearDupsMd5]]. */
+  private[queries] def minhashMd5Ctes(src: String, threshold: Double): String =
+    s"""${minhashSideCtes("", src)},
 cd AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
   FROM bnd l JOIN bnd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
 szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
@@ -186,6 +191,26 @@ nd AS (SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jac
 
   private val minhashMd5Sql: String =
     s"WITH ${minhashMd5Ctes("documents", 0.5)} SELECT id1, id2, jaccard FROM nd"
+
+  /** Cross-corpus contamination oracle: even doc_ids play the training
+    * corpus, odd the test corpus; the band-bucket join runs BETWEEN the
+    * two sides. Mirrors [[Dedup.crossCorpusNearDupsMd5]]. */
+  private val contaminationSql: String =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+${minhashSideCtes("a", "tr")},
+${minhashSideCtes("b", "te")},
+cd AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM abnd a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh),
+szA AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ash GROUP BY 1),
+szB AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM bsh GROUP BY 1),
+intr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM cd c
+  JOIN ash a ON a.doc_id = c.id1 JOIN bsh b ON b.doc_id = c.id2 AND a.shingle = b.shingle
+  GROUP BY 1, 2)
+SELECT id1 AS train_id, id2 AS test_id,
+  round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+FROM intr JOIN szA s1 ON s1.doc_id = id1 JOIN szB s2 ON s2.doc_id = id2
+WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5"""
 
   // ---- embedding SQL fragments ----
 
@@ -534,6 +559,19 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
       Similarity.ivfTopK(emb, "doc_id", "embedding", 3,
         numCells = 32, nprobe = 4, queryPred = Some(col("doc_id") < 200),
         centroids = Some(cents))
+    },
+
+    // Cross-corpus contamination detection (decontamination): near-dup
+    // pairs BETWEEN a training split and a test split — the bucket join
+    // runs across the two corpora, never |train| x |test|. md5 twin, so
+    // the oracle recomputes both sides' signatures and the cross join.
+    Q("dd_contamination", contaminationSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.crossCorpusNearDupsMd5(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", numHashes = 32, rowsPerBand = 4,
+        shingleN = 2, threshold = 0.5)
     },
 
     // The composed corpus-cleaning pipeline, end to end: quality gate ->

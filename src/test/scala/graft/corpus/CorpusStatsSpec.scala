@@ -212,6 +212,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(c1200 < 1200L * 5, s"candidate volume $c1200 not linear-bounded")
   }
 
+  test("crossCorpusNearDupsMd5 finds planted train/test contamination only") {
+    import graft.dedup.Dedup
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val train = df("doc_id bigint, text string")(Seq(
+      Row(1L, base),
+      Row(2L, (1 to 30).map(i => s"t$i").mkString(" "))))
+    val test_ = df("doc_id bigint, text string")(Seq(
+      Row(101L, base + " extra"),                       // contaminated vs 1
+      Row(102L, (1 to 30).map(i => s"q$i").mkString(" "))))
+    val got = Dedup.crossCorpusNearDupsMd5(train, test_, "doc_id", "text",
+        shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 101L)))
+  }
+
   test("cleanCorpus pipeline: gates, exact dedup, near-dup removal compose") {
     import graft.text.CorpusPipeline
     val good = "the quick brown fox jumps over a lazy dog and keeps " +
