@@ -192,6 +192,29 @@ nd AS (SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jac
   private val minhashMd5Sql: String =
     s"WITH ${minhashMd5Ctes("documents", 0.5)} SELECT id1, id2, jaccard FROM nd"
 
+  /** One corpus side of the winnowing-fingerprint CTEs (t_fingerprint's
+    * oracle pattern, md5 hashing), prefixed with `p`; ends at `{p}fp`
+    * (doc_id, fingerprint). */
+  private def winnowSideCtes(p: String, src: String): String =
+    s"""${p}base AS (SELECT doc_id, text,
+  unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i FROM $src),
+${p}grams AS (SELECT doc_id, i - 1 AS pos, md5(substr(text, CAST(i AS INT), 5)) AS h
+  FROM ${p}base),
+${p}wins AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+  count(*) OVER (PARTITION BY doc_id) AS m FROM ${p}grams),
+${p}fp AS (SELECT DISTINCT doc_id, wmin AS fingerprint FROM ${p}wins
+  WHERE pos <= m - 8 OR (m < 8 AND pos = 0))"""
+
+  private val fingerprintOverlapSql: String =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+${winnowSideCtes("a", "tr")},
+${winnowSideCtes("b", "te")}
+SELECT a.doc_id AS train_id, b.doc_id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM afp a JOIN bfp b ON a.fingerprint = b.fingerprint
+GROUP BY 1, 2 HAVING count(*) >= 3"""
+
   /** Cross-corpus contamination oracle: even doc_ids play the training
     * corpus, odd the test corpus; the band-bucket join runs BETWEEN the
     * two sides. Mirrors [[Dedup.crossCorpusNearDupsMd5]]. */
@@ -572,6 +595,17 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
         docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", numHashes = 32, rowsPerBand = 4,
         shingleN = 2, threshold = 0.5)
+    },
+
+    // Substring-level contamination: test docs sharing >= 3 winnowing
+    // fingerprints (verbatim substrings >= 12 chars) with a training
+    // doc — catches short quoted passages shingle-Jaccard dilutes away.
+    Q("dd_fingerprint_overlap", fingerprintOverlapSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.text.CorpusStats.fingerprintOverlap(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 5, w = 8, minShared = 3)
     },
 
     // The composed corpus-cleaning pipeline, end to end: quality gate ->

@@ -97,6 +97,32 @@ object CorpusStats {
     docs.select(col(idCol), explode(fps).as("fingerprint"))
   }
 
+  /** Substring-level cross-corpus contamination: (train_id, test_id)
+    * pairs sharing at least `minShared` winnowing fingerprints — i.e.
+    * verbatim common substrings of length >= n + w - 1, the leakage
+    * shingle-Jaccard can miss when a short quoted passage hides in an
+    * otherwise different document. Fingerprint-keyed join (never
+    * |train| x |test|); `maxDocFreq` drops fingerprints too common on
+    * either side (boilerplate headers — the stop-word analogue) so one
+    * ubiquitous snippet cannot fan the join out quadratically. */
+  def fingerprintOverlap(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, n: Int = 5, w: Int = 8,
+                         minShared: Int = 3,
+                         maxDocFreq: Option[Int] = None): DataFrame = {
+    def fps(df: DataFrame) =
+      winnowFingerprintsNative(df, idCol, textCol, n, w, useMd5 = true)
+    def capped(f: DataFrame) = maxDocFreq.fold(f) { cap =>
+      val dfreq = f.groupBy("fingerprint").agg(count(lit(1)).as("_df"))
+      f.join(dfreq.filter(col("_df") <= cap), Seq("fingerprint"))
+        .select(col(idCol), col("fingerprint"))
+    }
+    capped(fps(train)).select(col(idCol).as("train_id"), col("fingerprint"))
+      .join(capped(fps(test)).select(col(idCol).as("test_id"), col("fingerprint")),
+        Seq("fingerprint"))
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Composable-operator formulation of the same algorithm (hash every
     * char n-gram, per-doc ordered window min, distinct minima) — kept as
     * the cross-checkable twin of the native expression; it explodes one

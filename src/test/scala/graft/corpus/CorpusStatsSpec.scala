@@ -227,6 +227,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Set((1L, 101L)))
   }
 
+  test("fingerprintOverlap flags verbatim shared substrings, honors doc-freq cap") {
+    val quote = "the forty-two secret words of the hidden benchmark passage"
+    val train = df("doc_id bigint, text string")(Seq(
+      Row(1L, "AAAA " + quote + " BBBB"),
+      Row(2L, "totally unrelated training text about something else entirely")))
+    val test_ = df("doc_id bigint, text string")(Seq(
+      Row(101L, "XXXX " + quote + " YYYY"),   // leaked quote
+      Row(102L, "clean evaluation document with its own novel content")))
+    val got = CorpusStats.fingerprintOverlap(train, test_, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 101L)))
+    // a doc-frequency cap of 0 drops every fingerprint -> no pairs
+    val none = CorpusStats.fingerprintOverlap(train, test_, "doc_id", "text",
+      maxDocFreq = Some(0))
+    assert(none.count() == 0)
+  }
+
   test("cleanCorpus pipeline: gates, exact dedup, near-dup removal compose") {
     import graft.text.CorpusPipeline
     val good = "the quick brown fox jumps over a lazy dog and keeps " +
