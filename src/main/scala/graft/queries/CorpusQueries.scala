@@ -206,13 +206,25 @@ ${p}wins AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
 ${p}fp AS (SELECT DISTINCT doc_id, wmin AS fingerprint FROM ${p}wins
   WHERE pos <= m - 8 OR (m < 8 AND pos = 0))"""
 
+  // Doc-frequency cap for the registered overlap query: the template
+  // corpus shares boilerplate substrings across hundreds of docs, and an
+  // uncapped fingerprint join fans out as (train df) x (test df) per hot
+  // fingerprint — exactly the quadratic hazard the cap removes.
+  private val fpOverlapDfCap = 20
+
+  private def cappedFpCte(p: String): String =
+    s"""${p}fpc AS (SELECT doc_id, fingerprint FROM (SELECT doc_id, fingerprint,
+  count(*) OVER (PARTITION BY fingerprint) AS dfq FROM ${p}fp) WHERE dfq <= $fpOverlapDfCap)"""
+
   private val fingerprintOverlapSql: String =
     s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
 te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
 ${winnowSideCtes("a", "tr")},
-${winnowSideCtes("b", "te")}
+${winnowSideCtes("b", "te")},
+${cappedFpCte("a")},
+${cappedFpCte("b")}
 SELECT a.doc_id AS train_id, b.doc_id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
-FROM afp a JOIN bfp b ON a.fingerprint = b.fingerprint
+FROM afpc a JOIN bfpc b ON a.fingerprint = b.fingerprint
 GROUP BY 1, 2 HAVING count(*) >= 3"""
 
   /** Cross-corpus contamination oracle: even doc_ids play the training
@@ -600,12 +612,15 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
     // Substring-level contamination: test docs sharing >= 3 winnowing
     // fingerprints (verbatim substrings >= 12 chars) with a training
     // doc — catches short quoted passages shingle-Jaccard dilutes away.
+    // The per-side doc-frequency cap drops boilerplate fingerprints so
+    // the join stays linear in true leakage, not (df_train x df_test).
     Q("dd_fingerprint_overlap", fingerprintOverlapSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       graft.text.CorpusStats.fingerprintOverlap(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", n = 5, w = 8, minShared = 3)
+        "doc_id", "text", n = 5, w = 8, minShared = 3,
+        maxDocFreq = Some(20))
     },
 
     // The composed corpus-cleaning pipeline, end to end: quality gate ->
