@@ -378,6 +378,32 @@ nv AS (SELECT * FROM (SELECT vec_id, embedding,
         TextFunctions.qualityScore(col("text")).as("quality"))
     },
 
+    // Gopher-style repetition metrics: the most-repeated word 2-gram's
+    // share of all 2-gram occurrences, and the fraction of occurrences
+    // that are repeats (1 - distinct/total) — the standard "degenerate
+    // repetition" quality filters. Integer counts + one final division,
+    // so both engines agree exactly.
+    Q("t_repetition",
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+sg AS (SELECT doc_id, shingle FROM (SELECT doc_id,
+  unnest(CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+    ELSE list_transform(ts, (x, i) -> CASE WHEN i < len(ts) THEN x || ' ' || ts[i + 1] END)
+    END) AS shingle FROM tk) WHERE shingle IS NOT NULL),
+per AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS c FROM sg GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams, CAST(max(c) AS BIGINT) AS top_count,
+  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_share,
+  round(1 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_frac
+FROM per GROUP BY 1""") { (s, d) =>
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 2)).as("g"))
+      val per = sh.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      per.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_2grams"),
+        max(col("c")).as("top_count"),
+        round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_share"),
+        round(lit(1) - count(lit(1)).cast("double") / sum(col("c")), 4).as("dup_frac"))
+    },
+
     // Marker-based language ID vs the labeled truth column.
     Q("t_lang_id",
       s"SELECT doc_id, lang AS lang_true, $langCaseSql AS lang_guess FROM documents") { (s, d) =>

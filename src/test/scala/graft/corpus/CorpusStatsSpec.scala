@@ -212,6 +212,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(c1200 < 1200L * 5, s"candidate volume $c1200 not linear-bounded")
   }
 
+  test("repetition metrics: degenerate text shows high top-share/dup-frac") {
+    // "spam spam spam spam" -> 3 occurrences of one 2-gram: share 1.0,
+    // dup_frac 2/3; a no-repeat doc -> share 1/3, dup_frac 0.
+    import graft.Tables
+    val docs = df("doc_id bigint, text string")(Seq(
+      Row(1L, "spam spam spam spam"), Row(2L, "a b c d")))
+    val sh = docs.select(col("doc_id"),
+      explode(graft.dedup.Dedup.shingles(col("text"), 2)).as("g"))
+    val per = sh.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val got = per.groupBy(col("doc_id")).agg(
+        round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_share"),
+        round(lit(1) - count(lit(1)).cast("double") / sum(col("c")), 4).as("dup_frac"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((1.0, 0.6667)))
+    assert(got(2L) == ((0.3333, 0.0)))
+  }
+
   test("crossCorpusNearDupsMd5 finds planted train/test contamination only") {
     import graft.dedup.Dedup
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
