@@ -215,7 +215,6 @@ class CorpusStatsSpec extends SparkSpec {
   test("repetition metrics: degenerate text shows high top-share/dup-frac") {
     // "spam spam spam spam" -> 3 occurrences of one 2-gram: share 1.0,
     // dup_frac 2/3; a no-repeat doc -> share 1/3, dup_frac 0.
-    import graft.Tables
     val docs = df("doc_id bigint, text string")(Seq(
       Row(1L, "spam spam spam spam"), Row(2L, "a b c d")))
     val sh = docs.select(col("doc_id"),
