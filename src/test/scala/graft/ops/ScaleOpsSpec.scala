@@ -15,6 +15,15 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("events explicit-schema read still prunes columns at the scan") {
+    // The TIMESTAMP(NANOS) workaround requests a full explicit schema;
+    // Catalyst must still prune the scan to the referenced columns.
+    val plan = Tables.events(spark, sf).select("event_id", "event_type")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,event_type:string>"),
+      s"scan not pruned:\n$plan")
+  }
+
   test("bucketed join plans with zero exchanges") {
     // Tables land in the default ./spark-warehouse (warehouse.dir is a
     // static conf); dropped in finally, dir is gitignored.
