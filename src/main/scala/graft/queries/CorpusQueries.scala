@@ -372,10 +372,10 @@ nv AS (SELECT * FROM (SELECT vec_id, embedding,
         s"$avgWordLenSql AS avg_word_len, $qualitySql AS quality FROM documents") { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
-        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.punctRatioFast(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatioFast(col("text")).as("stopword_ratio"),
         TextFunctions.avgWordLen(col("text")).as("avg_word_len"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
+        TextFunctions.qualityScoreFast(col("text")).as("quality"))
     },
 
     // Gopher-style repetition metrics: the most-repeated word 2-gram's
@@ -409,7 +409,7 @@ FROM per GROUP BY 1""") { (s, d) =>
       s"SELECT doc_id, lang AS lang_true, $langCaseSql AS lang_guess FROM documents") { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), col("lang").as("lang_true"),
-        TextFunctions.langId(col("text")).as("lang_guess"))
+        TextFunctions.langIdFast(col("text")).as("lang_guess"))
     },
 
     // Exact dedup groups by content digest (hash-groupBy).

@@ -33,8 +33,8 @@ object CorpusIngest {
       // lang is computed ONCE as a column and the gate filters on it —
       // repeating the marker-count expression in filter and select would
       // double the most expensive narrow work of the stream.
-      .withColumn("lang_guess", TextFunctions.langId(col("text")))
-      .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
+      .withColumn("lang_guess", TextFunctions.langIdFast(col("text")))
+      .filter(TextFunctions.qualityScoreFast(col("text")) >= minQuality)
       .filter(col("lang_guess") =!= "und")
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")

@@ -28,14 +28,14 @@ object CorpusPipeline {
                   jaccardThreshold: Double = 0.5, shingleN: Int = 2,
                   useMd5: Boolean = false): DataFrame = {
     val langGate: Column =
-      if (dropUnidentified) TextFunctions.langId(col(textCol)) =!= "und" else lit(true)
+      if (dropUnidentified) TextFunctions.langIdFast(col(textCol)) =!= "und" else lit(true)
     // The gate expressions (marker-count language ID, quality ratios)
     // are the most expensive narrow work in the pipeline, and the gated
     // set feeds three plan branches (digest aggregate, shingle pipeline,
     // final survivor join) — persist it once. At cluster scale this is
     // the parquet-checkpoint seam, same as the shingle set.
     val gated = graft.ops.CacheOnce.swap("corpus-clean-gated",
-      df.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+      df.filter(TextFunctions.qualityScoreFast(col(textCol)) >= minQuality)
         .filter(langGate))
     val groups = Dedup.exactGroups(gated, idCol, textCol)
     val exactKept = gated.join(

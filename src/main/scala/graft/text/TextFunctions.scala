@@ -64,6 +64,57 @@ object TextFunctions {
     round((lenOk + punctOk + stopOk) / 3.0, 4)
   }
 
+  // ---- fast variants ------------------------------------------------
+  //
+  // The composable definitions above run one `replace` chain per marker
+  // (allocating a copy of the text per marker, per row). The fast
+  // variants compute ALL marker counts in one zero-allocation pass via
+  // the native [[graft.functions.MultiOccurrences]] expression, then do
+  // the identical arithmetic on the counts — bit-compatible with the
+  // composable twins (spec-proven) and with the replace-arithmetic SQL
+  // oracles. Use these in pipelines; keep the twins for cross-checks.
+
+  import graft.functions.MultiOccFunctions.occurrencesAll
+
+  private def sumElems(counts: Column, n: Int): Column =
+    (1 to n).map(i => element_at(counts, i)).reduce(_ + _)
+
+  private val punct = Seq(".", ",", ";", ":", "!", "?")
+
+  def punctRatioFast(c: Column): Column = {
+    val hits = sumElems(occurrencesAll(c, punct), punct.length)
+    round(hits.cast("double") / greatest(length(c), lit(1)), 4)
+  }
+
+  private val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def stopwordRatioFast(c: Column): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    val hits = sumElems(occurrencesAll(padded, stops.map(s => s" $s ")), stops.length)
+    round(hits.cast("double") / greatest(tokenCount(c), lit(1)), 4)
+  }
+
+  def qualityScoreFast(c: Column): Column = {
+    val lenOk = when(length(c).between(50, 10000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatioFast(c) < 0.2, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatioFast(c) > 0.05, 1.0).otherwise(0.0)
+    round((lenOk + punctOk + stopOk) / 3.0, 4)
+  }
+
+  def langIdFast(c: Column): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    val allMarkers = langMarkers.flatMap(_._2)
+    val counts = occurrencesAll(padded, allMarkers.map(m => s" $m "))
+    val scores = langMarkers.zipWithIndex.map { case ((lang, ms), li) =>
+      val offset = langMarkers.take(li).map(_._2.length).sum
+      lang -> (1 to ms.length).map(i => element_at(counts, offset + i)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s === best && best > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
   /** Content fingerprint (md5 of exact bytes) — exact-dedup key. */
   def fingerprint(c: Column): Column = md5(c)
 

@@ -89,6 +89,29 @@ class CorpusSpec extends SparkSpec {
     assert(ann.forall { case Seq(q: Long, n: Long) => (q < 4) == (n < 4) })
   }
 
+  test("fast text gates == composable twins on varied unicode/whitespace") {
+    val texts = Seq(
+      "the cat and the dog, the end.",
+      "the quick brown fox jumps over a lazy dog and keeps running in the sun",
+      "", "   ", "a\tthe\tb", "der die und ist nicht",
+      "的 是 不 了 在 haha", "the the the", ". , ; : ! ?",
+      "le la les est une -- el los es una que",
+      "  the  a  and  of  to  in  is  ")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = d.select($"id",
+        TextFunctions.punctRatio($"t"), TextFunctions.punctRatioFast($"t"),
+        TextFunctions.stopwordRatio($"t"), TextFunctions.stopwordRatioFast($"t"),
+        TextFunctions.qualityScore($"t"), TextFunctions.qualityScoreFast($"t"),
+        TextFunctions.langId($"t"), TextFunctions.langIdFast($"t"))
+      .collect()
+    got.foreach { r =>
+      assert(r.get(1) == r.get(2), s"punct mismatch row ${r.get(0)}")
+      assert(r.get(3) == r.get(4), s"stop mismatch row ${r.get(0)}")
+      assert(r.get(5) == r.get(6), s"quality mismatch row ${r.get(0)}")
+      assert(r.get(7) == r.get(8), s"lang mismatch row ${r.get(0)}")
+    }
+  }
+
   test("text functions: tokens, occurrences, ratios, langId") {
     val d = Seq(Tuple1("the cat and the dog, the end.")).toDF("t")
     val got = rows(d.select(
