@@ -12,6 +12,25 @@ object ScaleQueries {
 
   val defs: Seq[Q] = Seq(
 
+    // A7: rollup aggregation — per-(flag, status) counts plus flag
+    // subtotals plus the grand total in ONE pass (Expand + single keyed
+    // aggregate: the multi-level summary tables the reference builds as
+    // separate tally queries, without re-scanning per level).
+    // grouping_id bit order (first column = MSB) matches SQL GROUPING().
+    Q("a7_rollup",
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)") { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "total_qty")
+    },
+
     // Zero-exchange bucketed fact-fact join: both sides are written
     // bucketed+sorted on the join key (the physical-layout answer to a
     // join repeated across many queries/days — at 100 TB this is the
