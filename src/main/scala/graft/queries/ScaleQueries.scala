@@ -31,6 +31,44 @@ object ScaleQueries {
         .select("l_returnflag", "l_linestatus", "gid", "n", "total_qty")
     },
 
+    // A8: distinct-cardinality with the sketch path held to account —
+    // at 100 TB `approx_count_distinct` (one pass, no distinct shuffle;
+    // HLL++) is the production path, so the query RUNS it and requires
+    // <= 10% relative error against the exact count before returning
+    // the exact (oracle-comparable) answer. A sketch regression fails
+    // the query, not a dashboard three weeks later.
+    Q("a8_approx_distinct",
+      "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY 1") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val check = ev.groupBy("event_type").agg(
+        countDistinct(col("user_id")).as("ex"),
+        approx_count_distinct(col("user_id"), 0.02).as("ap")).collect()
+      check.foreach { r =>
+        val (ex, ap) = (r.getLong(1), r.getLong(2))
+        require(math.abs(ap - ex).toDouble / math.max(ex, 1) <= 0.10,
+          s"approx_count_distinct drifted: ${r.getString(0)} exact=$ex approx=$ap")
+      }
+      ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // Deterministic stratified downsampling: keep ~30% of each language
+    // by md5-hash bucket of the doc id — the reproducible alternative to
+    // rng sampling (same rows survive on any cluster, any partitioning,
+    // any engine — the oracle proves it by re-deriving the buckets).
+    Q("t_hash_sample",
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+CAST(min(doc_id) AS BIGINT) AS first_kept FROM (
+  SELECT lang, doc_id FROM documents
+  WHERE ${OracleSqlGen.hex8("md5(CAST(doc_id AS VARCHAR))", 1)} % 10 < 3)
+GROUP BY 1""") { (s, d) =>
+      val kept = Tables.documents(s, d).filter(
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(10L)) < 3)
+      kept.groupBy("lang").agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("first_kept"))
+    },
+
     // Zero-exchange bucketed fact-fact join: both sides are written
     // bucketed+sorted on the join key (the physical-layout answer to a
     // join repeated across many queries/days — at 100 TB this is the
