@@ -11,6 +11,50 @@ object JoinQueries {
 
   val defs: Seq[Q] = Seq(
 
+    // J13: as-of join — every non-signup event matched to the user's
+    // most recent signup at-or-before its timestamp (latest-snapshot-at-
+    // event-time semantics). The oracle is DuckDB's NATIVE ASOF JOIN —
+    // a fully independent implementation of the operator.
+    Q("j13_asof_join",
+      "WITH s AS (SELECT user_id, ts, CAST(min(event_id) AS BIGINT) AS signup_id " +
+        "FROM events WHERE event_type = 'signup' GROUP BY 1, 2), " +
+        "l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup') " +
+        "SELECT l.event_id, s.ts AS signup_ts, s.signup_id " +
+        "FROM l ASOF LEFT JOIN s ON l.user_id = s.user_id AND l.ts >= s.ts") { (s, d) =>
+      val ev = Tables.events(s, d)
+      // dedup rights per (user, ts) so the as-of pick is deterministic
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(min(col("event_id")).as("signup_id"))
+        .select(col("user_id"), col("signup_ts"), col("signup_id"))
+      val lefts = ev.filter(col("event_type") =!= "signup")
+        .select("event_id", "user_id", "ts")
+      JoinOps.asofJoin(lefts, signups, "user_id", "ts", "signup_ts",
+          Seq("signup_ts", "signup_id"))
+        .select("event_id", "signup_ts", "signup_id")
+    },
+
+    // J14: unkeyed interval join via bucket prefilter — lineitems
+    // shipped within 7 days of any of the first 50 orders' dates. The
+    // oracle runs DuckDB's native range join (IEJoin) over the same
+    // BETWEEN predicate; the Spark plan is bucket-keyed, never
+    // |facts| x |intervals|.
+    Q("j14_interval_join",
+      "SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey < 50 " +
+        "AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 7 DAY " +
+        "GROUP BY 1") { (s, d) =>
+      val intervals = Tables.orders(s, d).filter(col("o_orderkey") < 50)
+        .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("w_end"))
+      val weekBucket = (c: org.apache.spark.sql.Column) =>
+        floor(datediff(c, to_date(lit("1970-01-01"))) / 7).cast("long")
+      JoinOps.intervalJoin(
+          Tables.lineitem(s, d).select(col("l_shipdate")), "l_shipdate",
+          intervals, "w_start", "w_end", weekBucket)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+    },
+
     // J3: broadcast lookup resolution (ningaloo-etl.Rmd:273-277).
     Q("j3_lookup_resolve",
       "SELECT n.n_name, CAST(count(*) AS BIGINT) AS n " +

@@ -68,6 +68,34 @@ class JoinWindowSpec extends SparkSpec {
       Seq(4, "Initial Sighting"), Seq(5, "Initial Sighting")))
   }
 
+  test("asofJoin: most recent right at-or-before left time, null before first (J13)") {
+    val left = Seq((1L, "k", "2024-01-05 00:00:00"), (2L, "k", "2024-01-10 00:00:00"),
+        (3L, "k", "2024-01-01 00:00:00"), (4L, "z", "2024-01-05 00:00:00"))
+      .toDF("id", "k", "t").withColumn("t", to_timestamp($"t"))
+    val right = Seq(("k", "2024-01-05 00:00:00", 50L), ("k", "2024-01-08 00:00:00", 80L))
+      .toDF("k", "rt", "v").withColumn("rt", to_timestamp($"rt"))
+    val got = rows(JoinOps.asofJoin(left, right, "k", "t", "rt", Seq("v"))
+      .select("id", "v").orderBy("id"))
+    // id 1: right at the SAME instant matches (as-of <=); id 2: latest of
+    // the two; id 3: before any right -> null; id 4: key with no rights.
+    assert(got == Seq(Seq(1L, 50L), Seq(2L, 80L), Seq(3L, null), Seq(4L, null)))
+  }
+
+  test("intervalJoin: inclusive bounds, bucket prefilter finds cross-bucket matches (J14)") {
+    val facts = Seq(10L, 15L, 20L, 21L, 35L).map(Tuple1(_)).toDF("t")
+      .withColumn("t", timestamp_seconds($"t" * 86400))
+    val ivs = Seq((1L, 10L, 20L), (2L, 30L, 31L)).toDF("iid", "s", "e")
+      .withColumn("s", timestamp_seconds($"s" * 86400))
+      .withColumn("e", timestamp_seconds($"e" * 86400))
+    val weekBucket = (c: org.apache.spark.sql.Column) =>
+      floor(unix_timestamp(c) / (86400L * 7)).cast("long")
+    val got = JoinOps.intervalJoin(facts, "t", ivs, "s", "e", weekBucket)
+      .groupBy("iid").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // interval 1 spans buckets 1..2 and catches day 10, 15, 20 (both ends
+    // inclusive); interval 2 catches nothing.
+    assert(got == Map(1L -> 3L))
+  }
+
   test("remigration: per-entity season gaps (U4)") {
     val d = Seq(("T", 2011L), ("T", 2013L), ("T", 2014L)).toDF("turtle", "season")
     val got = rows(WindowOps.remigration(d, "turtle", "season")
