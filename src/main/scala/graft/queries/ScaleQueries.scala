@@ -52,6 +52,22 @@ object ScaleQueries {
       ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_users"))
     },
 
+    // A9: exact continuous quantiles (R-7 linear interpolation — the
+    // convention Spark's `percentile` and DuckDB's `quantile_cont`
+    // share). At 100 TB the production path is approx_percentile
+    // (t-digest, one pass); the exact aggregate here is its
+    // verification twin, same role as a8's exact distinct count.
+    Q("a9_percentiles",
+      "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
+        "round(quantile_cont(value, 0.9), 4) AS p90, " +
+        "round(quantile_cont(value, 0.99), 4) AS p99 " +
+        "FROM events GROUP BY 1") { (s, d) =>
+      Tables.events(s, d).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+    },
+
     // Deterministic stratified downsampling: keep ~30% of each language
     // by md5-hash bucket of the doc id — the reproducible alternative to
     // rng sampling (same rows survive on any cluster, any partitioning,
