@@ -45,4 +45,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** One-time physical-layout prep for `sfDir` (bucketed CTAS etc.) —
+    * idempotent; every query also self-prepares, so calling this is only
+    * about keeping one-time layout cost out of a timed run. */
+  def prepare(spark: SparkSession, sfDir: String): Unit =
+    ScaleQueries.prepare(spark, sfDir)
 }

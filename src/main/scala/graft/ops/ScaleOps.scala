@@ -59,6 +59,17 @@ object ScaleOps {
       .saveAsTable(table)
   }
 
+  /** Idempotent [[writeBucketed]]: skip when the CURRENT catalog already
+    * has the table (within a SharedState the files are then known-good —
+    * bucketing metadata lives in the catalog, so a table the catalog
+    * doesn't know must be rewritten even if stale files exist). This is
+    * the "write once, join forever" contract: layout prep runs once per
+    * (table, warehouse), every later call is a catalog lookup. */
+  def ensureBucketed(df: DataFrame, table: String, key: String,
+                     numBuckets: Int): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      writeBucketed(df, table, key, numBuckets)
+
   /** Join two same-bucketed tables on their bucket key. The caller is
     * asserting the physical layout matches; the plan check lives in the
     * test suite (no Exchange above either scan). */

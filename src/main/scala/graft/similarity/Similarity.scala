@@ -37,6 +37,36 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Which materializer [[durableMaterialize]] will pick on this session:
+    * "reliable" when a checkpoint dir is configured, else "local".
+    * Exposed so the choice is spec-assertable without running a job. */
+  def materializerChoice(df: DataFrame): String =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) "reliable"
+    else "local"
+
+  @volatile private var warnedLocalCheckpoint = false
+
+  /** Default candidate-set materializer for the IVF path: a library
+    * default must fail SAFE on a cluster, so when the SparkContext has a
+    * checkpoint dir this uses reliable `checkpoint()` (HDFS/object-store
+    * backed — survives executor loss mid-query). Only without a
+    * checkpoint dir does it fall back to `localCheckpoint` (executor
+    * storage — fine single-node, lost with an executor), and then it
+    * says so once on stderr instead of silently defaulting to the
+    * non-durable choice. */
+  def durableMaterialize(df: DataFrame): DataFrame =
+    if (materializerChoice(df) == "reliable") df.checkpoint()
+    else {
+      if (!warnedLocalCheckpoint) {
+        warnedLocalCheckpoint = true
+        System.err.println(
+          "[graft] no checkpoint dir set — IVF candidate set uses localCheckpoint " +
+            "(executor storage, not durable); call sparkContext.setCheckpointDir " +
+            "for a cluster deployment")
+      }
+      df.localCheckpoint(false)
+    }
+
   /** Elementwise dot product in input order (float -> double first).
     * Backed by the codegen'd [[graft.functions.DotProduct]] expression —
     * same semantics as the `aggregate(zip_with(...))` formulation, minus
@@ -246,15 +276,15 @@ object Similarity {
     * `materialize` pins the shared candidate set that both the
     * assignment and probe branches read (referencing the windowed frame
     * twice would otherwise duplicate the whole upstream subtree). The
-    * default `localCheckpoint(false)` is executor-storage — fine on one
-    * box, lost with an executor on a real cluster — so a cluster
-    * deployment should pass a durable materializer (write+read parquet,
-    * or reliable `checkpoint()` with a checkpoint dir). */
+    * default is [[durableMaterialize]]: reliable `checkpoint()` whenever
+    * the context has a checkpoint dir (survives executor loss on a real
+    * cluster), else a warn-once `localCheckpoint` — callers can still
+    * plug any other materializer (e.g. write+read parquet). */
   def ivfScored(df: DataFrame, idCol: String, vecCol: String,
                 numCells: Int = 64, nprobe: Int = 8,
                 queryPred: Option[Column] = None,
                 centroids: Option[DataFrame] = None,
-                materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
+                materialize: DataFrame => DataFrame = durableMaterialize): DataFrame = {
     val vecs = df.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
       .filter(col("_n") > 0)
     // Default centroids: the numCells smallest-id vectors. When `df` is
@@ -366,7 +396,7 @@ object Similarity {
               numCells: Int = 64, nprobe: Int = 8,
               queryPred: Option[Column] = None,
               centroids: Option[DataFrame] = None,
-              materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame =
+              materialize: DataFrame => DataFrame = durableMaterialize): DataFrame =
     topKWindow(
       ivfScored(df, idCol, vecCol, numCells, nprobe, queryPred, centroids, materialize), k)
 }

@@ -34,6 +34,18 @@ class SourcesSpec extends SparkSpec {
       partitioning = Some(("id", 1L, 20L, 4)))
     assert(part.rdd.getNumPartitions == 4)
     assert(part.filter($"species" === "green").count() == 10)
+
+    // Pushdown is the point of the JDBC reader (the reference pulls
+    // whole tables client-side, tagging-etl.Rmd:64-66): the filter must
+    // reach the database as a pushed predicate and the projection must
+    // prune the scan to the selected column, not `SELECT *`.
+    val pruned = plain.filter($"species" === "green").select($"id")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    val desc = scan.toString
+    assert(desc.contains("PushedFilters") && desc.toLowerCase.contains("species"),
+      s"filter not pushed to JDBC scan: $desc")
+    assert(scan.output.map(_.name.toLowerCase) == Seq("id"),
+      s"JDBC scan not column-pruned: ${scan.output}")
   }
 
   test("stageZip extracts entries and rejects path escapes (S2)") {
