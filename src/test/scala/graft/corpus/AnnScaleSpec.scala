@@ -105,4 +105,23 @@ class AnnScaleSpec extends SparkSpec {
     assert(frac < 0.05, s"candidate fraction $frac")
     assert(recall >= 0.6, s"recall $recall at frac $frac")
   }
+
+  // Regression guard for the REGISTERED parameterization: the round-2
+  // rescore blowup (candidate volume ~ a third of all pairs) must not
+  // silently come back through a parameter change — the bench-adjacent
+  // budget is candidate_frac <= 0.06 at the bench SF. Deterministic
+  // (seeded planes, fixed testdata), so the recall floor is a hard
+  // bound, not a flaky statistic. sf0.01's 500-vector corpus is
+  // cap-dominated (the 100-candidate cap IS a fifth of the corpus), so
+  // the budget is asserted where it is meaningful: the 2000-vector
+  // bench corpus.
+  test("registered s_ann_recall stays inside the rescore budget at sf0.1") {
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(sf01, "embeddings.parquet").exists())
+    val row = graft.SparkEntry.queries("s_ann_recall")(spark, sf01).collect().head
+    val frac = row.getAs[Double]("candidate_frac")
+    val recall = row.getAs[Double]("recall")
+    assert(frac <= 0.06, s"s_ann_recall candidate_frac regressed: $frac > 0.06")
+    assert(recall >= 0.2, s"s_ann_recall recall collapsed: $recall")
+  }
 }
