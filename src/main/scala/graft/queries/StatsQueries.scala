@@ -86,6 +86,38 @@ SELECT round(r2_space, 4) AS r2_space, round(r2_time, 4) AS r2_time,
 FROM r2s"""
   }
 
+  /** u7 oracle: the full forward-selection decision procedure in SQL for
+    * the two-predictor case — single-response R² closed forms (corr² for
+    * one predictor, the partial-correlation form for both), Ezekiel
+    * adjustment, argmax first step, and the two stop rules exactly as
+    * `forwardSelect` applies them: a step is taken only if it improves
+    * the best adjusted R² so far AND stays at or below the full-model
+    * adjusted R² (Blanchard-Legendre). The fixture is events-derived
+    * with closed-form structure — y = value, x1 = its 25-wide bucket
+    * (marginal R² ≈ 0.98), x2 = the in-bucket remainder (near-orthogonal
+    * to x1, completes the fit) — so every decision in the procedure has
+    * a margin of >= 0.02, far above any cross-engine numeric skew. */
+  private val forwardSelSql: String = """WITH
+base AS (SELECT value AS y, floor(value / 25) * 25 AS x1,
+  value - floor(value / 25) * 25 AS x2 FROM events),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+  coalesce(corr(x1, y), 0) AS r1, coalesce(corr(x2, y), 0) AS r2,
+  coalesce(corr(x1, x2), 0) AS r12 FROM base),
+calc AS (SELECT n,
+  CASE WHEN r1 * r1 >= r2 * r2 THEN 'bucket' ELSE 'remainder' END AS v1,
+  CASE WHEN r1 * r1 >= r2 * r2 THEN 'remainder' ELSE 'bucket' END AS v2,
+  greatest(r1 * r1, r2 * r2) AS rbest,
+  (r1 * r1 + r2 * r2 - 2 * r1 * r2 * r12) / (1 - r12 * r12) AS rboth FROM st),
+adj AS (SELECT v1, v2,
+  1 - (1 - rbest) * (n - 1) / (n - 2) AS adj1,
+  1 - (1 - rboth) * (n - 1) / (n - 3) AS adj2 FROM calc)
+SELECT * FROM (
+  SELECT 1 AS step, v1 AS sel_var, round(adj1, 4) AS adj_r2 FROM adj
+  WHERE adj1 > 0 AND adj1 <= adj2 + 1e-12
+  UNION ALL
+  SELECT 2 AS step, v2 AS sel_var, round(adj2, 4) AS adj_r2 FROM adj
+  WHERE adj1 > 0 AND adj1 <= adj2 + 1e-12 AND adj2 > adj1) t"""
+
   val defs: Seq[Q] = Seq(
 
     // U5/J9: PCNM computed dimension-first on the sites (driver-side
@@ -140,5 +172,41 @@ FROM r2s"""
           "frac_time", "frac_resid")
         .select(Seq("r2_space", "r2_time", "r2_both", "frac_space", "frac_joint",
           "frac_time", "frac_resid").map(cn => round(col(cn), 4).as(cn)): _*)
+    },
+
+    // U7: greedy forward selection of predictors (packfor/vegan
+    // forward.sel, spatial_modelling.Rmd:236-251) with the
+    // Blanchard-Legendre adjusted-R² stop. Spark runs the general
+    // Breeze OLS procedure; the oracle re-derives every decision —
+    // candidate ranking, Ezekiel adjustment, both stop rules — from
+    // correlation closed forms, so a wrong argmax, a wrong adjustment,
+    // or a broken stop all surface as a row/hash mismatch.
+    Q("u7_forward_sel", forwardSelSql) { (s, d) =>
+      import breeze.linalg.DenseMatrix
+      // The selection procedure is driver-side (model count × model
+      // count linear algebra on n×p), but its INPUT at scale would be
+      // the distributed moment aggregates — here the n×3 design matrix
+      // is collected directly (10k rows at sf0.01; a 100 TB deployment
+      // collects the p×p Gram/corr matrix instead, one aggregate).
+      val base = graft.Tables.events(s, d)
+        .select(col("value").as("y"),
+          (floor(col("value") / 25) * 25).cast("double").as("x1"),
+          (col("value") - floor(col("value") / 25) * 25).cast("double").as("x2"))
+        .collect()
+      val n = base.length
+      val y = DenseMatrix.tabulate(n, 1)((i, _) => base(i).getDouble(0))
+      val x = DenseMatrix.tabulate(n, 2)((i, j) => base(i).getDouble(1 + j))
+      val names = Seq("bucket", "remainder")
+      val sel = Multivariate.forwardSelect(y, x)
+      val steps = sel.zipWithIndex.map { case (ci, k) =>
+        val cols = sel.take(k + 1)
+        val xs = DenseMatrix.tabulate(n, cols.size)((i, kk) => x(i, cols(kk)))
+        val adj = Multivariate.adjustedR2(
+          Multivariate.varianceExplained(y, xs), n, cols.size)
+        (k + 1, names(ci), adj)
+      }
+      import s.implicits._
+      steps.toDF("step", "sel_var", "adj_r2")
+        .select(col("step"), col("sel_var"), round(col("adj_r2"), 4).as("adj_r2"))
     })
 }
