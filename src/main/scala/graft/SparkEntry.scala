@@ -31,6 +31,26 @@ object SparkEntry {
         Q("st_corpus_ingest",
           CorpusQueries.corpusIngestOracleSql) { (s, d) =>
           graft.streaming.CorpusIngest.ingestOnce(s, d)
+        },
+        // §2.11 watermark/late-data APPEND path: events replayed as an
+        // on-time batch (even ids), a LATE batch (odd ids), and a flush
+        // sentinel, one file per micro-batch. The oracle recomputes the
+        // watermark trajectory (max even event time - 1 day) and the
+        // drop rule (late row survives iff its day window was still
+        // open), so the append-mode emit/drop semantics are
+        // hash-checked, not just exercised. See streaming/LateArrivals.
+        Q("st_late_tally",
+          "WITH ev AS (SELECT event_id, event_type, ts + INTERVAL 8 HOUR AS tsl " +
+            "FROM events), " +
+            "wm AS (SELECT max(tsl) - INTERVAL 1 DAY AS w FROM ev WHERE event_id % 2 = 0), " +
+            "kept AS (" +
+            "SELECT event_type, tsl FROM ev WHERE event_id % 2 = 0 " +
+            "UNION ALL " +
+            "SELECT event_type, tsl FROM ev, wm WHERE event_id % 2 = 1 " +
+            "AND date_trunc('day', tsl) + INTERVAL 1 DAY > w) " +
+            "SELECT CAST(date_trunc('day', tsl) AS DATE) AS obs_date, event_type, " +
+            "CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1, 2") { (s, d) =>
+          graft.streaming.LateArrivals.lateTallyOnce(s, d)
         })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
