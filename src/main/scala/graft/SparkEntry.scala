@@ -39,6 +39,34 @@ object SparkEntry {
         // drop rule (late row survives iff its day window was still
         // open), so the append-mode emit/drop semantics are
         // hash-checked, not just exercised. See streaming/LateArrivals.
+        // §2.11 bounded-state streaming dedup: the 100 TB shape for
+        // streaming "first event per key" — state expires `delay` of
+        // event time after first occurrence (dropDuplicatesWithinWatermark)
+        // instead of growing forever. The oracle recomputes suppression
+        // (state live), re-admission (state expired) and the late drop
+        // from the staged earliest/spacer/latest replay; per-row
+        // semantics pinned in BoundedDedupSpec.
+        Q("st_bounded_dedup",
+          "WITH ev AS (SELECT user_id, CAST(floor(value / 50) AS BIGINT) AS vb, " +
+            "event_id, event_type, ts + INTERVAL 8 HOUR AS tsl FROM events), " +
+            "fr AS (SELECT *, " +
+            "row_number() OVER (PARTITION BY user_id, vb ORDER BY tsl, event_id) AS rn_a, " +
+            "row_number() OVER (PARTITION BY user_id, vb ORDER BY tsl DESC, event_id DESC) AS rn_d " +
+            "FROM ev), " +
+            "b0 AS (SELECT user_id, vb, event_type, tsl FROM fr WHERE rn_a = 1), " +
+            "b2 AS (SELECT user_id, vb, event_type, tsl FROM fr WHERE rn_d = 1), " +
+            "m0 AS (SELECT max(tsl) AS m FROM b0), " +
+            "emitted AS (" +
+            "SELECT event_type FROM b0 " +
+            "UNION ALL " +
+            "SELECT b2.event_type FROM b2, b0 f, m0 " +
+            "WHERE f.user_id = b2.user_id AND f.vb = b2.vb " +
+            "AND b2.tsl > m - INTERVAL 5 DAY " +
+            "AND f.tsl + INTERVAL 5 DAY < m - INTERVAL 5 DAY) " +
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n " +
+            "FROM emitted GROUP BY 1") { (s, d) =>
+          graft.streaming.BoundedDedup.firstEventPerUserOnce(s, d)
+        },
         Q("st_late_tally",
           "WITH ev AS (SELECT event_id, event_type, ts + INTERVAL 8 HOUR AS tsl " +
             "FROM events), " +
