@@ -22,9 +22,13 @@ import graft.text.TextFunctions
 object CorpusIngest {
 
   def ingestOnce(spark: SparkSession, sfDir: String,
-                 minQuality: Double = 0.6667): DataFrame = {
+                 minQuality: Double = 0.6667,
+                 extraConf: Map[String, String] = Map.empty): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // Session-scoped conf seam (e.g. RocksDB state store provider for
+    // production-sized dedup state — see RocksDbStateSpec).
+    extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
     val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     val stream = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))

@@ -73,9 +73,14 @@ object LateArrivals {
     * NOT emitted (append-mode contract). Runs on a cloned session so the
     * stream's shuffle-partition setting never leaks to the caller. */
   def appendDailyTally(spark: SparkSession, stagedDir: String,
-                       delay: String = "1 day"): DataFrame = {
+                       delay: String = "1 day",
+                       extraConf: Map[String, String] = Map.empty): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // Session-scoped conf seam: e.g. the RocksDB state store provider
+    // for production-sized state (see RocksDbStateSpec) — set on the
+    // CLONE, never the caller's session.
+    extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
     val stream = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, event_type STRING, ts_local TIMESTAMP"))
