@@ -39,6 +39,22 @@ object SparkEntry {
         // drop rule (late row survives iff its day window was still
         // open), so the append-mode emit/drop semantics are
         // hash-checked, not just exercised. See streaming/LateArrivals.
+        // §2.11 custom state (flatMapGroupsWithState + EventTimeTimeout):
+        // streaming sessionization driven to completion; settled result
+        // == batch gaps-and-islands (w_sessionize minus the session
+        // number). Both close paths fire: mid-stream (next event past
+        // the gap) and watermark timeout (the flush sentinel).
+        Q("st_sessions",
+          "WITH o AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+            "f AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 " +
+            "THEN 1 ELSE 0 END AS nw FROM o), " +
+            "s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+            "ROWS UNBOUNDED PRECEDING) AS session_no FROM f) " +
+            "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
+            "CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, session_no") { (s, d) =>
+          graft.streaming.Sessionize.sessionsOnce(s, d)
+        },
         // §2.11 bounded-state streaming dedup: the 100 TB shape for
         // streaming "first event per key" — state expires `delay` of
         // event time after first occurrence (dropDuplicatesWithinWatermark)
