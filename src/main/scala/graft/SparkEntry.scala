@@ -39,6 +39,20 @@ object SparkEntry {
         // drop rule (late row survives iff its day window was still
         // open), so the append-mode emit/drop semantics are
         // hash-checked, not just exercised. See streaming/LateArrivals.
+        // §2.11 stream-stream join: click→purchase attribution within an
+        // hour as a watermarked symmetric hash join (the time bound is
+        // what makes both sides' state evictable). Both sides staged as
+        // one file so every pair matches in one micro-batch and the
+        // settled result equals the batch range join — the oracle.
+        // Cross-batch match and post-watermark loss are pinned in
+        // StreamJoinSpec.
+        Q("st_stream_join",
+          "SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
+            "c.user_id FROM events c JOIN events p ON c.user_id = p.user_id " +
+            "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+            "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE") { (s, d) =>
+          graft.streaming.StreamJoin.attributionOnce(s, d)
+        },
         // §2.11 custom state (flatMapGroupsWithState + EventTimeTimeout):
         // streaming sessionization driven to completion; settled result
         // == batch gaps-and-islands (w_sessionize minus the session
