@@ -366,6 +366,42 @@ nv AS (SELECT * FROM (SELECT vec_id, embedding,
         TextFunctions.bpeishTokenCount(col("text")).as("n_bpe"))
     },
 
+    // Concat-and-chunk sequence packing (the pretraining tokenizer
+    // stage): docs laid end to end per language in doc_id order, cut
+    // into 512-token context windows, each doc assigned to the chunk
+    // its starting offset falls in. One window cumsum per language —
+    // deterministic, no sequential bin recurrence, one keyed shuffle.
+    Q("t_pack_chunks",
+      s"""WITH t AS (SELECT lang, doc_id, $tokCountSql AS tok FROM documents),
+c AS (SELECT lang, doc_id, tok,
+  sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e FROM t)
+SELECT lang, CAST(floor((e - tok) / 512.0) AS BIGINT) AS chunk_id,
+  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+  CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY 1, 2""") { (s, d) =>
+      graft.text.Mixing.concatChunk(Tables.documents(s, d), "lang", "doc_id",
+          TextFunctions.tokenCount(col("text")), 512)
+        .groupBy(col("lang"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    },
+
+    // Source-mixture weighting (static data-mixture stage): per-source
+    // token share and alpha=0.5 temperature sampling weight
+    // sqrt(tok_i)/sum sqrt(tok_j) — sqrt, not pow, so both engines
+    // produce bit-identical weights before rounding.
+    Q("t_mixture_weights",
+      s"""WITH t AS (SELECT source, $tokCountSql AS tok FROM documents),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS n_tokens FROM t GROUP BY 1)
+SELECT source, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 4) AS share,
+  round(sqrt(CAST(n_tokens AS DOUBLE)) / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 4) AS weight
+FROM s""") { (s, d) =>
+      graft.text.Mixing.mixtureWeights(Tables.documents(s, d), "source",
+        TextFunctions.tokenCount(col("text")))
+    },
+
     // Quality scoring battery (Gopher-style heuristics).
     Q("t_quality",
       s"SELECT doc_id, $punctRatioSql AS punct_ratio, $stopRatioSql AS stopword_ratio, " +

@@ -1,0 +1,57 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus assembly operators a pretraining pipeline runs after cleaning:
+  * sequence packing and source-mixture weighting.
+  *
+  *  - [[concatChunk]] is concatenate-then-chunk packing: documents are
+  *    laid end to end per group in a deterministic order and cut into
+  *    fixed token-budget context windows; a document belongs to the
+  *    chunk its STARTING offset falls in (documents cross boundaries,
+  *    exactly like LLM pretraining's concat+chunk tokenizer stage).
+  *    One window cumsum per group — no sequential recurrence, so it
+  *    stays a single keyed shuffle at any scale (the greedy
+  *    first-fit/best-fit bin packers are inherently sequential per bin
+  *    and cannot distribute without changing semantics).
+  *  - [[mixtureWeights]] computes per-source token shares and
+  *    temperature-scaled sampling weights w_i = share_i^0.5 normalized
+  *    (alpha = 0.5, the square-root temperature commonly used to
+  *    up-weight small sources) — group-cardinality sized, totals ride
+  *    as a broadcast. sqrt (not pow) so both engines round identically.
+  */
+object Mixing {
+
+  /** Starting-offset chunk assignment: per `groupCol` (ordered by
+    * `orderCol`), chunk_id = floor(startOffset / budgetTokens) where
+    * startOffset = running token sum EXCLUDING the current doc. */
+  def concatChunk(docs: DataFrame, groupCol: String, orderCol: String,
+                  tok: Column, budgetTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("_tok", tok)
+      .withColumn("_end", sum(col("_tok")).over(w))
+      .withColumn("chunk_id",
+        floor((col("_end") - col("_tok")) / lit(budgetTokens.toDouble)).cast("long"))
+  }
+
+  /** Per-source doc/token totals, token share, and alpha=0.5 sampling
+    * weight. Output: (srcCol, n_docs, n_tokens, share, weight). */
+  def mixtureWeights(docs: DataFrame, srcCol: String, tok: Column): DataFrame = {
+    val perSource = docs.withColumn("_tok", tok)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("_tot"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("_sqtot_raw"))
+    // share_i = tok_i / tot; w_i = sqrt(share_i) / sum_j sqrt(share_j)
+    // = sqrt(tok_i) / sum_j sqrt(tok_j) — the 1/sqrt(tot) cancels, so
+    // compute in the cancelled form (fewer roundings to agree on).
+    perSource.crossJoin(broadcast(totals))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("_tot"), 4).as("share"),
+        round(sqrt(col("n_tokens").cast("double")) / col("_sqtot_raw"), 4).as("weight"))
+  }
+}
