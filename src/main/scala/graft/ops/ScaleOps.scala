@@ -70,6 +70,19 @@ object ScaleOps {
     if (!df.sparkSession.catalog.tableExists(table))
       writeBucketed(df, table, key, numBuckets)
 
+  /** Write `df` as a directory tree partitioned by `partCol` (the
+    * physical layout that lets a partition-filtered query read ONE
+    * directory out of thousands instead of scanning everything — at
+    * 100 TB the difference between touching a day and touching three
+    * years). Idempotent: skipped when the destination already carries a
+    * _SUCCESS marker. */
+  def ensurePartitioned(df: DataFrame, path: String, partCol: String): Unit = {
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    }
+  }
+
   /** Join two same-bucketed tables on their bucket key. The caller is
     * asserting the physical layout matches; the plan check lives in the
     * test suite (no Exchange above either scan). */

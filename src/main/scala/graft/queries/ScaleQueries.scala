@@ -152,6 +152,33 @@ GROUP BY 1""") { (s, d) =>
       joined.groupBy("o_orderstatus").agg(
         count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+    }) ++ sc2Defs
+
+  private def sc2Defs: Seq[Q] = Seq(
+    // Partition pruning on a date-partitioned layout: the scan-side
+    // twin of sc1's shuffle-side claim. The events tree is written
+    // partitioned by event_date ONCE (prepare, idempotent); a
+    // single-day query must plan with a partition filter so only that
+    // day's directory is listed and read — at 100 TB this is the
+    // difference between touching a day and touching three years. The
+    // query REQUIREs the partition filter in the plan; a layout or
+    // pruning regression fails the query itself.
+    Q("sc2_partition_pruning",
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(value), 2) AS total_value FROM events " +
+        "WHERE CAST(ts AS DATE) = DATE '2024-01-15' GROUP BY 1") { (s, d) =>
+      prepare(s, d)
+      val q = s.read.parquet(partitionedEventsPath(s, d))
+        .filter(col("event_date") === lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      val scans = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty && scans.forall(f =>
+        f.partitionFilters.exists(_.references.exists(_.name == "event_date"))),
+        "single-day query did not plan a partition filter — pruning regressed")
+      q
     })
 
   /** Bucketed-table names, keyed by source dir so a warmup run at one SF
@@ -161,10 +188,18 @@ GROUP BY 1""") { (s, d) =>
     (s"graft_b_orders_$tag", s"graft_b_lineitem_$tag")
   }
 
+  /** Date-partitioned events layout path for `sfDir` (same keying). */
+  private def partitionedEventsPath(spark: org.apache.spark.sql.SparkSession,
+                                    sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_p_events_$tag").toString
+  }
+
   /** One-time physical-layout prep for `sfDir`: write both join sides
-    * bucketed+sorted on the key (no-op when the catalog already has
-    * them). Bench calls this before timing so the registered query
-    * measures the join, not the CTAS. */
+    * bucketed+sorted on the key and the date-partitioned events tree
+    * (no-ops when they already exist). Bench calls this before timing
+    * so the registered queries measure the steady state, not the CTAS. */
   def prepare(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
     val (tOrders, tLineitem) = bucketTables(sfDir)
     ScaleOps.ensureBucketed(
@@ -174,5 +209,10 @@ GROUP BY 1""") { (s, d) =>
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
       tLineitem, "o_orderkey", 8)
+    ScaleOps.ensurePartitioned(
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("event_date")),
+      partitionedEventsPath(spark, sfDir), "event_date")
   }
 }
