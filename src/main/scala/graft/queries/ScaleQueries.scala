@@ -120,6 +120,22 @@ GROUP BY 1""") { (s, d) =>
         min(col("doc_id")).as("first_kept"))
     },
 
+    // Deterministic seeded global shuffle order (training-order
+    // reproducibility): "the first 100 documents of epoch-42's shuffle"
+    // = top-100 by md5(doc_id:seed) — engine- and partitioning-
+    // independent, and it plans as TakeOrderedAndProject (per-partition
+    // top-N + single merge), never a global sort. Changing the seed
+    // literal is a new epoch's order.
+    Q("t_shuffle_order",
+      "SELECT doc_id, substr(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 8) " +
+        "AS shuffle_key FROM documents " +
+        "ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':42')) LIMIT 100") { (s, d) =>
+      val key = md5(concat(col("doc_id").cast("string"), lit(":42")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), substring(key, 1, 8).as("shuffle_key"), key.as("_k"))
+        .orderBy(col("_k")).limit(100).drop("_k")
+    },
+
     // Zero-exchange bucketed fact-fact join: both sides are written
     // bucketed+sorted on the join key (the physical-layout answer to a
     // join repeated across many queries/days — at 100 TB this is the
