@@ -32,13 +32,6 @@ object SparkEntry {
           CorpusQueries.corpusIngestOracleSql) { (s, d) =>
           graft.streaming.CorpusIngest.ingestOnce(s, d)
         },
-        // §2.11 watermark/late-data APPEND path: events replayed as an
-        // on-time batch (even ids), a LATE batch (odd ids), and a flush
-        // sentinel, one file per micro-batch. The oracle recomputes the
-        // watermark trajectory (max even event time - 1 day) and the
-        // drop rule (late row survives iff its day window was still
-        // open), so the append-mode emit/drop semantics are
-        // hash-checked, not just exercised. See streaming/LateArrivals.
         // §2.11 stream-stream join: click→purchase attribution within an
         // hour as a watermarked symmetric hash join (the time bound is
         // what makes both sides' state evictable). Both sides staged as
@@ -95,8 +88,15 @@ object SparkEntry {
             "AND f.tsl + INTERVAL 5 DAY < m - INTERVAL 5 DAY) " +
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n " +
             "FROM emitted GROUP BY 1") { (s, d) =>
-          graft.streaming.BoundedDedup.firstEventPerUserOnce(s, d)
+          graft.streaming.BoundedDedup.firstEventPerKeyOnce(s, d)
         },
+        // §2.11 watermark/late-data APPEND path: events replayed as an
+        // on-time batch (even ids), a LATE batch (odd ids), and a flush
+        // sentinel, one file per micro-batch. The oracle recomputes the
+        // watermark trajectory (max even event time - 1 day) and the
+        // drop rule (late row survives iff its day window was still
+        // open), so the append-mode emit/drop semantics are
+        // hash-checked, not just exercised. See streaming/LateArrivals.
         Q("st_late_tally",
           "WITH ev AS (SELECT event_id, event_type, ts + INTERVAL 8 HOUR AS tsl " +
             "FROM events), " +

@@ -39,7 +39,7 @@ object BoundedDedup {
     *   earliest time + delay < M0 - delay (state expired).
     * Output: per-event-type count of emitted rows (the flush-free shape
     * — dedup emits immediately, no window close needed). */
-  def firstEventPerUserOnce(spark: SparkSession, sfDir: String,
+  def firstEventPerKeyOnce(spark: SparkSession, sfDir: String,
                             delay: String = "5 days",
                             tz: String = "Australia/Perth"): DataFrame = {
     val ev = graft.Tables.events(spark, sfDir)

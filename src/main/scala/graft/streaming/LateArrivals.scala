@@ -54,9 +54,12 @@ object LateArrivals {
     batches.zipWithIndex.foreach { case (b, i) =>
       val tmp = dir.resolveSibling(dir.getFileName.toString + s"_stage$i")
       b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $tmp"))
+      val listing = Files.list(tmp)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $tmp"))
+        finally listing.close()
       val target = dir.resolve(f"b$i%03d.parquet")
       Files.move(part, target)
       rm(tmp.toFile)
