@@ -70,7 +70,7 @@ object SparkEntry {
         // from the staged earliest/spacer/latest replay; per-row
         // semantics pinned in BoundedDedupSpec.
         Q("st_bounded_dedup",
-          "WITH ev AS (SELECT user_id, CAST(floor(value / 50) AS BIGINT) AS vb, " +
+          "WITH ev AS (SELECT user_id, CAST(coalesce(floor(value / 50), -1) AS BIGINT) AS vb, " +
             "event_id, event_type, ts + INTERVAL 8 HOUR AS tsl FROM events), " +
             "fr AS (SELECT *, " +
             "row_number() OVER (PARTITION BY user_id, vb ORDER BY tsl, event_id) AS rn_a, " +

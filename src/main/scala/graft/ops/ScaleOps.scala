@@ -74,13 +74,32 @@ object ScaleOps {
     * physical layout that lets a partition-filtered query read ONE
     * directory out of thousands instead of scanning everything — at
     * 100 TB the difference between touching a day and touching three
-    * years). Idempotent: skipped when the destination already carries a
-    * _SUCCESS marker. */
-  def ensurePartitioned(df: DataFrame, path: String, partCol: String): Unit = {
+    * years). Idempotent across JVMs via a source fingerprint marker:
+    * skipped only when _SUCCESS exists AND the recorded fingerprint
+    * matches `srcFingerprint` — a regenerated source re-triggers the
+    * write instead of silently serving a stale tree (the same
+    * cross-process staleness writeBucketed guards against). */
+  def ensurePartitioned(df: DataFrame, path: String, partCol: String,
+                        srcFingerprint: String = ""): Unit = {
     val done = new java.io.File(path, "_SUCCESS")
-    if (!done.exists()) {
+    val marker = new java.io.File(path, "_GRAFT_SRC")
+    val fresh = done.exists() && (srcFingerprint.isEmpty ||
+      (marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == srcFingerprint))
+    if (!fresh) {
       df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+      if (srcFingerprint.nonEmpty)
+        java.nio.file.Files.write(marker.toPath, srcFingerprint.getBytes("UTF-8"))
+      ()
     }
+  }
+
+  /** Fingerprint of a source file for [[ensurePartitioned]]: length +
+    * mtime — cheap and changes whenever the driver regenerates it. */
+  def fileFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    s"${f.length}:${f.lastModified}"
   }
 
   /** Join two same-bucketed tables on their bucket key. The caller is

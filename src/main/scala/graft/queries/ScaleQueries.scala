@@ -229,6 +229,7 @@ GROUP BY 1""") { (s, d) =>
       Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"), col("value"),
           to_date(col("ts")).as("event_date")),
-      partitionedEventsPath(spark, sfDir), "event_date")
+      partitionedEventsPath(spark, sfDir), "event_date",
+      ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
   }
 }

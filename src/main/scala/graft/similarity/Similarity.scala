@@ -48,14 +48,16 @@ object Similarity {
 
   /** Default candidate-set materializer for the IVF path: a library
     * default must fail SAFE on a cluster, so when the SparkContext has a
-    * checkpoint dir this uses reliable `checkpoint()` (HDFS/object-store
-    * backed — survives executor loss mid-query). Only without a
+    * checkpoint dir this uses reliable `checkpoint(eager = false)`
+    * (HDFS/object-store backed — survives executor loss mid-query;
+    * lazy, like the localCheckpoint it replaces, so constructing a
+    * plan never triggers a job). Only without a
     * checkpoint dir does it fall back to `localCheckpoint` (executor
     * storage — fine single-node, lost with an executor), and then it
     * says so once on stderr instead of silently defaulting to the
     * non-durable choice. */
   def durableMaterialize(df: DataFrame): DataFrame =
-    if (materializerChoice(df) == "reliable") df.checkpoint()
+    if (materializerChoice(df) == "reliable") df.checkpoint(eager = false)
     else {
       if (!warnedLocalCheckpoint) {
         warnedLocalCheckpoint = true

@@ -43,7 +43,8 @@ object BoundedDedup {
                             delay: String = "5 days",
                             tz: String = "Australia/Perth"): DataFrame = {
     val ev = graft.Tables.events(spark, sfDir)
-      .select(col("user_id"), floor(col("value") / 50).cast("long").as("vb"),
+      .select(col("user_id"),
+        coalesce(floor(col("value") / 50), lit(-1L)).cast("long").as("vb"),
         col("event_id"), col("event_type"),
         from_utc_timestamp(col("ts"), tz).as("ts_local"))
     val asc = Window.partitionBy("user_id", "vb")

@@ -38,20 +38,26 @@ object Mixing {
   }
 
   /** Per-source doc/token totals, token share, and alpha=0.5 sampling
-    * weight. Output: (srcCol, n_docs, n_tokens, share, weight). */
+    * weight. Output: (srcCol, n_docs, n_tokens, share, weight).
+    *
+    * share_i = tok_i / tot; w_i = sqrt(share_i) / sum_j sqrt(share_j)
+    * = sqrt(tok_i) / sum_j sqrt(tok_j) — the 1/sqrt(tot) cancels, so
+    * compute in the cancelled form (fewer roundings to agree on). The
+    * totals come from an unpartitioned window OVER THE AGGREGATED
+    * frame (source-cardinality rows on one task — same shape as the
+    * oracle's `sum(...) OVER ()`), so the expensive scan+tokenize
+    * upstream executes exactly once. */
   def mixtureWeights(docs: DataFrame, srcCol: String, tok: Column): DataFrame = {
     val perSource = docs.withColumn("_tok", tok)
       .groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"))
-    val totals = perSource.agg(
-      sum(col("n_tokens")).as("_tot"),
-      sum(sqrt(col("n_tokens").cast("double"))).as("_sqtot_raw"))
-    // share_i = tok_i / tot; w_i = sqrt(share_i) / sum_j sqrt(share_j)
-    // = sqrt(tok_i) / sum_j sqrt(tok_j) — the 1/sqrt(tot) cancels, so
-    // compute in the cancelled form (fewer roundings to agree on).
-    perSource.crossJoin(broadcast(totals))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSource
       .select(col(srcCol), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens").cast("double") / col("_tot"), 4).as("share"),
-        round(sqrt(col("n_tokens").cast("double")) / col("_sqtot_raw"), 4).as("weight"))
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(w), 4).as("share"),
+        round(sqrt(col("n_tokens").cast("double")) /
+          sum(sqrt(col("n_tokens").cast("double"))).over(w), 4).as("weight"))
   }
 }

@@ -33,9 +33,8 @@ class MaterializerSpec extends SparkSpec {
     // checkpoint() must actually write into the configured dir.
     val ck = Similarity.durableMaterialize(d)
     assert(ck.count() == 40)
-    val wrote = java.nio.file.Files.walk(dir).iterator()
-    var files = 0
-    while (wrote.hasNext) { wrote.next(); files += 1 }
+    val walk = java.nio.file.Files.walk(dir)
+    val files = try walk.count() finally walk.close()
     assert(files > 1, s"reliable checkpoint left nothing under $dir")
     // End to end: the durable default yields the same top-k as an
     // explicit localCheckpoint materializer.

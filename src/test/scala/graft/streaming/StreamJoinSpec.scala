@@ -36,7 +36,6 @@ class StreamJoinSpec extends SparkSpec {
       Files.createTempDirectory("graft-sj-spec-p"))
     val out = StreamJoin.joinStaged(spark, cd.toString, pd.toString, 60)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    println("JOIN_PAIRS " + out.mkString(","))
     assert(out == Seq((1L, 100L)))
   }
 }
