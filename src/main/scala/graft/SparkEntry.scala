@@ -90,6 +90,15 @@ object SparkEntry {
             "FROM emitted GROUP BY 1") { (s, d) =>
           graft.streaming.BoundedDedup.firstEventPerKeyOnce(s, d)
         },
+        // §2.11 idempotent foreachBatch upsert (the reference's
+        // EntryBatchProcess skip-if-loaded semantics): two OVERLAPPING
+        // replayed batches land exactly once in the parquet target, so
+        // the settled target equals the plain batch table.
+        Q("st_upsert",
+          "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+            "round(sum(value), 2) AS total_value FROM events GROUP BY 1") { (s, d) =>
+          graft.streaming.UpsertSink.upsertOnce(s, d)
+        },
         // §2.11 watermark/late-data APPEND path: events replayed as an
         // on-time batch (even ids), a LATE batch (odd ids), and a flush
         // sentinel, one file per micro-batch. The oracle recomputes the

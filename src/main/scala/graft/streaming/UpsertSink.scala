@@ -43,4 +43,37 @@ object UpsertSink {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Registered query: events replayed as two OVERLAPPING micro-batches
+    * (ids ≡ 0..2 mod 5, then ids ≡ 2..4 mod 5 — the 20% overlap is the
+    * reference's replayed-batch reality, tagging-etl.Rmd:116-132)
+    * upserted by event_id into a parquet target. Exactly-once landing
+    * means the settled target equals the plain batch table — every row
+    * exactly once despite the overlap — so the batch aggregate is the
+    * oracle. Overlap rows are bit-identical on both arrivals, so
+    * first-wins is value-deterministic. */
+  def upsertOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val b0 = ev.filter(pmod(col("event_id"), lit(5L)) < 3)
+    val b1 = ev.filter(pmod(col("event_id"), lit(5L)) >= 2)
+    val staged = LateArrivals.stageBatches(Seq(b0, b1),
+      java.nio.file.Files.createTempDirectory("graft-upsert-src"))
+    val work = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val target = work.resolve("target").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    start(stream, target, "event_id", work.resolve("ckpt").toString)
+      .awaitTermination()
+    spark.read.parquet(target)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
 }
