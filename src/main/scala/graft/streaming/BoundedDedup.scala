@@ -56,8 +56,9 @@ object BoundedDedup {
     val latest = ev.withColumn("_rn", row_number().over(desc))
       .filter(col("_rn") === 1).drop("_rn")
     val spacer = ev.filter(lit(false))
-    val staged = LateArrivals.stageBatches(Seq(earliest, spacer, latest),
-      Files.createTempDirectory("graft-bounded-dedup"))
+    val (tag, fp) = LateArrivals.eventsTag("bounded_dedup", sfDir)
+    val staged = LateArrivals.stageBatchesCached(tag, s"$fp:3",
+      Seq(earliest, spacer, latest))
 
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")

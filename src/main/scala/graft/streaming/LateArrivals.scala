@@ -70,6 +70,34 @@ object LateArrivals {
     dir
   }
 
+  /** [[stageBatches]] with a cross-JVM cache: the staged replay of a
+    * registered query is a pure function of (query, source data), so it
+    * is written once under a tagged tmp dir and reused while the
+    * `srcFingerprint` (source length+mtime, plus the batch count)
+    * matches — the bench then times the stream, not re-staging, the
+    * same steady-state discipline as the bucketed/partitioned layouts.
+    * `batches` is by-name: a cache hit never builds the DataFrames. */
+  def stageBatchesCached(tag: String, srcFingerprint: String,
+                         batches: => Seq[DataFrame]): Path = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-stage-$tag")
+    val marker = dir.resolve("_GRAFT_SRC")
+    if (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == srcFingerprint) dir
+    else {
+      val staged = stageBatches(batches, dir)
+      Files.write(marker, srcFingerprint.getBytes("UTF-8"))
+      staged
+    }
+  }
+
+  /** Staging cache key material for a query over `sfDir`'s events. */
+  private[streaming] def eventsTag(name: String, sfDir: String): (String, String) = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    (s"${name}_$tag",
+      graft.ops.ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+  }
+
   /** Append-mode watermarked day tally over a staged directory, drained
     * with AvailableNow one file per micro-batch. Emitted rows = windows
     * the watermark closed; a window still open when the stream drains is
@@ -132,8 +160,9 @@ object LateArrivals {
       Seq(org.apache.spark.sql.Row(-1L, "_flush", flushTs)).asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, event_type STRING, ts_local TIMESTAMP"))
-    val staged = stageBatches(Seq(even, spacer, odd, flush),
-      Files.createTempDirectory("graft-late-tally"))
+    val (tag, fp) = eventsTag("late_tally", sfDir)
+    val staged = stageBatchesCached(s"$tag", s"$fp:4",
+      Seq(even, spacer, odd, flush))
     appendDailyTally(spark, staged.toString, "1 day")
   }
 }

@@ -101,8 +101,8 @@ object Sessionize {
       Seq(org.apache.spark.sql.Row(-1L, -1L, flushTs)).asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
         "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"))
-    val staged = LateArrivals.stageBatches(Seq(ev, flush),
-      java.nio.file.Files.createTempDirectory("graft-stream-sessions"))
+    val (tag, fp) = LateArrivals.eventsTag("sessions", sfDir)
+    val staged = LateArrivals.stageBatchesCached(tag, s"$fp:2", Seq(ev, flush))
 
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")

@@ -72,10 +72,10 @@ object StreamJoin {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
         col("ts").as("purchase_ts"))
-    val cd = LateArrivals.stageBatches(Seq(clicks),
-      Files.createTempDirectory("graft-sj-clicks"))
-    val pd = LateArrivals.stageBatches(Seq(purchases),
-      Files.createTempDirectory("graft-sj-purchases"))
+    val (ctag, fp) = LateArrivals.eventsTag("sj_clicks", sfDir)
+    val (ptag, _) = LateArrivals.eventsTag("sj_purchases", sfDir)
+    val cd = LateArrivals.stageBatchesCached(ctag, s"$fp:1", Seq(clicks))
+    val pd = LateArrivals.stageBatchesCached(ptag, s"$fp:1", Seq(purchases))
     joinStaged(spark, cd.toString, pd.toString, horizonMinutes)
   }
 }
