@@ -45,6 +45,22 @@ class PartitionPruningSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 30)
   }
 
+  test("fingerprinted layout rewrites when the source regenerates, skips when it matches") {
+    val d1 = df("id BIGINT, event_date DATE")(
+      (1 to 6).map(i => Row(i.toLong, java.sql.Date.valueOf("2024-02-01"))))
+    val d2 = df("id BIGINT, event_date DATE")(
+      (1 to 9).map(i => Row(i.toLong, java.sql.Date.valueOf("2024-02-01"))))
+    val path = Files.createTempDirectory("graft-prune-fp").toString + "/t"
+    ScaleOps.ensurePartitioned(d1, path, "event_date", "src-v1")
+    assert(spark.read.parquet(path).count() == 6)
+    // Same fingerprint: the (different) frame must NOT be written.
+    ScaleOps.ensurePartitioned(d2, path, "event_date", "src-v1")
+    assert(spark.read.parquet(path).count() == 6)
+    // Source regenerated (new fingerprint): the stale tree is replaced.
+    ScaleOps.ensurePartitioned(d2, path, "event_date", "src-v2")
+    assert(spark.read.parquet(path).count() == 9)
+  }
+
   implicit final class Tap[A](private val a: A) {
     def tap(f: A => Unit): A = { f(a); a }
   }
