@@ -68,31 +68,6 @@ object RelationalQueries {
         .select("o_orderstatus", "o_totalprice", "o_orderkey")
     },
 
-    // The full ranking-function family over one totally-ordered window
-    // (unique o_orderkey tie-break => identical resolution on both
-    // engines). percent_rank/cume_dist are ratio-valued -> round(6).
-    Q("w_rank_family",
-      "SELECT o_orderkey, o_orderstatus, " +
-        "CAST(row_number() OVER w AS BIGINT) AS rn, " +
-        "CAST(rank() OVER w AS BIGINT) AS rk, " +
-        "CAST(dense_rank() OVER w AS BIGINT) AS drk, " +
-        "round(percent_rank() OVER w, 6) AS prk, " +
-        "round(cume_dist() OVER w, 6) AS cd, " +
-        "CAST(ntile(4) OVER w AS BIGINT) AS quartile " +
-        "FROM orders WINDOW w AS " +
-        "(PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)") { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
-        row_number().over(w).cast("long").as("rn"),
-        rank().over(w).cast("long").as("rk"),
-        dense_rank().over(w).cast("long").as("drk"),
-        round(percent_rank().over(w), 6).as("prk"),
-        round(cume_dist().over(w), 6).as("cd"),
-        ntile(4).over(w).cast("long").as("quartile"))
-    },
-
     // Irregular GROUPING SETS — the general form behind rollup/cube:
     // per-(flag,status) cells plus status-only margins in ONE Expand +
     // keyed aggregate, no re-scan per level.

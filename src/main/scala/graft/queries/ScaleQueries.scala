@@ -108,22 +108,24 @@ object ScaleQueries {
     // (DataSketches frequent-items: one pass, mergeable, NO keyed
     // shuffle over every distinct user); the query runs it and requires
     // that the exact top-5 (count desc, id asc) all appear in the
-    // sketch's top-10 with exact counts — tracked-capacity well above
-    // the key cardinality makes sketch counts exact, so any miss is a
-    // real regression. Returns the exact, oracle-comparable top-5.
+    // sketch's top-50 with exact counts — tracked-capacity well above
+    // the key cardinality makes sketch counts exact, and the wide
+    // margin keeps the gate tie-safe (a tie group spanning the exact
+    // cutoff cannot span rank 50 too), so any miss is a real
+    // regression. Returns the exact, oracle-comparable top-5.
     Q("a12_heavy_hitters",
       "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events " +
         "GROUP BY 1 ORDER BY n DESC, user_id LIMIT 5") { (s, d) =>
       val ev = Tables.events(s, d)
       val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("user_id")).limit(5).collect()
-      val sketch = ev.agg(expr("approx_top_k(user_id, 10, 100000)")).head()
+      val sketch = ev.agg(expr("approx_top_k(user_id, 50, 100000)")).head()
         .getSeq[org.apache.spark.sql.Row](0)
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       exact.foreach { r =>
         val (u, n) = (r.getLong(0), r.getLong(1))
         require(sketch.get(u).contains(n),
-          s"approx_top_k missed heavy hitter $u (exact n=$n, sketch=${sketch.get(u)})")
+          s"approx_top_k missed heavy hitter $u (exact n=$n, sketch has ${sketch.get(u)})")
       }
       import s.implicits._
       exact.toSeq.map(r => (r.getLong(0), r.getLong(1))).toDF("user_id", "n")

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import java.nio.file.Files
 
 /** Bounded-state streaming dedup (SURVEY §2.11 at 100 TB): plain
   * `dropDuplicates` keeps one state entry per key FOREVER — on an
@@ -56,8 +55,9 @@ object BoundedDedup {
     val latest = ev.withColumn("_rn", row_number().over(desc))
       .filter(col("_rn") === 1).drop("_rn")
     val spacer = ev.filter(lit(false))
-    val (tag, fp) = LateArrivals.eventsTag("bounded_dedup", sfDir)
-    val staged = LateArrivals.stageBatchesCached(tag, s"$fp:3",
+    val (tag, fp) = LateArrivals.eventsTag("bounded_dedup", sfDir,
+      s"$delay:vb50:3batches:v1")
+    val staged = LateArrivals.stageBatchesCached(tag, fp,
       Seq(earliest, spacer, latest))
 
     val ss = spark.newSession()

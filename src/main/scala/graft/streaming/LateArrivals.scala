@@ -82,20 +82,38 @@ object LateArrivals {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft-stage-$tag")
     val marker = dir.resolve("_GRAFT_SRC")
-    if (Files.exists(marker) &&
-        new String(Files.readAllBytes(marker), "UTF-8") == srcFingerprint) dir
-    else {
-      val staged = stageBatches(batches, dir)
-      Files.write(marker, srcFingerprint.getBytes("UTF-8"))
-      staged
-    }
+    // Cross-process file lock around check+stage: two JVMs racing the
+    // same tag must not rm/re-stage the dir under each other (the
+    // second comer re-checks the marker under the lock and reuses).
+    val lockPath = dir.resolveSibling(dir.getFileName.toString + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        if (Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), "UTF-8") == srcFingerprint) dir
+        else {
+          val staged = stageBatches(batches, dir)
+          Files.write(marker, srcFingerprint.getBytes("UTF-8"))
+          staged
+        }
+      } finally lock.release()
+    } finally ch.close()
   }
 
-  /** Staging cache key material for a query over `sfDir`'s events. */
-  private[streaming] def eventsTag(name: String, sfDir: String): (String, String) = {
+  /** Staging cache key material for a query over `sfDir`'s events.
+    * `params` must name EVERYTHING that shapes the staged content
+    * beyond the source data — timezone, gap/delay/bucket knobs, batch
+    * count, and a version literal to bump when the batch-construction
+    * code changes — or a parameter change would silently replay a
+    * stale staging. */
+  private[streaming] def eventsTag(name: String, sfDir: String,
+                                   params: String): (String, String) = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     (s"${name}_$tag",
-      graft.ops.ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+      graft.ops.ScaleOps.fileFingerprint(s"$sfDir/events.parquet") + ":" + params)
   }
 
   /** Append-mode watermarked day tally over a staged directory, drained
@@ -147,22 +165,24 @@ object LateArrivals {
     * split. */
   def lateTallyOnce(spark: SparkSession, sfDir: String,
                     tz: String = "Australia/Perth"): DataFrame = {
-    val ev = graft.Tables.events(spark, sfDir)
-      .select(col("event_id"), col("event_type"),
-        from_utc_timestamp(col("ts"), tz).as("ts_local"))
-    val even = ev.filter(pmod(col("event_id"), lit(2L)) === 0)
-    val spacer = ev.filter(lit(false))
-    val odd = ev.filter(pmod(col("event_id"), lit(2L)) === 1)
-    // Scalar seam: one max() to place the flush sentinel.
-    val maxTs = ev.agg(max(col("ts_local"))).head().getTimestamp(0)
-    val flushTs = new java.sql.Timestamp(maxTs.getTime + 4L * 24 * 3600 * 1000)
-    val flush = spark.createDataFrame(
-      Seq(org.apache.spark.sql.Row(-1L, "_flush", flushTs)).asJava,
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, event_type STRING, ts_local TIMESTAMP"))
-    val (tag, fp) = eventsTag("late_tally", sfDir)
-    val staged = stageBatchesCached(s"$tag", s"$fp:4",
-      Seq(even, spacer, odd, flush))
+    val (tag, fp) = eventsTag("late_tally", sfDir, s"$tz:1day:4batches:v1")
+    val staged = stageBatchesCached(tag, fp, {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          from_utc_timestamp(col("ts"), tz).as("ts_local"))
+      val even = ev.filter(pmod(col("event_id"), lit(2L)) === 0)
+      val spacer = ev.filter(lit(false))
+      val odd = ev.filter(pmod(col("event_id"), lit(2L)) === 1)
+      // Scalar seam: one max() to place the flush sentinel. Inside the
+      // by-name block: a cache hit must not pay this scan.
+      val maxTs = ev.agg(max(col("ts_local"))).head().getTimestamp(0)
+      val flushTs = new java.sql.Timestamp(maxTs.getTime + 4L * 24 * 3600 * 1000)
+      val flush = spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(-1L, "_flush", flushTs)).asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, ts_local TIMESTAMP"))
+      Seq(even, spacer, odd, flush)
+    })
     appendDailyTally(spark, staged.toString, "1 day")
   }
 }

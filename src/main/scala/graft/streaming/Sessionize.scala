@@ -91,18 +91,23 @@ object Sessionize {
   def sessionsOnce(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                    gapMinutes: Int = 30): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val ev = graft.Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    val flushTs = new java.sql.Timestamp(
-      maxTs.getTime + 10L * gapMinutes * 60L * 1000L)
-    import scala.jdk.CollectionConverters._
-    val flush = spark.createDataFrame(
-      Seq(org.apache.spark.sql.Row(-1L, -1L, flushTs)).asJava,
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"))
-    val (tag, fp) = LateArrivals.eventsTag("sessions", sfDir)
-    val staged = LateArrivals.stageBatchesCached(tag, s"$fp:2", Seq(ev, flush))
+    val (tag, fp) = LateArrivals.eventsTag("sessions", sfDir,
+      s"gap$gapMinutes:2batches:v1")
+    val staged = LateArrivals.stageBatchesCached(tag, fp, {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      // Flush placement needs one max() scan — inside the by-name
+      // block so a cache hit never pays it.
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val flushTs = new java.sql.Timestamp(
+        maxTs.getTime + 10L * gapMinutes * 60L * 1000L)
+      import scala.jdk.CollectionConverters._
+      val flush = spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(-1L, -1L, flushTs)).asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"))
+      Seq(ev, flush)
+    })
 
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")

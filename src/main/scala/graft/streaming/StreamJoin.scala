@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import java.nio.file.Files
 
 /** Stream-stream inner join (§2.11 at scale): click→purchase
   * attribution within a time horizon, as a streaming symmetric hash
@@ -72,10 +71,10 @@ object StreamJoin {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
         col("ts").as("purchase_ts"))
-    val (ctag, fp) = LateArrivals.eventsTag("sj_clicks", sfDir)
-    val (ptag, _) = LateArrivals.eventsTag("sj_purchases", sfDir)
-    val cd = LateArrivals.stageBatchesCached(ctag, s"$fp:1", Seq(clicks))
-    val pd = LateArrivals.stageBatchesCached(ptag, s"$fp:1", Seq(purchases))
+    val (ctag, cfp) = LateArrivals.eventsTag("sj_clicks", sfDir, "1batch:v1")
+    val (ptag, pfp) = LateArrivals.eventsTag("sj_purchases", sfDir, "1batch:v1")
+    val cd = LateArrivals.stageBatchesCached(ctag, cfp, Seq(clicks))
+    val pd = LateArrivals.stageBatchesCached(ptag, pfp, Seq(purchases))
     joinStaged(spark, cd.toString, pd.toString, horizonMinutes)
   }
 }

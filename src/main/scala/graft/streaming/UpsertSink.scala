@@ -58,8 +58,9 @@ object UpsertSink {
       .select(col("event_id"), col("event_type"), col("value"))
     val b0 = ev.filter(pmod(col("event_id"), lit(5L)) < 3)
     val b1 = ev.filter(pmod(col("event_id"), lit(5L)) >= 2)
-    val (tag, fp) = LateArrivals.eventsTag("upsert_src", sfDir)
-    val staged = LateArrivals.stageBatchesCached(tag, s"$fp:2", Seq(b0, b1))
+    val (tag, fp) = LateArrivals.eventsTag("upsert_src", sfDir,
+      "mod5overlap:2batches:v1")
+    val staged = LateArrivals.stageBatchesCached(tag, fp, Seq(b0, b1))
     val work = java.nio.file.Files.createTempDirectory("graft-upsert")
     val target = work.resolve("target").toString
     val ss = spark.newSession()
