@@ -46,6 +46,33 @@ object SpatialQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Geodesic pairwise distances (haversine, km) among a bounded point
+    // sample — the great-circle counterpart of the reference's planar
+    // dist() on degrees (spatial_modelling.Rmd:217; s_pairwise_dist is
+    // the planar twin). sin/cos/asin are IEEE-identical on both
+    // engines; round(4) on km. Sample capped at 30 points so the pair
+    // volume stays dimension-sized (the 100 TB form keys pairs by a
+    // spatial grid cell, never all-pairs).
+    Q("sp_haversine",
+      "WITH p AS (SELECT event_id, (value % 3.6) * 100 - 180 AS lon, " +
+        "CAST((event_id % 180) - 90 AS DOUBLE) AS lat FROM events WHERE event_id < 30) " +
+        "SELECT a.event_id AS id1, b.event_id AS id2, " +
+        "round(2 * 6371.0088 * asin(sqrt(" +
+        "pow(sin(radians(b.lat - a.lat) / 2), 2) + " +
+        "cos(radians(a.lat)) * cos(radians(b.lat)) * " +
+        "pow(sin(radians(b.lon - a.lon) / 2), 2))), 4) AS dist_km " +
+        "FROM p a JOIN p b ON a.event_id < b.event_id") { (s, d) =>
+      val pts = synth(s, d).filter(col("event_id") < 30)
+      val l = pts.select(col("event_id").as("id1"), col("lon").as("lon1"),
+        col("lat").as("lat1"))
+      val r = pts.select(col("event_id").as("id2"), col("lon").as("lon2"),
+        col("lat").as("lat2"))
+      l.crossJoin(r).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(Spatial.haversineKm(col("lon1"), col("lat1"),
+            col("lon2"), col("lat2")), 4).as("dist_km"))
+    },
+
     // J10 row-level: the geocoded label per point (exercises the codegen
     // expression per row rather than post-aggregation).
     Q("j10_geocode_rows",

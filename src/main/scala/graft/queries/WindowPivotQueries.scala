@@ -64,6 +64,31 @@ object WindowPivotQueries {
         .select("event_id", "observation_status")
     },
 
+    // Spark's NATIVE session-window operator (the declarative form of
+    // the manual gaps-and-islands below and of the custom
+    // flatMapGroupsWithState sessionizer): groupBy(session_window(ts,
+    // gap), user) merges touching windows inside one keyed aggregate.
+    // Session bounds are [first event, last event + gap), so
+    // session_start identifies the same sessions the manual form finds
+    // — the oracle recomputes them with the gaps-and-islands CTE and
+    // derives the native operator's end as max(ts) + gap.
+    Q("w_session_window",
+      "WITH o AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+        "f AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS nw FROM o), " +
+        "s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS session_no FROM f) " +
+        "SELECT user_id, min(ts) AS session_start, " +
+        "max(ts) + INTERVAL 30 MINUTE AS session_end, " +
+        "CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, session_no") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+    },
+
     // Gaps-and-islands sessionization, 30-minute gap per user — the batch
     // twin of the streaming flatMapGroupsWithState sessionizer.
     Q("w_sessionize",

@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Spatial {
 
+  /** Great-circle (haversine) distance in kilometres between two
+    * lon/lat points (mean Earth radius 6371.0088 km). The reference's
+    * `dist(xy)` treats degrees as planar coordinates
+    * (spatial_modelling.Rmd:217) — adequate over a 100 km coastline,
+    * increasingly wrong with latitude; this is the geodesic a
+    * wildlife-monitoring engine should also offer. Pure column math,
+    * fully inside WholeStageCodegen, SQL-expressible for the oracle. */
+  def haversineKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val r = lit(6371.0088)
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val h = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2) * r * asin(sqrt(h))
+  }
+
   /** Closed 5-point rectangle ring from bbox corners, the reference's
     * polygon construction (ningaloo-etl.Rmd:96-120: SW,SE,NE,NW,SW). */
   def bboxPoly(xMin: Double, yMin: Double, xMax: Double, yMax: Double): Poly =
