@@ -153,6 +153,46 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // D8: dense daily series + trailing 7-day moving average — the
+    // reference plots daily tallies where absent days are silently
+    // missing (turtle-tracks.Rmd:93-103); the analytics-grade form
+    // zero-fills the calendar (sequence + explode against the distinct
+    // key grid, calendar broadcast) and computes the rolling mean over
+    // the now-contiguous days (ROWS window == RANGE window once days
+    // are dense). Gaps are real at every SF: most (type, user) series
+    // have empty days.
+    Q("d8_daily_series",
+      "WITH ev AS (SELECT event_type, user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "span AS (SELECT min(d) AS lo, max(d) AS hi FROM ev), " +
+        "cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM span), " +
+        "keys AS (SELECT DISTINCT event_type, user_id FROM ev), " +
+        "daily AS (SELECT event_type, user_id, d, count(*) AS n FROM ev GROUP BY 1, 2, 3), " +
+        "filled AS (SELECT k.event_type, k.user_id, c.d, coalesce(dy.n, 0) AS n " +
+        "FROM keys k CROSS JOIN cal c " +
+        "LEFT JOIN daily dy ON dy.event_type = k.event_type " +
+        "AND dy.user_id = k.user_id AND dy.d = c.d) " +
+        "SELECT event_type, user_id, d AS obs_date, CAST(n AS BIGINT) AS n, " +
+        "round(avg(n) OVER (PARTITION BY event_type, user_id ORDER BY d " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7 FROM filled") { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+      val daily = ev.groupBy("event_type", "user_id", "d")
+        .agg(count(lit(1)).as("n"))
+      val cal = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("d"))
+      val keys = ev.select("event_type", "user_id").distinct()
+      val filled = keys.crossJoin(broadcast(cal))
+        .join(daily, Seq("event_type", "user_id", "d"), "left")
+        .select(col("event_type"), col("user_id"), col("d"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("d")).rowsBetween(-6, 0)
+      filled.select(col("event_type"), col("user_id"), col("d").as("obs_date"),
+        col("n"), round(avg(col("n")).over(w), 4).as("avg7"))
+    },
+
     // D6/D2: UTC instant -> Perth-local calendar date as grouping key
     // (turtle-tracks.Rmd:55). Perth is UTC+8 with no DST, so the oracle
     // can shift by a constant interval.
