@@ -84,6 +84,33 @@ object RelationalQueries {
         .select("l_returnflag", "l_linestatus", "gid", "n")
     },
 
+    // A13: CUBE — all four grouping combinations of (flag, status) from
+    // one Expand + keyed aggregate (completes the Expand family next to
+    // a7 rollup and a11 grouping sets).
+    Q("a13_cube",
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus)") { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+    },
+
+    // A14: boolean/conditional aggregates — count_if + bool_and/bool_or
+    // (all deterministic, unlike any_value).
+    Q("a14_bool_aggs",
+      "SELECT event_type, " +
+        "CAST(count(CASE WHEN value > 100 THEN 1 END) AS BIGINT) AS n_big, " +
+        "bool_and(value > 0) AS all_positive, " +
+        "bool_or(value > 400) AS any_huge FROM events GROUP BY 1") { (s, d) =>
+      Tables.events(s, d).groupBy("event_type").agg(
+        count_if(col("value") > 100).as("n_big"),
+        bool_and(col("value") > 0).as("all_positive"),
+        bool_or(col("value") > 400).as("any_huge"))
+    },
+
     // Row-level set operations (SQL INTERSECT / EXCEPT are set
     // semantics, deduplicated — Spark's intersect/except match).
     Q("o6_set_ops",

@@ -89,6 +89,36 @@ object WindowPivotQueries {
           col("session_window.end").as("session_end"), col("n_events"))
     },
 
+    // Value-window family: first/last/nth over an explicit
+    // whole-partition ROWS frame (the default RANGE frame makes
+    // last_value the current row — the classic trap; the explicit frame
+    // is the useful form) plus lead/lag with defaults.
+    Q("w_value_family",
+      "SELECT o_orderkey, o_orderstatus, " +
+        "first_value(o_orderkey) OVER w AS cheapest, " +
+        "last_value(o_orderkey) OVER w AS priciest, " +
+        "nth_value(o_orderkey, 2) OVER w AS second_cheapest, " +
+        "lead(o_orderkey, 1, -1) OVER " +
+        "(PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS next_key, " +
+        "lag(o_orderkey, 1, -1) OVER " +
+        "(PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS prev_key " +
+        "FROM orders WINDOW w AS " +
+        "(PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)") { (s, d) =>
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val w = ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        first(col("o_orderkey")).over(w).as("cheapest"),
+        last(col("o_orderkey")).over(w).as("priciest"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_cheapest"),
+        lead(col("o_orderkey"), 1, -1).over(ord).as("next_key"),
+        lag(col("o_orderkey"), 1, -1).over(ord).as("prev_key"))
+    },
+
     // Gaps-and-islands sessionization, 30-minute gap per user — the batch
     // twin of the streaming flatMapGroupsWithState sessionizer.
     Q("w_sessionize",
