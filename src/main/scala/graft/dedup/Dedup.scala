@@ -259,37 +259,43 @@ object Dedup {
   // Every sketch above hashes with xxhash64 (cheap, codegen'd) — which no
   // ANSI-SQL oracle can reproduce. Each sketch therefore has an md5 twin
   // built from exactly the same pipeline shape with md5-derived hash
-  // material (hex strings compared lexicographically, or 32-bit halves
-  // parsed from hex nibbles), so an independent engine can recompute the
+  // material (32-bit words parsed from hex nibbles, combined with plain
+  // integer arithmetic), so an independent engine can recompute the
   // whole pipeline — signatures, banding, candidate join, verification —
   // bit for bit. The twins trade per-row hash cost for auditability; the
   // xxhash64 variants remain the production path.
 
-  /** Per-permutation MinHash value as an md5 hex string (lexicographic
-    * min is the aggregate); `i:` prefixing makes the k permutations
-    * independent. */
-  private def permHashMd5(shingle: Column, i: Int): Column =
-    md5(concat(lit(s"$i:"), shingle))
-
-  /** [[minhashSignaturesFromSets]]' md5 twin: signature components are
-    * hex strings, minimized lexicographically (identical byte order in
-    * Spark and ANSI engines). */
+  /** [[minhashSignaturesFromSets]]' md5 twin, 2-word affine
+    * construction (Kirsch & Mitzenmacher's two-hash scheme): ONE md5
+    * per shingle, split into two 32-bit words (big-endian hex parse of
+    * nibbles 1-8 and 9-16), with permutation i's value the affine
+    * combination `(w1 + i*w2) mod 2^32`. One string hash per shingle
+    * instead of k — the per-shingle cost no longer scales with the
+    * signature width — while every derived number stays recomputable by
+    * any engine with md5 + integer arithmetic (max intermediate is
+    * `w1 + 31*w2 < 2^37`, far inside BIGINT, so ANSI overflow semantics
+    * never trigger). */
   def minhashSignaturesFromSetsMd5(sets: DataFrame, idCol: String,
                                    numHashes: Int): DataFrame = {
+    val h = md5(col("shingle"))
+    val words = sets.select(col(idCol),
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("_w1"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("_w2"))
     val aggs = (0 until numHashes).map(i =>
-      min(permHashMd5(col("shingle"), i)).as(s"mh_$i"))
-    sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min((col("_w1") + lit(i.toLong) * col("_w2")) % lit(4294967296L)).as(s"mh_$i"))
+    words.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (id, band_idx, band_hash) bucket rows, md5 banding: the band key is
-    * md5(mh_a || '|' || ... || mh_b) over the band's signature columns
-    * in order. */
+  /** (id, band_idx, band_hash) bucket rows, md5-twin banding: the band
+    * key is the '|'-joined decimal rendering of the band's signature
+    * values in permutation order — a direct composite key, no further
+    * hashing needed (the join is on equality, not on key width). */
   private[graft] def bandBucketsMd5(sigs: DataFrame, idCol: String,
                                     numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band_idx"), md5(concat_ws("|", cols: _*)).as("band_hash"))
+      struct(lit(b).as("band_idx"), concat_ws("|", cols: _*).as("band_hash"))
     }
     sigs.select(col(idCol), explode(array(bands: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))

@@ -160,18 +160,21 @@ FROM cd WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3"""
   /** One corpus side of the MinHash md5-twin pipeline, CTE names
     * prefixed with `p`: distinct word 2-gram shingles (fewer than 2
     * tokens collapse to the space-joined whole, matching WordShingles),
-    * 32 per-permutation md5 min-hashes, md5 band hashes over 4-wide
-    * bands — ends at `{p}bnd` (doc_id, band, bh). */
+    * ONE md5 per shingle split into two 32-bit words, 32 affine
+    * `(w1 + p*w2) mod 2^32` min-hashes, '|'-joined decimal band keys
+    * over 4-wide bands — ends at `{p}bnd` (doc_id, band, bh). Mirrors
+    * [[Dedup.minhashSignaturesFromSetsMd5]]/[[Dedup.bandBucketsMd5]]. */
   private def minhashSideCtes(p: String, src: String): String =
     s"""${p}tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM $src),
 ${p}sh AS (SELECT DISTINCT doc_id, shingle FROM (
   SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
     ELSE list_transform(ts, (x, i) -> CASE WHEN i < len(ts) THEN x || ' ' || ts[i + 1] END)
     END) AS shingle FROM ${p}tk) WHERE shingle IS NOT NULL),
-${p}pm AS (SELECT doc_id, shingle, g.p AS p, md5(CAST(g.p AS VARCHAR) || ':' || shingle) AS h
-  FROM ${p}sh, generate_series(0, 31) g(p)),
-${p}sgl AS (SELECT doc_id, p, min(h) AS mh FROM ${p}pm GROUP BY 1, 2),
-${p}bnd AS (SELECT doc_id, p // 4 AS band, md5(string_agg(mh, '|' ORDER BY p)) AS bh
+${p}wd AS (SELECT doc_id, ${OracleSqlGen.hex8("md5(shingle)", 1)} AS w1,
+  ${OracleSqlGen.hex8("md5(shingle)", 9)} AS w2 FROM ${p}sh),
+${p}sgl AS (SELECT doc_id, g.p AS p, min((w1 + g.p * w2) % 4294967296) AS mh
+  FROM ${p}wd, generate_series(0, 31) g(p) GROUP BY 1, 2),
+${p}bnd AS (SELECT doc_id, p // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY p) AS bh
   FROM ${p}sgl GROUP BY doc_id, p // 4)"""
 
   /** Single-corpus chain: side CTEs + self bucket join + exact Jaccard
