@@ -723,6 +723,53 @@ SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT id2 FROM nd)""") { (s, d) =>
       graft.text.CorpusStats.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)
     },
 
+    // CCNet-style unigram-LM quality score: corpus unigram frequencies
+    // in one keyed aggregate, each doc scored by the mean -ln p(token)
+    // of its occurrences — the perplexity-filter stage of a training
+    // pipeline, at the unigram floor both engines can recompute exactly.
+    Q("t_unigram_lm",
+      """WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_total FROM cf)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+  round(ln(CAST(max(n_total) AS DOUBLE)) - sum(tf * ln(CAST(cf AS DOUBLE))) / sum(tf), 4) AS avg_nll
+FROM tf JOIN cf USING (term) CROSS JOIN tot GROUP BY doc_id""") { (s, d) =>
+      graft.text.CorpusStats.unigramLmScore(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup via IVF cells — any
+    // within-cell pair with cosine >= 0.3 is a semantic duplicate, the
+    // larger id drops. The oracle recomputes cell assignment (nprobe=1
+    // IVF), within-cell pair scoring and the survivor anti-join itself.
+    Q("dd_semdedup",
+      s"""WITH ${OracleSqlGen.nvCte(64)},
+${ivfScoredCtes(64, 1, 64)},
+dropped AS (SELECT DISTINCT neighbor_id FROM sc
+  WHERE query_id < neighbor_id AND cosine >= 0.3)
+SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT neighbor_id FROM dropped)""") { (s, d) =>
+      Similarity.semDedupSurvivors(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3, numCells = 64)
+    },
+
+    // Quality-aware near-dup survivor selection: same MinHash pair set
+    // as dd_minhash_neardups, but each pair drops its LOWER-QUALITY
+    // member (ties: larger id) instead of the larger id outright — the
+    // keep-best policy of a production dedup pass. Oracle recomputes
+    // pairs, quality scores and the survivor set end to end.
+    Q("dd_quality_canonical",
+      s"""WITH ${minhashMd5Ctes("documents", 0.5)},
+qv AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+losers AS (SELECT DISTINCT CASE WHEN q1.quality < q2.quality THEN nd.id1
+  WHEN q2.quality < q1.quality THEN nd.id2
+  ELSE greatest(nd.id1, nd.id2) END AS doc_id
+  FROM nd JOIN qv q1 ON q1.doc_id = nd.id1 JOIN qv q2 ON q2.doc_id = nd.id2)
+SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""") { (s, d) =>
+      graft.text.CorpusPipeline.keepBestByQuality(Tables.documents(s, d),
+        "doc_id", "text", jaccardThreshold = 0.5, shingleN = 2, useMd5 = true)
+    },
+
     // Winnowing fingerprints (rolling-hash document fingerprinting,
     // Schleimer et al.): char 5-grams, window-of-8 minima, distinct per
     // doc. The oracle-reproducible variant hashes with md5 (lexicographic

@@ -393,6 +393,31 @@ object Similarity {
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn", "sim")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus into `numCells` cells (IVF
+    * assignment — k-means-trained centroids pluggable via `centroids`),
+    * call any within-cell pair with cosine >= `threshold` a semantic
+    * duplicate, and drop the larger id of each such pair (greedy min-id
+    * survivor, the same deterministic rule as the MinHash pipeline).
+    * Returns the surviving id set.
+    *
+    * Scale design: this is [[ivfScored]] with nprobe = 1 — pairs are
+    * only ever formed WITHIN a cell, so the pair volume is bounded by
+    * per-cell population², and numCells is the knob that holds cell
+    * population (and thus cost) flat as the corpus grows. No all-pairs
+    * stage exists at any size. Zero-norm vectors never score (NaN
+    * cosine) and therefore always survive. */
+  def semDedupSurvivors(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, numCells: Int = 64,
+                        centroids: Option[DataFrame] = None,
+                        materialize: DataFrame => DataFrame = durableMaterialize): DataFrame = {
+    val dropped = ivfScored(df, idCol, vecCol, numCells, nprobe = 1,
+        queryPred = None, centroids = centroids, materialize = materialize)
+      .filter(col("query_id") < col("neighbor_id") && col("cosine") >= threshold)
+      .select(col("neighbor_id").as(idCol)).distinct()
+    df.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** IVF ANN top-k — see [[ivfScored]] for the shape and knobs. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               numCells: Int = 64, nprobe: Int = 8,

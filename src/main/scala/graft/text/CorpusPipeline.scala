@@ -52,4 +52,37 @@ object CorpusPipeline {
     exactKept.join(pairs.select(col("id2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware near-duplicate survivor selection: where
+    * [[cleanCorpus]] keeps the min-id member of each near-dup pair,
+    * this keeps the HIGHER-QUALITY member (Gopher-style quality score;
+    * ties fall back to the min-id rule) — the policy production corpus
+    * dedup actually wants, since duplicate clusters often mix a clean
+    * original with mangled re-crawls. Returns surviving (id, quality)
+    * rows. Same scale shape as the pipeline it extends: the only
+    * additions are two broadcast-friendly joins of the pair set against
+    * a narrow (id, quality) projection. */
+  def keepBestByQuality(df: DataFrame, idCol: String, textCol: String,
+                        jaccardThreshold: Double = 0.5, shingleN: Int = 2,
+                        useMd5: Boolean = false): DataFrame = {
+    val q = df.select(col(idCol),
+      TextFunctions.qualityScoreFast(col(textCol)).as("quality"))
+    val pairs =
+      if (useMd5)
+        Dedup.minhashNearDupsMd5(df, idCol, textCol,
+          numHashes = 32, rowsPerBand = 4, shingleN = shingleN,
+          threshold = jaccardThreshold)
+      else
+        Dedup.minhashNearDups(df, idCol, textCol,
+          numHashes = 32, rowsPerBand = 4, shingleN = shingleN,
+          threshold = jaccardThreshold)
+    val losers = pairs
+      .join(q.select(col(idCol).as("id1"), col("quality").as("_q1")), Seq("id1"))
+      .join(q.select(col(idCol).as("id2"), col("quality").as("_q2")), Seq("id2"))
+      .select(when(col("_q1") < col("_q2"), col("id1"))
+        .when(col("_q2") < col("_q1"), col("id2"))
+        .otherwise(greatest(col("id1"), col("id2"))).as(idCol))
+      .distinct()
+    q.join(losers, Seq(idCol), "left_anti")
+  }
 }

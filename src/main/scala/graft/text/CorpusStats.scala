@@ -42,6 +42,33 @@ object CorpusStats {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("weight"), col("rank"))
   }
 
+  /** CCNet-style unigram language-model quality score (Wenzek et al.
+    * 2020 filter corpora by LM perplexity; the unigram model is its
+    * engine-native floor): train corpus unigram frequencies in one
+    * keyed aggregate, then score each document by the mean negative log
+    * probability of its token occurrences,
+    * `avg_nll = ln(N_total) - sum(tf * ln(cf)) / n_tok` — low scores
+    * are corpus-typical documents, high scores outliers/noise.
+    *
+    * Scale shape mirrors [[tfidfTopTerms]]: per-doc term counts partial-
+    * aggregate map-side, the corpus-frequency table joins back by term
+    * (keyed shuffle, dictionary never assumed broadcastable), the
+    * corpus total rides as a broadcast scalar. Blank documents are
+    * excluded (no tokens, no score). */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val tot = cf.agg(sum(col("cf")).as("n_total"))
+    tf.join(cf, Seq("term")).crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tok"),
+        round(log(max(col("n_total")).cast("double")) -
+          sum(col("tf") * log(col("cf").cast("double"))) / sum(col("tf")), 4)
+          .as("avg_nll"))
+  }
+
   /** Hashed bag-of-words embedding (feature hashing): token -> bucket
     * xxhash64(token) mod dim, per-bucket counts, L2-normalized
     * `array<float>` — deterministic, vocabulary-free embedding
