@@ -47,10 +47,14 @@ object BboxPrefilterRule extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions=graft.plans.GraftExtensions` for cluster configs. */
+/** `spark.sql.extensions=graft.plans.GraftExtensions` for cluster
+  * configs: the bbox-prefilter optimizer rule plus every graft SQL
+  * function ([[GraftSqlFunctions]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BboxPrefilterRule)
+    GraftSqlFunctions.all.foreach(ext.injectFunction)
+  }
 }
 
 object GraftOptimizations {

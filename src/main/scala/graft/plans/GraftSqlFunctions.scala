@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import graft.functions._
+
+/** SQL-surface registration of graft's custom Catalyst expressions, so
+  * `spark.sql("SELECT graft_simhash64(text) ...")` works exactly like
+  * the Column API — the same codegen'd expressions, reachable from pure
+  * SQL (notebooks, JDBC/Thrift clients, views). Registered either at
+  * session build via `spark.sql.extensions=graft.plans.GraftExtensions`
+  * or post-hoc with [[register]].
+  *
+  * Static parameters (shingle width, winnow window) must be integer
+  * literals: they parameterize codegen, so a non-foldable argument is
+  * rejected at analysis time rather than silently mis-planned.
+  */
+object GraftSqlFunctions {
+
+  private def intLit(fn: String, arg: String)(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INTEGER literal, got ${other.sql}")
+  }
+
+  private def strLit(fn: String, arg: String)(e: Expression): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a STRING literal, got ${other.sql}")
+  }
+
+  private def arity(fn: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${args.length}")
+
+  private def fd(name: String, clazz: Class[_], usage: String)(
+      builder: Seq[Expression] => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, null, name, usage, ""),
+      builder)
+
+  /** Every graft SQL function: name, codegen expression, arg contract. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+
+    fd("graft_simhash64", classOf[SimHash64],
+      "graft_simhash64(text) - 64-bit SimHash of whitespace tokens (xxhash64 votes)") { args =>
+      arity("graft_simhash64", 1, args)
+      SimHash64(args.head)
+    },
+
+    fd("graft_dot", classOf[DotProduct],
+      "graft_dot(a, b) - index-ordered dot product of two float/double arrays") { args =>
+      arity("graft_dot", 2, args)
+      DotProduct(args.head, args(1))
+    },
+
+    fd("graft_word_shingles", classOf[WordShingles],
+      "graft_word_shingles(text, n) - word n-gram shingles; short docs collapse to one") { args =>
+      arity("graft_word_shingles", 2, args)
+      WordShingles(args.head, intLit("graft_word_shingles", "n")(args(1)), distinct = false)
+    },
+
+    fd("graft_distinct_shingles", classOf[WordShingles],
+      "graft_distinct_shingles(text, n) - distinct word n-gram shingles") { args =>
+      arity("graft_distinct_shingles", 2, args)
+      WordShingles(args.head, intLit("graft_distinct_shingles", "n")(args(1)), distinct = true)
+    },
+
+    fd("graft_char_grams", classOf[CharShingles],
+      "graft_char_grams(text, n) - character n-grams (winnowing's gram stream)") { args =>
+      arity("graft_char_grams", 2, args)
+      CharShingles(args.head, intLit("graft_char_grams", "n")(args(1)))
+    },
+
+    fd("graft_winnow", classOf[WinnowFingerprints],
+      "graft_winnow(text, n, w) - winnowing fingerprints over char n-grams, window w") { args =>
+      arity("graft_winnow", 3, args)
+      WinnowFingerprints(args.head, intLit("graft_winnow", "n")(args(1)),
+        intLit("graft_winnow", "w")(args(2)), useMd5 = false)
+    },
+
+    fd("graft_multi_occurrences", classOf[MultiOccurrences],
+      "graft_multi_occurrences(text, p1, p2, ...) - non-overlapping occurrence count per pattern") { args =>
+      if (args.length < 2) throw new IllegalArgumentException(
+        s"graft_multi_occurrences expects a text column plus at least one pattern literal")
+      MultiOccurrences(args.head,
+        args.tail.map(strLit("graft_multi_occurrences", "pattern")))
+    })
+
+  /** Idempotent post-hoc registration on an existing session
+    * (registerFunction overwrites same-name entries). */
+  def register(spark: SparkSession): Unit =
+    all.foreach(GraftShim.registerFunction(spark, _))
+}

@@ -11,4 +11,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an EXISTING session (the extension path
+    * `spark.sql.extensions=graft.plans.GraftExtensions` covers new
+    * sessions; this covers a session already built, e.g. in tests or a
+    * REPL). `sessionState` is `private[sql]`, hence this lives here. */
+  def registerFunction(
+      spark: SparkSession,
+      fd: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+           org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+           Seq[Expression] => Expression)): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(fd._1, fd._2, fd._3)
 }
