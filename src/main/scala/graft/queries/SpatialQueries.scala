@@ -117,5 +117,37 @@ object SpatialQueries {
             col("x_min"), col("y_min"), col("x_max"), col("y_max"))))
         .select(col("event_type"), col("pos").as("pt_idx"),
           col("col.lon").as("x"), col("col.lat").as("y"))
+    },
+
+    // S-family + K3, end to end: the bbox rings are written as a GeoJSON
+    // FeatureCollection (the K3 sink) and read back through the
+    // graft-geojson DataSource V2 — schema inference, per-file
+    // partitioning, pruned columns — then flattened to exactly the
+    // r4_bbox_ring rows, so the SAME oracle re-derives the round trip
+    // from raw events. The feature file is dimension-sized (one ring per
+    // event type); corpus-scale feature sets shard by file.
+    Q("src_geojson_roundtrip",
+      "WITH b AS (SELECT event_type, min(lon) AS x_min, min(lat) AS y_min, " +
+        s"max(lon) AS x_max, max(lat) AS y_max FROM $synthSql e JOIN events ev USING (event_id) GROUP BY 1) " +
+        "SELECT event_type, CAST(0 AS INT) AS pt_idx, x_min AS x, y_min AS y FROM b " +
+        "UNION ALL SELECT event_type, 1, x_max, y_min FROM b " +
+        "UNION ALL SELECT event_type, 2, x_max, y_max FROM b " +
+        "UNION ALL SELECT event_type, 3, x_min, y_max FROM b " +
+        "UNION ALL SELECT event_type, 4, x_min, y_min FROM b") { (s, d) =>
+      val pts = synth(s, d)
+        .join(Tables.events(s, d).select("event_id", "event_type"), Seq("event_id"))
+      val rings = pts.groupBy("event_type").agg(
+          min("lon").as("x_min"), min("lat").as("y_min"),
+          max("lon").as("x_max"), max("lat").as("y_max"))
+        .select(col("event_type"), Spatial.bboxRing(
+          col("x_min"), col("y_min"), col("x_max"), col("y_max")).as("ring"))
+      val dir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        s"${System.getProperty("java.io.tmpdir")}/graft_geojson_rt_${Integer.toHexString(d.hashCode)}"))
+      val path = s"$dir/rings.geojson"
+      graft.io.Sinks.writeGeoJson(rings, "ring", Seq("event_type"), path)
+      s.read.format("graft-geojson").load(path)
+        .select(col("event_type"), posexplode(col("ring")))
+        .select(col("event_type"), col("pos").as("pt_idx"),
+          col("col.lon").as("x"), col("col.lat").as("y"))
     })
 }
