@@ -519,6 +519,80 @@ FROM per GROUP BY 1""") { (s, d) =>
         emb, "qid", "vec_id", "qv", "embedding", 5)
     },
 
+    // int8 quantization quality report: per query (vec_id < 8), the
+    // max/mean |cosine_exact - cosine_int8| over the whole corpus, with
+    // an in-query gate (a8 pattern: one collected aggregate is both the
+    // assertion and the result). Quantized dots are exact integer
+    // arithmetic in doubles, so both engines agree bit for bit before
+    // the final rounding.
+    Q("s_int8_quant",
+      s"""WITH base AS (SELECT vec_id, embedding,
+  (SELECT max(abs(CAST(embedding[g.i] AS DOUBLE))) FROM generate_series(1, 64) g(i)) AS m
+  FROM embeddings),
+qz AS (SELECT vec_id, embedding,
+  list_transform(embedding, v -> round(CAST(v AS DOUBLE) * 127 / m)) AS qv
+  FROM base WHERE m > 0),
+pr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  round(${dotSql("q.embedding", "c.embedding")} /
+    (sqrt(${dotSql("q.embedding", "q.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})), 4) AS ce,
+  round((SELECT sum(q.qv[g.i] * c.qv[g.i]) FROM generate_series(1, 64) g(i)) /
+    (sqrt((SELECT sum(q.qv[g.i] * q.qv[g.i]) FROM generate_series(1, 64) g(i))) *
+     sqrt((SELECT sum(c.qv[g.i] * c.qv[g.i]) FROM generate_series(1, 64) g(i)))), 4) AS cq
+  FROM qz q, qz c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+  round(max(abs(ce - cq)), 4) AS max_abs_err,
+  round(avg(abs(ce - cq)), 4) AS mean_abs_err
+FROM pr GROUP BY 1""") { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.l2norm(col("embedding")).as("_n"))
+        .filter(col("_n") > 0)
+      val withQ = base
+        .join(Similarity.int8Quantized(Tables.embeddings(s, d), "vec_id", "embedding"),
+          Seq("vec_id"))
+        .withColumn("_qn", Similarity.l2norm(col("qv")))
+      val q = withQ.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("qv").as("qq"), col("_n").as("_en1"), col("_qn").as("_qn1"))
+      val pairs = withQ
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+          col("qv").as("cq"), col("_n").as("_en2"), col("_qn").as("_qn2"))
+        .crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"),
+          abs(round(Similarity.dot(col("qe"), col("ce")) / (col("_en1") * col("_en2")), 4) -
+            round(Similarity.dot(col("qq"), col("cq")) / (col("_qn1") * col("_qn2")), 4))
+            .as("err"))
+      val check = pairs.groupBy("query_id").agg(
+        count(lit(1)).as("n_pairs"),
+        round(max(col("err")), 4).as("max_abs_err"),
+        round(avg(col("err")), 4).as("mean_abs_err")).collect()
+      check.foreach { r =>
+        require(r.getDouble(2) <= 0.05,
+          s"int8 cosine drifted: query=${r.getLong(0)} max_abs_err=${r.getDouble(2)}")
+      }
+      import s.implicits._
+      check.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toDF("query_id", "n_pairs", "max_abs_err", "mean_abs_err")
+    },
+
+    // RAG-style sliding chunk windows: 64-token windows at stride 48
+    // (25% overlap), one row per chunk with start offset, tail-aware
+    // length and first token — narrow tokenize + sequence explode, no
+    // shuffle at any corpus size.
+    Q("t_chunk_windows",
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0),
+ch AS (SELECT doc_id, ts,
+  unnest(generate_series(0, CAST(floor((len(ts) - 1) / 48) AS BIGINT))) AS i FROM tk)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(i * 48 AS BIGINT) AS start_tok,
+  CAST(least(64, len(ts) - i * 48) AS BIGINT) AS n_tok,
+  ts[CAST(i * 48 + 1 AS INT)] AS first_tok
+FROM ch""") { (s, d) =>
+      graft.text.Mixing.slidingChunks(Tables.documents(s, d), "doc_id", "text",
+        window = 64, stride = 48)
+    },
+
     // O5: pairwise Euclidean distance matrix (spatial_modelling.Rmd:217).
     Q("s_pairwise_dist",
       "WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 30) " +

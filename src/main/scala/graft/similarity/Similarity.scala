@@ -393,6 +393,23 @@ object Similarity {
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn", "sim")
   }
 
+  /** Symmetric per-vector int8 quantization (the memory/bandwidth story
+    * of a 100 TB vector corpus: 4x smaller than float32, integer dot
+    * kernels): scale = max|v_i| / 127, q_i = round(v_i / scale), carried
+    * as integer-valued doubles so the quantized dot stays exact (max
+    * |sum| = 64 * 127² << 2^53). Zero vectors are excluded (no scale).
+    * Returns (idCol, qv, scale). Quantized cosine error vs exact is the
+    * in-query gate of the registered s_int8_quant report. */
+  def int8Quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val m = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
+    df.select(col(idCol), col(vecCol), m.as("_m"))
+      .filter(col("_m") > 0)
+      .select(col(idCol),
+        transform(col(vecCol), v => round(v.cast("double") * 127 / col("_m")))
+          .as("qv"),
+        (col("_m") / 127).as("scale"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus into `numCells` cells (IVF
     * assignment — k-means-trained centroids pluggable via `centroids`),

@@ -37,6 +37,31 @@ object Mixing {
         floor((col("_end") - col("_tok")) / lit(budgetTokens.toDouble)).cast("long"))
   }
 
+  /** RAG-style sliding chunk windows: per document, token windows of
+    * `window` tokens at `stride` (overlap = window - stride), one row
+    * per chunk with its start offset, actual length (the tail chunk may
+    * be short) and first token. Embarrassingly parallel — a narrow
+    * tokenize + per-row sequence explode, no shuffle at any corpus
+    * size; the chunk count per doc is ceil(n_tok / stride), so output
+    * volume scales linearly with corpus tokens. Tokenless documents
+    * produce no chunks. */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "slidingChunks: need 0 < stride <= window")
+    val withToks = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_ts"))
+      .withColumn("_n", size(col("_ts")).cast("long"))
+      .filter(col("_n") > 0)
+    withToks
+      .select(col(idCol), col("_ts"), col("_n"),
+        explode(sequence(lit(0L), floor((col("_n") - 1) / stride))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(window.toLong), col("_n") - col("chunk_idx") * stride).as("n_tok"),
+        element_at(col("_ts"), (col("chunk_idx") * stride + 1).cast("int")).as("first_tok"))
+  }
+
   /** Per-source doc/token totals, token share, and alpha=0.5 sampling
     * weight. Output: (srcCol, n_docs, n_tokens, share, weight).
     *
