@@ -108,17 +108,20 @@ object CorpusQueries {
 
   // ---- md5-twin sketch SQL (single source of truth with Dedup's twins) ----
 
-  /** Per-doc md5 SimHash as (sig_hi, sig_lo) 32-bit halves: hex-nibble
-    * bit votes, strictly-positive majority, tokenless docs sign (0, 0).
+  /** Per-doc md5 SimHash as (sig_hi, sig_lo) 32-bit halves: the leading
+    * 16 hex chars parsed as two 32-bit words per token, per-bit votes by
+    * shift, strictly-positive majority, tokenless docs sign (0, 0).
     * Mirrors [[Dedup.simhashMd5]] bit for bit. */
   private val simhashSigCte: String =
-    """tok AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id,
-  unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    s"""tok AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id,
+  unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
   FROM documents WHERE length(trim(text)) > 0) u),
+wds AS (SELECT doc_id, ${OracleSqlGen.hex8("h", 1)} AS whi,
+  ${OracleSqlGen.hex8("h", 9)} AS wlo FROM tok),
 bits AS (SELECT doc_id, g.b AS b,
-  CASE WHEN (((instr('0123456789abcdef', substr(h, CAST(16 - g.b // 4 AS INT), 1)) - 1)
-    >> (g.b % 4)) & 1) = 1 THEN 1 ELSE -1 END AS vote
-  FROM tok, generate_series(0, 63) g(b)),
+  CASE WHEN (((CASE WHEN g.b < 32 THEN wlo >> CAST(g.b AS INT)
+    ELSE whi >> CAST(g.b - 32 AS INT) END) & 1) = 1) THEN 1 ELSE -1 END AS vote
+  FROM wds, generate_series(0, 63) g(b)),
 votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2),
 sg0 AS (SELECT doc_id,
   sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << CAST(b - 32 AS INT)) ELSE 0 END) AS sig_hi,
