@@ -253,6 +253,34 @@ SELECT id1 AS train_id, id2 AS test_id,
 FROM intr JOIN szA s1 ON s1.doc_id = id1 JOIN szB s2 ON s2.doc_id = id2
 WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5"""
 
+  /** Unrolled BPE-training oracle: one CTE stage per merge. Stage i
+    * extracts wrapped symbols, counts adjacent pairs weighted by word
+    * count, picks the (count desc, pair asc) winner t{i}, and rewrites
+    * the vocabulary with the same plain substring replace the Spark
+    * loop uses — so DuckDB recomputes the ENTIRE training trajectory,
+    * not just the first step. */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val stages = (0 until numMerges).map { i =>
+      s"""p$i AS (SELECT cnt, s, unnest(generate_series(1, len(s) - 1)) AS j
+  FROM (SELECT cnt, regexp_extract_all(rep, '<([^>]*)>', 1) AS s FROM w$i)),
+pc$i AS (SELECT s[CAST(j AS INT)] AS a, s[CAST(j + 1 AS INT)] AS b,
+  CAST(sum(cnt) AS BIGINT) AS c FROM p$i GROUP BY 1, 2),
+t$i AS MATERIALIZED (SELECT a, b, c FROM pc$i ORDER BY c DESC, a, b LIMIT 1),
+w${i + 1} AS MATERIALIZED (SELECT cnt, replace(rep,
+  '<' || (SELECT a FROM t$i) || '><' || (SELECT b FROM t$i) || '>',
+  '<' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || '>') AS rep FROM w$i)"""
+    }.mkString(",\n")
+    val out = (0 until numMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_idx, a AS left_sym, b AS right_sym, " +
+        s"c AS pair_count FROM t$i").mkString(" UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS cnt,
+  regexp_replace(w, '(.)', '<\\1>', 'g') AS rep FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents WHERE length(trim(text)) > 0) GROUP BY w),
+$stages
+$out"""
+  }
+
   // ---- embedding SQL fragments ----
 
   private def dotSql(a: String, b: String): String = OracleSqlGen.dot(a, b, 64)
@@ -444,6 +472,14 @@ FROM per GROUP BY 1""") { (s, d) =>
         max(col("c")).as("top_count"),
         round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_share"),
         round(lit(1) - count(lit(1)).cast("double") / sum(col("c")), 4).as("dup_frac"))
+    },
+
+    // BPE merge training (tokenizer training as a corpus operator): 8
+    // merges over the word vocabulary, each row one trained merge. The
+    // oracle unrolls the full loop — every pair count, winner and
+    // vocabulary rewrite is recomputed by DuckDB stage by stage.
+    Q("t_bpe_merges", bpeOracleSql(8)) { (s, d) =>
+      graft.text.Bpe.trainMerges(Tables.documents(s, d), "text", 8)
     },
 
     // Marker-based language ID vs the labeled truth column.
