@@ -450,6 +450,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-duplicate pair graph — the
+    * cluster-resolution step after any pairwise dedup: greedy per-pair
+    * survivor rules under-merge chains (pairs (b,c) and (a,c) leave both
+    * a and b standing even though all three are one duplicate cluster),
+    * while components assign every member of the transitive closure one
+    * cluster id (the component's min id).
+    *
+    * Min-label propagation: every node starts labeled with its own id;
+    * each round every node takes the min of its label and its
+    * neighbors' labels — one keyed join + one keyed aggregate per
+    * round, converging in graph-diameter rounds (near-dup clusters are
+    * shallow; `maxIters` guards pathological chains and convergence is
+    * REQUIRED, not assumed). Each round's labels are EAGERLY
+    * materialized with lineage truncation ([[graft.ops.Materialize]]) —
+    * the round-N plan references round N-1 twice, so without truncation
+    * the logical plan doubles per round and PLANNING, not execution,
+    * blows up. The pair graph itself is usually far smaller than the
+    * corpus (only docs with a near-dup appear). Returns
+    * (node, cluster_id). */
+  def connectedComponents(pairs: DataFrame, idCols: (String, String) = ("id1", "id2"),
+                          maxIters: Int = 50): DataFrame = {
+    import graft.ops.Materialize.eagerDurable
+    val (c1, c2) = idCols
+    val edges = pairs.select(col(c1).as("a"), col(c2).as("b"))
+      .union(pairs.select(col(c2).as("a"), col(c1).as("b")))
+      .distinct().persist()
+    var labels = eagerDurable(edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .select(col("a").as("node"), col("lbl"))
+      val next = eagerDurable(labels.union(viaNeighbor)
+        .groupBy("node").agg(min(col("lbl")).as("lbl")))
+      val changed = next.join(labels.withColumnRenamed("lbl", "_old"), Seq("node"))
+        .filter(col("lbl") < col("_old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIters rounds (graph diameter too large)")
+    labels.select(col("node"), col("lbl").as("cluster_id"))
+  }
+
   /** Near-duplicate pairs by embedding cosine >= threshold, using
     * multi-table sign-LSH candidates (union over tables) with exact
     * cosine verification — see

@@ -51,3 +51,18 @@ object CacheOnce {
       .foreach(k => live.remove(k).foreach(_.unpersist()))
   }
 }
+
+/** Eager lineage truncation for DRIVER-LOOPED iterative operators
+  * (label propagation, k-means): each round's result must replace its
+  * logical plan outright — `persist` alone leaves the plan tree
+  * doubling every round (the round-N frame references round N-1 twice),
+  * so planning cost, not execution, becomes the bottleneck. Same
+  * fail-safe policy as [[graft.similarity.Similarity.durableMaterialize]]
+  * but EAGER, because truncation only happens once the data exists:
+  * reliable `checkpoint(true)` when a checkpoint dir is set (survives
+  * executor loss on a cluster), else `localCheckpoint(true)`. */
+object Materialize {
+  def eagerDurable(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+}

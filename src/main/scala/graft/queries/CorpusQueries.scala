@@ -818,6 +818,27 @@ SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT id2 FROM nd)""") { (s, d) =>
         .select("doc_id")
     },
 
+    // Duplicate-cluster resolution: connected components over the
+    // MinHash near-dup pair graph (transitive closure — the step greedy
+    // pair-drop rules under-merge), one row per multi-doc cluster with
+    // its min-id label, size and max member. The oracle walks the same
+    // graph with a recursive CTE and takes per-node min reachable id.
+    Q("dd_dup_clusters",
+      s"""WITH RECURSIVE ${minhashMd5Ctes("documents", 0.5)},
+e AS (SELECT id1 AS a, id2 AS b FROM nd UNION SELECT id2, id1 FROM nd),
+n AS (SELECT DISTINCT a AS node FROM e),
+walk(node, lbl) AS (SELECT node, node FROM n
+  UNION SELECT e.a, w.lbl FROM walk w JOIN e ON e.b = w.node),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs, max(node) AS max_doc
+FROM comp GROUP BY 1""") { (s, d) =>
+      val pairs = Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
+      Dedup.connectedComponents(pairs)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+    },
+
     // TF-IDF top-3 terms per doc: tf = in-doc count, idf = ln(N/df),
     // rank on the rounded weight with term tiebreak (deterministic in
     // both engines).
