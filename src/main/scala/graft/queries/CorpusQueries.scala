@@ -364,6 +364,46 @@ agg AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
 SELECT n_exact, n_hit, round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall,
   n_cand, round(CAST(n_cand AS DOUBLE) / (nc * (nc - 1)), 4) AS candidate_frac FROM agg"""
 
+  /** Unrolled spherical-k-means oracle (the same pattern as the BPE
+    * oracle): per training round, unit-normalize the centroids,
+    * assign every vector by max dot/vecnorm (ties: lowest cell),
+    * recompute per-cell component means ROUNDED TO 6 DECIMALS (the
+    * cross-engine stabilization grid — float-mean accumulation order
+    * differs at ~1e-13 and would otherwise compound through later
+    * rounds' argmax), keep the previous centroid for empty cells. The
+    * final table mirrors kmeansCentroids' float truncation, then one
+    * cosine assignment pass produces per-cell membership counts. */
+  private def kmeansCellsOracleSql(k: Int, iters: Int, dim: Int): String = {
+    def dot(a: String, b: String) = OracleSqlGen.dot(a, b, dim)
+    val stages = (0 until iters).map { i =>
+      s"""u$i AS (SELECT cell, cv, CASE WHEN cn = 0 THEN cv
+    ELSE list_transform(cv, x -> x / cn) END AS uv
+  FROM (SELECT cell, cv, sqrt(${dot("cv", "cv")}) AS cn FROM c$i)),
+s$i AS (SELECT v.vec_id, v.embedding, u.cell, ${dot("v.embedding", "u.uv")} / v.nrm AS sim
+  FROM nv v, u$i u),
+a$i AS (SELECT vec_id, embedding, cell FROM (SELECT s$i.*,
+  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM s$i) WHERE rn = 1),
+m$i AS (SELECT cell, (s).p AS p, round(avg((s).v), 6) AS m
+  FROM (SELECT cell, unnest(list_transform(embedding,
+    (x, j) -> {'v': CAST(x AS DOUBLE), 'p': j})) AS s FROM a$i) GROUP BY 1, 2),
+c${i + 1} AS MATERIALIZED (SELECT c.cell, coalesce(ml.l, c.cv) AS cv FROM c$i c
+  LEFT JOIN (SELECT cell, list(m ORDER BY p) AS l FROM m$i GROUP BY 1) ml USING (cell))"""
+    }.mkString(",\n")
+    s"""WITH ${OracleSqlGen.nvCte(dim)},
+c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT vec_id, embedding FROM nv ORDER BY vec_id LIMIT $k)),
+$stages,
+fc AS (SELECT cell, list_transform(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cv FROM c$iters),
+fs AS (SELECT v.vec_id, c.cell,
+  ${dot("v.embedding", "c.cv")} / (v.nrm * sqrt(${dot("c.cv", "c.cv")})) AS sim FROM nv v, fc c),
+fa AS (SELECT vec_id, cell FROM (SELECT fs.*,
+  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM fs) WHERE rn = 1)
+SELECT CAST(c.cell AS BIGINT) AS cell, CAST(coalesce(n.cnt, 0) AS BIGINT) AS n_members,
+  round(sqrt(${dot("c.cv", "c.cv")}), 4) AS centroid_norm
+FROM fc c LEFT JOIN (SELECT cell, count(*) AS cnt FROM fa GROUP BY 1) n USING (cell)"""
+  }
+
   /** Hashed-BoW md5-twin embedding CTEs over documents -> `nv`
     * (vec_id, embedding, nrm) at the given dim: token -> bucket =
     * first-8-hex-chars-of-md5 mod dim, per-bucket counts, L2-normalized
@@ -772,6 +812,32 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
       Similarity.ivfTopK(emb, "doc_id", "embedding", 3,
         numCells = 32, nprobe = 4, queryPred = Some(col("doc_id") < 200),
         centroids = Some(cents))
+    },
+
+    // Spherical k-means IVF-centroid training, oracle-checked end to
+    // end: 2 training rounds (init = 8 smallest-id vectors, means on
+    // the round(_, 6) stabilization grid, empty cells keep their
+    // centroid) then a cosine assignment pass -> per-cell membership
+    // counts and centroid norms. The oracle unrolls both training
+    // rounds stage by stage.
+    Q("s_kmeans_cells", kmeansCellsOracleSql(8, 2, 64)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 2, dim = 64, roundMeans = Some(6))
+      val vecs = emb.select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("_n")).filter(col("_n") > 0)
+      val cn = cents.select(col("vec_id").as("cell"), col("embedding").as("cv"),
+        Similarity.l2norm(col("embedding")).as("_cn"))
+      val sims = vecs.crossJoin(broadcast(cn))
+        .select(col("vec_id"), col("cell"),
+          (Similarity.dot(col("embedding"), col("cv")) / (col("_n") * col("_cn"))).as("sim"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cell"))
+      val fa = sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      cn.select(col("cell"), col("_cn"))
+        .join(fa.groupBy("cell").agg(count(lit(1)).as("_nm")), Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("_nm"), lit(0L)).as("n_members"),
+          round(col("_cn"), 4).as("centroid_norm"))
     },
 
     // Cross-corpus contamination detection (decontamination): near-dup

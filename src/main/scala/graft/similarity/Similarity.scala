@@ -340,7 +340,8 @@ object Similarity {
     * `centroids`. Deterministic: seedless init, max-cosine ties broken
     * by centroid id. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                      iters: Int = 5, dim: Int = 64): DataFrame = {
+                      iters: Int = 5, dim: Int = 64,
+                      roundMeans: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val vecs = df.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("_n"))
       .filter(col("_n") > 0)
@@ -362,10 +363,16 @@ object Similarity {
           posexplode(transform(lit, c => dot(col(vecCol), c) / col("_n"))))
         .select(col(idCol), col(vecCol), col("pos").as("cell"), col("col").as("sim"))
       val best = topCell(scored)
+      // roundMeans pins each round's centroids to a fixed decimal grid —
+      // the oracle-stabilization knob: float-mean accumulation order
+      // differs across engines at ~1e-13, and un-rounded drift compounds
+      // through the assignment argmax of later rounds.
+      val meanExpr = roundMeans.fold(avg(col("col").cast("double")))(p =>
+        round(avg(col("col").cast("double")), p))
       val means = best
         .select(col("cell"), posexplode(col(vecCol)))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
+        .agg(meanExpr.as("m"))
         .collect()
       val next = cents.zipWithIndex.map { case (prev, c) =>
         val comps = means.filter(_.getInt(0) == c)
