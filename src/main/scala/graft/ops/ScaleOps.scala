@@ -102,6 +102,55 @@ object ScaleOps {
     s"${f.length}:${f.lastModified}"
   }
 
+  /** Write `df` globally range-clustered by `key`: repartitionByRange
+    * gives disjoint key ranges per file, sortWithinPartitions orders
+    * inside each, so every parquet row group carries a TIGHT [min,max]
+    * for `key` and a key-range query skips almost all of them (row-group
+    * a.k.a. data skipping — the intra-file complement of partition
+    * pruning, and the poor man's Z-order for a single key). Idempotent
+    * via the same fingerprint marker as [[ensurePartitioned]]. */
+  def ensureSortedBy(df: DataFrame, path: String, key: String, numFiles: Int,
+                     srcFingerprint: String = ""): Unit = {
+    val done = new java.io.File(path, "_SUCCESS")
+    val marker = new java.io.File(path, "_GRAFT_SRC")
+    val fresh = done.exists() && (srcFingerprint.isEmpty ||
+      (marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == srcFingerprint))
+    if (!fresh) {
+      df.repartitionByRange(numFiles, col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite").parquet(path)
+      if (srcFingerprint.nonEmpty)
+        java.nio.file.Files.write(marker.toPath, srcFingerprint.getBytes("UTF-8"))
+      ()
+    }
+  }
+
+  /** Row-group [min, max] statistics of an INT64 column across every
+    * part file under `path`, straight from the parquet footers — the
+    * metadata a range predicate prunes against. Driver-side metadata
+    * read (footers, not data); file counts here are layout-prep sized. */
+  def rowGroupRanges(path: String, column: String): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column).flatMap { c =>
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) None
+          else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+        }
+      } finally reader.close()
+    }
+  }
+
   /** Join two same-bucketed tables on their bucket key. The caller is
     * asserting the physical layout matches; the plan check lives in the
     * test suite (no Exchange above either scan). */

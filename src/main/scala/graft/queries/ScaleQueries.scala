@@ -223,6 +223,37 @@ GROUP BY 1""") { (s, d) =>
         f.partitionFilters.exists(_.references.exists(_.name == "event_date"))),
         "single-day query did not plan a partition filter — pruning regressed")
       q
+    },
+
+    // Row-group data skipping on a range-clustered layout: the
+    // INTRA-file complement of sc2's directory-level pruning. Events
+    // are written once repartitionByRange(user_id) + sorted, so every
+    // row group carries a tight user_id [min,max]; a 20-key range
+    // query then skips almost every row group. The query REQUIREs the
+    // clustering from the parquet footers themselves (at most a third
+    // of row groups may overlap the range) and the pushed filter in
+    // the plan — a layout regression fails the query, not a dashboard.
+    Q("sc3_sorted_scan",
+      "SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(value), 2) AS total_value FROM events " +
+        "WHERE user_id BETWEEN 100 AND 119 GROUP BY 1") { (s, d) =>
+      prepare(s, d)
+      val path = sortedEventsPath(s, d)
+      val ranges = ScaleOps.rowGroupRanges(path, "user_id")
+      val overlapping = ranges.count { case (lo, hi) => hi >= 100L && lo <= 119L }
+      require(ranges.nonEmpty && overlapping * 3 <= ranges.size,
+        s"sorted layout not clustering: $overlapping of ${ranges.size} row groups " +
+          "overlap a 20-key range — data skipping regressed")
+      val q = s.read.parquet(path)
+        .filter(col("user_id").between(100, 119))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      val scans = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty && scans.forall(_.dataFilters.nonEmpty),
+        "range predicate did not reach the scan — pushdown regressed")
+      q
     })
 
   /** Bucketed-table names, keyed by source dir so a warmup run at one SF
@@ -238,6 +269,14 @@ GROUP BY 1""") { (s, d) =>
     val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     new java.io.File(wh, s"graft_p_events_$tag").toString
+  }
+
+  /** Range-clustered events layout path for `sfDir` (same keying). */
+  private def sortedEventsPath(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_s_events_$tag").toString
   }
 
   /** One-time physical-layout prep for `sfDir`: write both join sides
@@ -259,5 +298,9 @@ GROUP BY 1""") { (s, d) =>
           to_date(col("ts")).as("event_date")),
       partitionedEventsPath(spark, sfDir), "event_date",
       ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+    ScaleOps.ensureSortedBy(
+      Tables.events(spark, sfDir).select("user_id", "event_type", "value"),
+      sortedEventsPath(spark, sfDir), "user_id", numFiles = 8,
+      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
   }
 }

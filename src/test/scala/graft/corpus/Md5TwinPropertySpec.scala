@@ -41,6 +41,31 @@ class Md5TwinPropertySpec extends SparkSpec {
     }
   }
 
+  test("affine minhash permutation values equal a pure-Scala recomputation, any unicode") {
+    import graft.dedup.Dedup
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shingleGen = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      Gen.listOfN(5, Gen.oneOf('中', 'ß', 'é', 'ж', 'λ', ' ', '0')).map(_.mkString))
+    val shingles = (100L to 140L).map(s => sample(shingleGen, s)).distinct
+    // One shingle per doc: the k-wide signature IS that shingle's k
+    // affine permutation values — pin them to an independent recompute
+    // of (w1 + i*w2) mod 2^32 from the Java digest.
+    val sets = df("doc_id bigint, shingle string")(
+      shingles.zipWithIndex.map { case (sh, i) => Row(i.toLong, sh) })
+    val k = 8
+    val got = Dedup.minhashSignaturesFromSetsMd5(sets, "doc_id", k).collect()
+      .map(r => r.getLong(0) -> (1 to k).map(j => r.getLong(j))).toMap
+    shingles.zipWithIndex.foreach { case (sh, i) =>
+      val hex = md5hex(sh)
+      val w1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val w2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      val exp = (0 until k).map(p => (w1 + p * w2) % 4294967296L)
+      assert(got(i.toLong) == exp, s"shingle '$sh'")
+    }
+  }
+
   test("minhash md5 signatures are permutation-stable under shingle order") {
     import graft.dedup.Dedup
     import org.apache.spark.sql.functions._
