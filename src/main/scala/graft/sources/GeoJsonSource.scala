@@ -142,9 +142,16 @@ class GeoJsonPartitionReader(file: String, required: StructType)
 
   private def ringOf(geom: JsonNode): ArrayData = {
     val coords = geom.get("coordinates")
+    // Only geometries whose outer ring is unambiguous are supported —
+    // anything else must FAIL, not silently parse nested arrays as 0.0
+    // (Jackson's asDouble on an array node).
     val ring = geom.get("type").asText() match {
       case "Point" => Seq(coords)
-      case _ => (0 until coords.get(0).size()).map(coords.get(0).get(_))
+      case "Polygon" | "LineString" | "MultiPoint" =>
+        val r = if (geom.get("type").asText() == "Polygon") coords.get(0) else coords
+        (0 until r.size()).map(r.get(_))
+      case other => throw new IllegalArgumentException(
+        s"graft-geojson: unsupported geometry type '$other' (Point/Polygon/LineString/MultiPoint)")
     }
     new GenericArrayData(ring.map { pt =>
       new GenericInternalRow(Array[Any](pt.get(0).asDouble(), pt.get(1).asDouble()))

@@ -46,6 +46,21 @@ class GeoJsonSourceSpec extends SparkSpec {
     assert(q.as[String].collect().sorted.toSeq == Seq("a", "b"))
   }
 
+  test("unsupported geometry types fail loudly instead of parsing as zeros") {
+    val dir = Files.createTempDirectory("geojson_bad").toString
+    val path = s"$dir/bad.geojson"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"type":"FeatureCollection","features":[{"type":"Feature",
+        |"geometry":{"type":"MultiPolygon","coordinates":[[[[0,0],[1,0],[1,1],[0,0]]]]},
+        |"properties":{"site":"m"}}]}""".stripMargin.replace("\n", ""))
+    val e = intercept[Exception] {
+      spark.read.format("graft-geojson").load(path).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("unsupported geometry")))
+  }
+
   test("a directory of feature files reads as one table, one partition per file") {
     val dir = Files.createTempDirectory("geojson_dir").toString
     Sinks.writeGeoJson(sitesDf.filter($"site" === "a"), "ring", Seq("site", "pop"),
