@@ -25,6 +25,17 @@ object SparkEntry {
             "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2") { (s, d) =>
           graft.streaming.StreamingTallies.dailyTallyOnce(s, d)
         },
+        // §2.11 SLIDING event-time windows (1 day every 6 hours): each
+        // event lands in 4 overlapping windows; the oracle re-derives
+        // the covering window starts arithmetically (epoch µs floored
+        // to the 6h slide grid, back-shifted 0..3 slides).
+        Q("st_sliding_tally",
+          "WITH ev AS (SELECT event_type, ts + INTERVAL 8 HOUR AS tsl FROM events) " +
+            "SELECT make_timestamp(CAST(((epoch_us(tsl) // 21600000000 - g.k) * 21600000000) AS BIGINT)) AS w_start, " +
+            "event_type, CAST(count(*) AS BIGINT) AS n " +
+            "FROM ev, generate_series(0, 3) g(k) GROUP BY 1, 2") { (s, d) =>
+          graft.streaming.StreamingTallies.slidingTallyOnce(s, d)
+        },
         // Streaming corpus ingest: quality/lang gates + digest-keyed
         // dedup state + per-language unique-doc tally, drained with
         // AvailableNow; the settled result is arrival-order-independent,

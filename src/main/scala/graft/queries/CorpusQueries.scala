@@ -622,13 +622,11 @@ SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
   round(max(abs(ce - cq)), 4) AS max_abs_err,
   round(avg(abs(ce - cq)), 4) AS mean_abs_err
 FROM pr GROUP BY 1""") { (s, d) =>
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          Similarity.l2norm(col("embedding")).as("_n"))
-        .filter(col("_n") > 0)
-      val withQ = base
-        .join(Similarity.int8Quantized(Tables.embeddings(s, d), "vec_id", "embedding"),
-          Seq("vec_id"))
+      // int8Quantized passes the original vector through, so exact and
+      // quantized cosines come from ONE scan (a zero-norm vector has
+      // zero max-abs, so its filter implies the norm filter).
+      val withQ = Similarity.int8Quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+        .withColumn("_n", Similarity.l2norm(col("embedding")))
         .withColumn("_qn", Similarity.l2norm(col("qv")))
       val q = withQ.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),

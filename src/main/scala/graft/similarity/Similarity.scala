@@ -405,13 +405,15 @@ object Similarity {
     * kernels): scale = max|v_i| / 127, q_i = round(v_i / scale), carried
     * as integer-valued doubles so the quantized dot stays exact (max
     * |sum| = 64 * 127² << 2^53). Zero vectors are excluded (no scale).
-    * Returns (idCol, qv, scale). Quantized cosine error vs exact is the
-    * in-query gate of the registered s_int8_quant report. */
+    * Returns (idCol, vecCol, qv, scale) — the original vector rides
+    * along so consumers comparing exact vs quantized never scan the
+    * source twice. Quantized cosine error vs exact is the in-query
+    * gate of the registered s_int8_quant report. */
   def int8Quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val m = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
     df.select(col(idCol), col(vecCol), m.as("_m"))
       .filter(col("_m") > 0)
-      .select(col(idCol),
+      .select(col(idCol), col(vecCol),
         transform(col(vecCol), v => round(v.cast("double") * 127 / col("_m")))
           .as("qv"),
         (col("_m") / 127).as("scale"))

@@ -67,4 +67,35 @@ object StreamingTallies {
     // query — hand back that session's table (same SparkContext).
     ss.table(qname)
   }
+
+  /** SLIDING event-time windows (1-day window every 6 hours): each event
+    * lands in size/slide = 4 overlapping windows — the trailing-24h-style
+    * tally a monitoring dashboard actually serves, where tumbling windows
+    * only answer calendar days. Same complete-mode AvailableNow drain on
+    * a cloned session as [[dailyTallyOnce]]; the batch oracle re-derives
+    * the 4 covering window starts per event arithmetically. */
+  def slidingTallyOnce(spark: SparkSession, sfDir: String,
+                       tz: String = "Australia/Perth"): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(Tables.eventsRawSchema))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_local", from_utc_timestamp(col("ts"), tz))
+      .groupBy(window(col("ts_local"), "1 day", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+    val qname = "graft_stream_sliding_tally"
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    ss.table(qname)
+  }
 }

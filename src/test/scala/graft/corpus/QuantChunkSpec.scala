@@ -14,7 +14,8 @@ class QuantChunkSpec extends SparkSpec {
     val emb = df("vec_id BIGINT, embedding ARRAY<FLOAT>")(Seq(
       Row(1L, Seq(1.0f, -0.5f, 0.25f)),
       Row(2L, Seq(0.0f, 0.0f, 0.0f))))
-    val got = Similarity.int8Quantized(emb, "vec_id", "embedding").collect()
+    val got = Similarity.int8Quantized(emb, "vec_id", "embedding")
+      .select("vec_id", "qv", "scale").collect()
     assert(got.length == 1) // zero vector has no scale
     val r = got.head
     assert(r.getLong(0) == 1L)
@@ -27,9 +28,8 @@ class QuantChunkSpec extends SparkSpec {
     val emb = df("vec_id BIGINT, embedding ARRAY<FLOAT>")(
       (0L until 50L).map(i => Row(i, Seq.fill(64)(rng.nextGaussian().toFloat))))
     val q = Similarity.int8Quantized(emb, "vec_id", "embedding")
-    val joined = emb.join(q, Seq("vec_id"))
-    val l = joined.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("qv").as("q1"))
-    val r = joined.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("qv").as("q2"))
+    val l = q.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("qv").as("q1"))
+    val r = q.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("qv").as("q2"))
     val maxErr = l.crossJoin(r).filter(col("id1") < col("id2"))
       .select(abs(
         Similarity.dot(col("e1"), col("e2")) /
