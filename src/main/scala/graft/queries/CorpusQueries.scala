@@ -476,6 +476,26 @@ FROM s""") { (s, d) =>
         TextFunctions.tokenCount(col("text")))
     },
 
+    // Applying the mixture: each source deterministically downsampled
+    // to its alpha=0.5 token budget (target 10k tokens) by md5
+    // unit-interval hash — reproducible on any engine/partitioning.
+    // The oracle recomputes weights, rates and the per-doc keep
+    // decision itself.
+    Q("t_mixture_sample",
+      s"""WITH t AS (SELECT source, doc_id, $tokCountSql AS tok FROM documents),
+s AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+w AS (SELECT source, n_tokens, round(sqrt(CAST(n_tokens AS DOUBLE)) /
+  sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 4) AS weight FROM s),
+r AS (SELECT source, round(least(1.0, weight * 10000 / n_tokens), 6) AS rate FROM w)
+SELECT t.source, CAST(count(*) AS BIGINT) AS kept_docs,
+  CAST(sum(tok) AS BIGINT) AS kept_tokens, r.rate
+FROM t JOIN r USING (source)
+WHERE ${OracleSqlGen.hex8("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0 < r.rate
+GROUP BY t.source, r.rate""") { (s, d) =>
+      graft.text.Mixing.applyMixture(Tables.documents(s, d), "source", "doc_id",
+        TextFunctions.tokenCount(col("text")), targetTokens = 10000L)
+    },
+
     // Quality scoring battery (Gopher-style heuristics).
     Q("t_quality",
       s"SELECT doc_id, $punctRatioSql AS punct_ratio, $stopRatioSql AS stopword_ratio, " +

@@ -62,6 +62,34 @@ object Mixing {
         element_at(col("_ts"), (col("chunk_idx") * stride + 1).cast("int")).as("first_tok"))
   }
 
+  /** Apply a mixture: deterministically downsample each source to its
+    * temperature-weighted token budget. Per source, keep-rate =
+    * min(1, weight * targetTokens / n_tokens) with the alpha=0.5
+    * weights of [[mixtureWeights]]; a document is kept iff its md5
+    * unit-interval hash (same material as the deterministic sampling
+    * family — first 8 hex chars / 2^32) falls below its source's rate.
+    * Reproducible on any engine/partitioning; the per-source rate table
+    * is group-cardinality sized and broadcast back. Returns per-source
+    * (kept_docs, kept_tokens, rate) — the audit record of the sampling
+    * pass (the kept rows themselves are `keepCol` filterable by the
+    * same predicate). */
+  def applyMixture(docs: DataFrame, srcCol: String, idCol: String, tok: Column,
+                   targetTokens: Long): DataFrame = {
+    val w = mixtureWeights(docs, srcCol, tok)
+      .select(col(srcCol), col("n_tokens"), col("weight"))
+      .withColumn("rate",
+        round(least(lit(1.0), col("weight") * targetTokens / col("n_tokens")), 6))
+      .select(col(srcCol), col("rate"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    docs.withColumn("_tok", tok)
+      .join(broadcast(w), Seq(srcCol))
+      .filter(u < col("rate"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("_tok")).as("kept_tokens"),
+        first(col("rate")).as("rate"))
+  }
+
   /** Per-source doc/token totals, token share, and alpha=0.5 sampling
     * weight. Output: (srcCol, n_docs, n_tokens, share, weight).
     *

@@ -34,4 +34,36 @@ class MixingSpec extends SparkSpec {
       ("book", 1L, 2L, 0.2, 0.3333),
       ("web", 2L, 8L, 0.8, 0.6667)))
   }
+
+  test("applyMixture: rates follow the budget, keep set matches the md5 threshold") {
+    // web: 8 tokens, weight 0.6667; book: 2 tokens, weight 0.3333.
+    // target 18 -> rate(web) = round(0.6667*18/8, 6) = 1.500075 capped
+    // to 1 (everything kept); rate(book) = 0.3333*18/2 capped to 1.
+    // target 6 -> rate(web) = 0.500025, rate(book) = 0.9999.
+    val d = df("src STRING, id BIGINT, tok BIGINT")(Seq(
+      Row("web", 1L, 4L), Row("web", 2L, 4L), Row("book", 3L, 2L)))
+    def run(target: Long) = Mixing.applyMixture(d, "src", "id", col("tok"), target)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val full = run(18L)
+    assert(full("web") == ((2L, 8L, 1.0)) && full("book") == ((1L, 2L, 1.0)))
+
+    val out = run(6L)
+    def unit(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    // which docs survive is fixed by their md5 unit hash vs the rate
+    val webKept = Seq(1L, 2L).filter(unit(_) < 0.500025)
+    val bookKept = Seq(3L).filter(unit(_) < 0.9999)
+    val (webDocs, webToks, webRate): (Long, Long, Double) =
+      out.getOrElse("web", (0L, 0L, 0.500025))
+    assert(webRate == 0.500025)
+    assert(webDocs == webKept.size && webToks == webKept.size * 4L)
+    if (bookKept.nonEmpty) assert(out("book") == ((1L, 2L, 0.9999)))
+    else assert(!out.contains("book"))
+  }
 }
