@@ -550,6 +550,44 @@ FROM per GROUP BY 1""") { (s, d) =>
         TextFunctions.langIdFast(col("text")).as("lang_guess"))
     },
 
+    // PII redaction (privacy stage of a corpus pipeline). The synthetic
+    // corpus has no PII, so deterministic doc_id-derived spans are
+    // seeded first — the fixture; the scrub regexes + counts + the
+    // scrubbed-byte digest are the operator, fully recomputed by DuckDB
+    // through the identical RE2/Java-compatible patterns.
+    Q("t_pii_scrub",
+      s"""WITH px AS (SELECT doc_id, CASE WHEN doc_id % 3 <> 2
+  THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.org via 10.' ||
+    CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+    ' tel 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+  ELSE text END AS ptext FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(ptext, '${graft.text.Privacy.emailRe}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(ptext, '${graft.text.Privacy.ipRe}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(ptext, '${graft.text.Privacy.phoneRe}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+    '${graft.text.Privacy.emailRe}', '<EMAIL>', 'g'),
+    '${graft.text.Privacy.ipRe}', '<IP>', 'g'),
+    '${graft.text.Privacy.phoneRe}', '<PHONE>', 'g')) AS scrub_hash
+FROM px""") { (s, d) =>
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        graft.text.Privacy.seedPii(col("text"), col("doc_id")).as("ptext"))
+      graft.text.Privacy.scrubReport(seeded, "doc_id", "ptext")
+    },
+
+    // Keyed pseudonymization + small-cohort suppression over events:
+    // user_id -> peppered SHA-256 surrogate, subjects with < 70 rows
+    // collapse into one <suppressed> bucket (k-anonymity-style release).
+    Q("t_pseudonymize",
+      """WITH per AS (SELECT substr(sha256('graft-pepper-1:' || CAST(user_id AS VARCHAR)), 1, 16) AS uid,
+  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+SELECT CASE WHEN n >= 70 THEN uid ELSE '<suppressed>' END AS subject,
+  CAST(sum(n) AS BIGINT) AS n_events, CAST(count(*) AS BIGINT) AS n_subjects
+FROM per GROUP BY 1""") { (s, d) =>
+      graft.text.Privacy.kSuppressedActivity(
+        Tables.events(s, d), "user_id", "graft-pepper-1", 70)
+    },
+
     // Exact dedup groups by content digest (hash-groupBy).
     Q("dd_exact_groups",
       "SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_copies, " +
