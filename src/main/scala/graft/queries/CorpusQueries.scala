@@ -588,6 +588,29 @@ FROM per GROUP BY 1""") { (s, d) =>
         Tables.events(s, d), "user_id", "graft-pepper-1", 70)
     },
 
+    // C4-style boilerplate removal at 10-token block granularity: blocks
+    // recurring in >= 2 distinct docs are dropped, the per-doc residual
+    // reassembled in position order and digest-pinned. The oracle
+    // rebuilds blocks (index-ordered string_agg), the global doc-freq
+    // table, and every keep decision.
+    Q("dd_boilerplate_blocks",
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0),
+bl AS (SELECT doc_id, CAST(floor(((s).p - 1) / 10) AS BIGINT) AS i,
+    string_agg((s).t, ' ' ORDER BY (s).p) AS btxt
+  FROM (SELECT doc_id, unnest(list_transform(ts, (t, p) -> {'t': t, 'p': p})) AS s
+    FROM tk) GROUP BY 1, 2),
+df AS (SELECT md5(btxt) AS h, count(DISTINCT doc_id) AS dfreq FROM bl GROUP BY 1),
+jb AS (SELECT doc_id, i, btxt, dfreq FROM bl JOIN df ON md5(btxt) = df.h)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+  CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(sum(CASE WHEN dfreq <= 1 THEN len(string_split(btxt, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens,
+  md5(coalesce(string_agg(CASE WHEN dfreq <= 1 THEN btxt END, ' ' ORDER BY i), '')) AS kept_hash
+FROM jb GROUP BY 1""") { (s, d) =>
+      graft.text.Boilerplate.blockBoilerplate(
+        Tables.documents(s, d), "doc_id", "text", blockTokens = 10, maxDocFreq = 1L)
+    },
+
     // Exact dedup groups by content digest (hash-groupBy).
     Q("dd_exact_groups",
       "SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_copies, " +
