@@ -3,48 +3,108 @@ package graft.multimodal
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.functions.MediaFunctions
+
 /** Multimodal columns (builder-prompt extension): media as opaque
   * `binary` columns with typed metadata, plus byte-level operators —
-  * magic-byte format sniffing, frame/window sampling, content hashing.
+  * magic-byte format sniffing, REAL header-parse dimension decode,
+  * frame/window sampling, content hashing.
   *
-  * The actual image/audio DECODE step is STUBBED: this container ships no
-  * codec libraries, so [[decodeStub]] derives deterministic fake
-  * dimensions from the byte length. Everything around the stub — the
-  * binary schema, the codegen'd byte slicing, the per-row window
-  * sampling, the partition-friendly shape — is real: swap [[decodeStub]]
-  * for a real codec UDF (or `mapInPandas` on a PySpark cluster) and the
-  * pipeline is production-shaped. All operators are pure column
-  * expressions over BinaryType: a 100 TB media table streams through one
-  * narrow projection, no shuffle.
+  * Dimension decode is real: PNG width/height are read from the IHDR
+  * chunk (always bytes 17-24 of a valid file, so pure
+  * substring/hex/conv column arithmetic suffices) and JPEG width/height
+  * from the SOFn frame header found by walking the segment chain (a
+  * native codegen'd expression, [[graft.functions.JpegDimsPacked]],
+  * because SOF sits at a variable offset behind APPn/COM/DQT segments).
+  * Only PIXEL decode (resampling, frame rasterizing) remains stubbed —
+  * this container ships no codec libraries — behind [[resizeStub]],
+  * whose Spark-side shape (narrow binary->binary projection) is what a
+  * real codec UDF would keep. All operators are pure column expressions
+  * over BinaryType: a 100 TB media table streams through one narrow
+  * projection, no shuffle.
   */
 object Multimodal {
 
-  /** Deterministic fake media bytes: a real magic header (PNG/JPEG) or
-    * none, prepended to the payload bytes. Stands in for reading real
-    * files; keeps format sniffing honest. */
-  def fakeMedia(payload: Column, id: Column): Column =
-    when(id % 3 === 0, concat(unhex(lit("89504E47")), payload.cast("binary")))
-      .when(id % 3 === 1, concat(unhex(lit("FFD8FFE0")), payload.cast("binary")))
-      .otherwise(payload.cast("binary"))
+  // Header layout constants, shared verbatim with the DuckDB oracle SQL
+  // (queries/CorpusQueries) so both engines construct identical bytes.
+  /** 8-byte PNG signature. */
+  val PngSigHex = "89504e470d0a1a0a"
+  /** IHDR chunk length (13) + "IHDR" tag — the bytes between the PNG
+    * signature and the big-endian width. */
+  val PngPreDimsHex = "0000000d" + "49484452"
+  /** bit depth 8, color type 6 (RGBA), compression 0, filter 0,
+    * interlace 0, then a placeholder CRC. */
+  val PngPostDimsHex = "0806000000" + "00000000"
+  /** SOI + APP0 marker; the 2-byte APP0 length follows. */
+  val JpegSoiApp0Hex = "ffd8" + "ffe0"
+  /** JFIF identifier, version 1.1, aspect-ratio units, 1x1 density, no
+    * thumbnail — the standard 14-byte APP0 body (optionally padded). */
+  val JfifBodyHex = "4a46494600" + "0101" + "00" + "0001" + "0001" + "00" + "00"
+  /** SOF0 marker, segment length 17, precision 8; big-endian HEIGHT then
+    * WIDTH follow. */
+  val SofPreDimsHex = "ffc0" + "0011" + "08"
+  /** 3 components: Y 2x2 sampling qtable 0, Cb/Cr 1x1 qtable 1. */
+  val SofPostDimsHex = "03" + "012200" + "021101" + "031101"
 
-  /** Magic-byte container sniff over the first 4 bytes. */
-  def sniffFormat(bin: Column): Column = {
-    val magic = lower(hex(substring(bin, 1, 4)))
-    when(magic === "89504e47", lit("png"))
-      .when(magic === "ffd8ffe0", lit("jpeg"))
-      .otherwise(lit("unknown"))
+  /** Big-endian hex of a numeric column, left-padded to `bytes` bytes. */
+  private def beHex(v: Column, bytes: Int): Column =
+    lpad(lower(hex(v)), bytes * 2, "0")
+
+  /** Deterministic fake media bytes with STRUCTURALLY VALID headers: a
+    * real PNG signature + IHDR chunk, or a real JPEG SOI + JFIF APP0
+    * (variable-length — padded by `id % 8` bytes so the decoder's
+    * segment walk is actually exercised) + SOF0 frame header, or no
+    * header at all; payload bytes follow. Width is `id % 640 + 1`,
+    * height `id % 480 + 1` — but they are EMBEDDED in the header bytes
+    * and [[decodeDims]] must recover them from there. */
+  def fakeMedia(payload: Column, id: Column): Column = {
+    val w = id % 640 + 1
+    val h = id % 480 + 1
+    val pngHeader = concat(
+      lit(PngSigHex + PngPreDimsHex), beHex(w, 4), beHex(h, 4), lit(PngPostDimsHex))
+    val pad = id % 8 // APP0 padding bytes: SOF0's offset varies per row
+    val jpegHeader = concat(
+      lit(JpegSoiApp0Hex), beHex(pad + 16, 2), lit(JfifBodyHex),
+      lit("0" * 14).substr(lit(1), (pad * 2).cast("int")),
+      lit(SofPreDimsHex), beHex(h, 2), beHex(w, 2), lit(SofPostDimsHex))
+    when(id % 3 === 0, concat(unhex(pngHeader), payload.cast("binary")))
+      .when(id % 3 === 1, concat(unhex(jpegHeader), payload.cast("binary")))
+      .otherwise(payload.cast("binary"))
   }
+
+  /** Magic-byte container sniff: full 8-byte PNG signature, or the JPEG
+    * SOI marker (any JPEG flavor — JFIF, EXIF, raw-DQT). */
+  def sniffFormat(bin: Column): Column =
+    when(lower(hex(substring(bin, 1, 8))) === PngSigHex, lit("png"))
+      .when(lower(hex(substring(bin, 1, 2))) === "ffd8", lit("jpeg"))
+      .otherwise(lit("unknown"))
 
   /** Byte length of the media content. */
   def nBytes(bin: Column): Column = length(bin).cast("long")
 
-  /** STUB decode: fake (width, height) derived from the byte length —
-    * replace with a real codec call in production. Deterministic so the
-    * plumbing is testable end-to-end. */
-  def decodeStub(bin: Column): Column =
-    struct(
-      (nBytes(bin) % 640).as("width"),
-      (nBytes(bin) % 480).as("height"))
+  /** REAL dimension decode from the header bytes:
+    *  - PNG: IHDR is mandated to be the first chunk, so width/height are
+    *    the big-endian u32s at bytes 17-24 — parsed with
+    *    substring+hex+conv column arithmetic (whole-stage codegen, no
+    *    custom expression needed);
+    *  - JPEG: SOFn is found by walking the segment chain (native
+    *    expression, one pass over the header bytes per row);
+    *  - anything else (or a JPEG with no SOF): null dims.
+    * Returns struct<width: long, height: long>. */
+  def decodeDims(bin: Column): Column = {
+    val isPng = lower(hex(substring(bin, 1, 8))) === PngSigHex &&
+      lower(hex(substring(bin, 13, 4))) === "49484452"
+    val isJpeg = lower(hex(substring(bin, 1, 2))) === "ffd8"
+    val pngW = conv(hex(substring(bin, 17, 4)), 16, 10).cast("long")
+    val pngH = conv(hex(substring(bin, 21, 4)), 16, 10).cast("long")
+    val packed = MediaFunctions.jpegDimsPacked(bin)
+    val nullDim = lit(null).cast("long")
+    when(isPng, struct(pngW.as("width"), pngH.as("height")))
+      .when(isJpeg, struct(
+        packed.bitwiseAND(lit(0xFFFFL)).as("width"),
+        shiftright(packed, 16).as("height")))
+      .otherwise(struct(nullDim.as("width"), nullDim.as("height")))
+  }
 
   /** Frame/window sampling: k fixed-size byte windows at a fixed stride,
     * hex-encoded (cross-engine-comparable). Windows past the end truncate

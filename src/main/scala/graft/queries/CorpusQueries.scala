@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.TextFunctions
 
@@ -299,6 +300,22 @@ $out"""
   // verification SF.
 
   /** Registered ANN parameters (shared by query + oracle). */
+  /** DuckDB expression constructing the same fake-media bytes as
+    * [[Multimodal.fakeMedia]] — identical header layout constants, so
+    * the oracle independently re-parses dimensions from real bytes. */
+  private val mediaBinSql: String = {
+    import Multimodal._
+    s"""CASE WHEN doc_id % 3 = 0 THEN from_hex('$PngSigHex$PngPreDimsHex' ||
+      printf('%08x', doc_id % 640 + 1) || printf('%08x', doc_id % 480 + 1) ||
+      '$PngPostDimsHex') || encode(text)
+    WHEN doc_id % 3 = 1 THEN from_hex('$JpegSoiApp0Hex' ||
+      printf('%04x', doc_id % 8 + 16) || '$JfifBodyHex' ||
+      repeat('00', CAST(doc_id % 8 AS INT)) || '$SofPreDimsHex' ||
+      printf('%04x', doc_id % 480 + 1) || printf('%04x', doc_id % 640 + 1) ||
+      '$SofPostDimsHex') || encode(text)
+    ELSE encode(text) END"""
+  }
+
   private val annPlanes = 6
   private val annTables = 12
   private val annCap = 100
@@ -767,38 +784,47 @@ FROM ch""") { (s, d) =>
     },
 
     // Multimodal metadata: binary media column (deterministic fake bytes
-    // with real magic headers), format sniff, byte length, content hash,
-    // stubbed decode dims. Oracle mirrors the bytes via encode()/hex().
+    // with STRUCTURALLY VALID PNG/JPEG headers), format sniff, byte
+    // length, content hash, and REAL dimension decode — PNG IHDR at a
+    // fixed offset, JPEG SOF0 behind a variable-length APP0. The oracle
+    // constructs the same bytes ([[mediaBinSql]], shared layout
+    // constants) and re-parses width/height from them with hex
+    // arithmetic: fixed position 33/41 for PNG; for JPEG it reads the
+    // APP0 length from bytes 5-6 and indexes the SOF0 dims behind it.
     Q("mm_metadata",
-      "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 " +
-        "THEN 'jpeg' ELSE 'unknown' END AS format, " +
-        "CAST(octet_length(encode(text)) + CASE WHEN doc_id % 3 IN (0, 1) THEN 4 ELSE 0 END " +
-        "AS BIGINT) AS n_bytes, md5(text) AS content_hash, " +
-        "CAST((octet_length(encode(text)) + CASE WHEN doc_id % 3 IN (0, 1) THEN 4 ELSE 0 END) % 640 " +
-        "AS BIGINT) AS width, " +
-        "CAST((octet_length(encode(text)) + CASE WHEN doc_id % 3 IN (0, 1) THEN 4 ELSE 0 END) % 480 " +
-        "AS BIGINT) AS height FROM documents") { (s, d) =>
-      import graft.multimodal.Multimodal
+      s"""WITH m AS (SELECT doc_id, text, $mediaBinSql AS bin FROM documents),
+h AS (SELECT doc_id, text, bin, lower(hex(bin)) AS hx FROM m),
+j AS (SELECT *, ${OracleSqlGen.hexAt("hx", "9", 4)} AS a0len FROM h)
+SELECT doc_id,
+  CASE WHEN substr(hx, 1, 16) = '${Multimodal.PngSigHex}' THEN 'png'
+       WHEN substr(hx, 1, 4) = 'ffd8' THEN 'jpeg' ELSE 'unknown' END AS format,
+  CAST(octet_length(bin) AS BIGINT) AS n_bytes,
+  md5(text) AS content_hash,
+  CAST(CASE WHEN substr(hx, 1, 16) = '${Multimodal.PngSigHex}' THEN ${OracleSqlGen.hexAt("hx", "33", 8)}
+            WHEN substr(hx, 1, 4) = 'ffd8' THEN ${OracleSqlGen.hexAt("hx", "2 * a0len + 23", 4)} END AS BIGINT) AS width,
+  CAST(CASE WHEN substr(hx, 1, 16) = '${Multimodal.PngSigHex}' THEN ${OracleSqlGen.hexAt("hx", "41", 8)}
+            WHEN substr(hx, 1, 4) = 'ffd8' THEN ${OracleSqlGen.hexAt("hx", "2 * a0len + 19", 4)} END AS BIGINT) AS height
+FROM j""") { (s, d) =>
       val withBin = Tables.documents(s, d)
         .withColumn("bin", Multimodal.fakeMedia(col("text"), col("doc_id")))
+      val dims = Multimodal.decodeDims(col("bin"))
       withBin.select(
         col("doc_id"),
         Multimodal.sniffFormat(col("bin")).as("format"),
         Multimodal.nBytes(col("bin")).as("n_bytes"),
         md5(col("text")).as("content_hash"),
-        Multimodal.decodeStub(col("bin")).getField("width").as("width"),
-        Multimodal.decodeStub(col("bin")).getField("height").as("height"))
+        dims.getField("width").as("width"),
+        dims.getField("height").as("height"))
     },
 
     // Multimodal frame sampling: 3 byte-windows of 8 bytes at stride 16,
-    // hex-encoded; oracle slices the hex string (2 chars per byte).
+    // hex-encoded; oracle constructs the same header bytes and slices
+    // the hex string (2 chars per byte).
     Q("mm_frames",
-      "SELECT doc_id, CAST(g.i AS INT) AS frame_idx, " +
-        "lower(substring(hex(CASE WHEN doc_id % 3 = 0 THEN from_hex('89504E47') || encode(text) " +
-        "WHEN doc_id % 3 = 1 THEN from_hex('FFD8FFE0') || encode(text) ELSE encode(text) END), " +
-        "CAST(g.i * 32 + 1 AS INT), 16)) AS frame_hex " +
-        "FROM documents, generate_series(0, 2) g(i)") { (s, d) =>
-      import graft.multimodal.Multimodal
+      s"WITH m AS (SELECT doc_id, $mediaBinSql AS bin FROM documents) " +
+        "SELECT doc_id, CAST(g.i AS INT) AS frame_idx, " +
+        "lower(substring(hex(bin), CAST(g.i * 32 + 1 AS INT), 16)) AS frame_hex " +
+        "FROM m, generate_series(0, 2) g(i)") { (s, d) =>
       Tables.documents(s, d)
         .withColumn("bin", Multimodal.fakeMedia(col("text"), col("doc_id")))
         .select(col("doc_id"),

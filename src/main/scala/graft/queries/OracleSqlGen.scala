@@ -14,13 +14,19 @@ import graft.similarity.Similarity
   */
 object OracleSqlGen {
 
-  /** Big-endian parse of 8 hex chars of `x` starting at 1-based `pos`
-    * -> a BIGINT in [0, 2^32). Plain instr/substr arithmetic — no
-    * engine-specific hex casts. */
-  def hex8(x: String, pos: Int): String =
-    (0 until 8).map { i =>
-      s"(instr('0123456789abcdef', substr($x, ${pos + i}, 1)) - 1) * ${1L << ((7 - i) * 4)}"
+  /** Big-endian parse of `nDigits` hex chars of `x` starting at the
+    * 1-based position given by the SQL expression `posSql` -> BIGINT.
+    * Plain instr/substr arithmetic — no engine-specific hex casts; the
+    * position may itself be computed from earlier bytes (how the media
+    * oracle follows a variable-length JPEG APP0 segment). */
+  def hexAt(x: String, posSql: String, nDigits: Int): String =
+    (0 until nDigits).map { i =>
+      s"(instr('0123456789abcdef', substr($x, ($posSql) + $i, 1)) - 1) * ${1L << ((nDigits - 1 - i) * 4)}"
     }.mkString("(", " + ", ")")
+
+  /** Big-endian parse of 8 hex chars of `x` starting at 1-based `pos`
+    * -> a BIGINT in [0, 2^32). */
+  def hex8(x: String, pos: Int): String = hexAt(x, pos.toString, 8)
 
   /** Index-ordered dot product of two array columns (elements cast to
     * DOUBLE; same left-to-right IEEE accumulation as the codegen'd

@@ -18,7 +18,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("nBytes counts bytes (UTF-8), not characters") {
     val got = rows(docs.filter($"id" === 3).select(Multimodal.nBytes($"bin"))).head.head
-    assert(got == 5 * 3 + 4L) // 5 CJK chars x 3 bytes + 4-byte header
+    assert(got == 5 * 3 + 33L) // 5 CJK chars x 3 bytes + 33-byte PNG header
   }
 
   test("frameWindows slices fixed windows at stride; short tail truncates") {
@@ -30,11 +30,57 @@ class MultimodalSpec extends SparkSpec {
     assert(w.head == "72617720") // "raw "
   }
 
-  test("decodeStub is deterministic and bounded (stub, not a codec)") {
-    val got = rows(docs.select(Multimodal.decodeStub($"bin").getField("width"),
-      Multimodal.decodeStub($"bin").getField("height")))
-    got.foreach { r =>
-      assert(r(0).asInstanceOf[Long] < 640 && r(1).asInstanceOf[Long] < 480)
-    }
+  test("decodeDims recovers the embedded PNG/JPEG dims from the bytes; unknown -> null") {
+    val got = rows(docs.select($"id",
+      Multimodal.decodeDims($"bin").getField("width"),
+      Multimodal.decodeDims($"bin").getField("height")).orderBy("id"))
+    // width = id % 640 + 1, height = id % 480 + 1 — but read back from
+    // the IHDR / SOF0 bytes, not recomputed from the id.
+    assert(got == Seq(
+      Seq(0L, 1L, 1L),      // png
+      Seq(1L, 2L, 2L),      // jpeg (APP0 padded by 1 byte)
+      Seq(2L, null, null),  // no header
+      Seq(3L, 4L, 4L)))     // png
+  }
+
+  test("decodeDims is robust to corrupt/markerless binaries (no crash, null dims)") {
+    val weird = Seq(
+      (0L, Array[Byte](0xFF.toByte, 0xD8.toByte)), // bare SOI, truncated
+      (1L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)), // SOI+EOI
+      (2L, Array.fill[Byte](64)(0x00))) // not media at all
+      .toDF("id", "bin")
+    val got = rows(weird.select(Multimodal.decodeDims($"bin").getField("width")))
+    assert(got.flatten.forall(_ == null))
+  }
+
+  import graft.functions.MediaUtil
+
+  private def jpeg(segments: Array[Byte]*): Array[Byte] =
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++ segments.flatten
+
+  private def seg(marker: Int, body: Array[Byte]): Array[Byte] = {
+    val len = body.length + 2
+    Array[Byte](0xFF.toByte, marker.toByte, (len >> 8).toByte, (len & 0xFF).toByte) ++ body
+  }
+
+  private def sof(marker: Int, h: Int, w: Int): Array[Byte] =
+    seg(marker, Array[Byte](8, (h >> 8).toByte, (h & 0xFF).toByte,
+      (w >> 8).toByte, (w & 0xFF).toByte, 0))
+
+  test("jpegDimsPacked walks multi-segment chains to any SOFn, stops at SOS/EOI") {
+    // Two APPn segments, a comment, then progressive SOF2 at a deep offset.
+    val deep = jpeg(seg(0xE0, Array.fill[Byte](14)(0)), seg(0xE1, Array.fill[Byte](100)(7)),
+      seg(0xFE, "a comment".getBytes("UTF-8")), sof(0xC2, 1080, 1920))
+    assert(MediaUtil.jpegDimsPacked(deep) == (1080L << 16 | 1920L))
+    // SOS before any SOF: dims unrecoverable, not an infinite walk.
+    val sosFirst = jpeg(seg(0xDA, Array[Byte](1, 1)), sof(0xC0, 4, 4))
+    assert(MediaUtil.jpegDimsPacked(sosFirst) == -1L)
+    // Zero-length segment (corrupt) must not loop.
+    val corrupt = jpeg(Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 0), sof(0xC0, 4, 4))
+    assert(MediaUtil.jpegDimsPacked(corrupt) == -1L)
+    // DHT (C4) is a table, not a frame header — walked over, not parsed as SOF.
+    val dht = jpeg(seg(0xC4, Array.fill[Byte](16)(1)), sof(0xC0, 33, 44))
+    assert(MediaUtil.jpegDimsPacked(dht) == (33L << 16 | 44L))
+    assert(MediaUtil.jpegDimsPacked("PNG?".getBytes("UTF-8")) == -1L)
   }
 }
