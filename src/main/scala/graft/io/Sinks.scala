@@ -49,13 +49,23 @@ object Sinks {
   /** K3: GeoJSON FeatureCollection writer (`writeOGR(..., "GeoJSON")`,
     * ningaloo-etl.Rmd:141). Feature JSON is built distributed; only the
     * final concatenation collects — geometry products here are dimension
-    * data (dozens of polygons). */
+    * data (dozens of polygons). The collection carries its RFC 7946
+    * `bbox` member ([west, south, east, north]) BEFORE the features, so
+    * the graft-geojson source's file-level bbox pruning can skip the
+    * file from header tokens alone. */
   def writeGeoJson(df: DataFrame, ringCol: String, propCols: Seq[String],
                    path: String): Unit = {
     val features = df.select(geoJsonFeature(col(ringCol), propCols).as("f"))
       .collect().map(_.getString(0))
+    val b = df.select(
+      min(array_min(transform(col(ringCol), _("lon")))).as("w"),
+      min(array_min(transform(col(ringCol), _("lat")))).as("s"),
+      max(array_max(transform(col(ringCol), _("lon")))).as("e"),
+      max(array_max(transform(col(ringCol), _("lat")))).as("n")).collect()(0)
+    val bbox = if (b.isNullAt(0)) "" // empty collection: no bbox
+      else s""""bbox":[${b.getDouble(0)},${b.getDouble(1)},${b.getDouble(2)},${b.getDouble(3)}],"""
     val doc = features.mkString(
-      """{"type":"FeatureCollection","features":[""", ",", "]}")
+      s"""{"type":"FeatureCollection",$bbox"features":[""", ",", "]}")
     Files.write(Paths.get(path), doc.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)

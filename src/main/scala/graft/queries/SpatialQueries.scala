@@ -149,5 +149,49 @@ object SpatialQueries {
         .select(col("event_type"), posexplode(col("ring")))
         .select(col("event_type"), col("pos").as("pt_idx"),
           col("col.lon").as("x"), col("col.lat").as("y"))
+    },
+
+    // S-family + pushdown: bbox FILE SKIPPING through the DSv2 source.
+    // One GeoJSON file per nation-key band (5 files), each carrying its
+    // RFC 7946 top-level bbox; nation rectangles are pure arithmetic
+    // (lon = 7*key .. 7*key+5), so the oracle re-derives everything
+    // from the nation table. The lon_min >= 91 read opens only the 3
+    // bands whose header bbox can match — files-read < total is
+    // asserted in GeoJsonSourceSpec, row-level exactness re-checked by
+    // Spark above the scan (the skip is file-level, not row-level).
+    Q("src_geojson_bbox",
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+        "CAST(n_nationkey * 7 AS DOUBLE) AS lon_min, " +
+        "CAST(n_regionkey * 10 - 80 AS DOUBLE) AS lat_min, " +
+        "CAST(n_nationkey * 7 + 5 AS DOUBLE) AS lon_max, " +
+        "CAST(n_regionkey * 10 - 75 AS DOUBLE) AS lat_max " +
+        "FROM nation WHERE n_nationkey * 7 >= 91") { (s, d) =>
+      val dir = bandedNationGeoJson(s, d)
+      s.read.format("graft-geojson").load(dir)
+        .filter(col("lon_min") >= 91.0)
+        .select(col("n_nationkey"), col("n_name"),
+          col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"))
     })
+
+  /** Writes the 25 nation rectangles as 5 band files (nation keys
+    * 0-4, 5-9, ...) with file-level bboxes; returns the directory.
+    * Shared by the src_geojson_bbox query and the pruning spec. */
+  def bandedNationGeoJson(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_geojson_bands_${Integer.toHexString(d.hashCode)}"))
+    val nat = Tables.nation(s, d).select(
+      col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+      (col("n_nationkey") * 7.0).as("x_min"),
+      (col("n_regionkey") * 10.0 - 80).as("y_min"),
+      (col("n_nationkey") * 7.0 + 5).as("x_max"),
+      (col("n_regionkey") * 10.0 - 75).as("y_max"))
+      .withColumn("ring", Spatial.bboxRing(
+        col("x_min"), col("y_min"), col("x_max"), col("y_max")))
+    (0 until 5).foreach { g =>
+      graft.io.Sinks.writeGeoJson(
+        nat.filter(col("n_nationkey") >= g * 5 && col("n_nationkey") < (g + 1) * 5),
+        "ring", Seq("n_nationkey", "n_name"), s"$dir/band_$g.geojson")
+    }
+    dir.toString
+  }
 }

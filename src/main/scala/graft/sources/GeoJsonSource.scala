@@ -2,16 +2,20 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
+import com.fasterxml.jackson.core.{JsonParser, JsonToken}
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,19 +27,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * a first-class `spark.read.format("graft-geojson")` table, not a
   * driver-side parse helper.
   *
-  * Schema: one column per property of the first feature (types from the
-  * JSON node: text -> STRING, integral -> BIGINT, number -> DOUBLE,
-  * boolean -> BOOLEAN), plus `geometry_type STRING` and the outer ring
-  * as `ring ARRAY<STRUCT<lon DOUBLE, lat DOUBLE>>` (Polygon: ring 0;
-  * Point: a 1-element ring).
+  * Schema: one column per property seen across ALL features of ALL
+  * files (text -> STRING, integral -> BIGINT, number -> DOUBLE, boolean
+  * -> BOOLEAN; integral+fractional widens to DOUBLE, any other
+  * disagreement FAILS loudly instead of silently coercing), plus
+  * `geometry_type STRING`, the outer ring as
+  * `ring ARRAY<STRUCT<lon DOUBLE, lat DOUBLE>>` (Polygon: ring 0;
+  * Point: a 1-element ring), and the feature's bounding box as four
+  * DOUBLE columns `lon_min, lat_min, lon_max, lat_max` — the spatial
+  * predicate surface.
   *
   * Scale shape: one [[InputPartition]] per file — a path can be a single
   * FeatureCollection or a directory of them, so a sharded corpus of
   * feature files parallelizes by file exactly like the JSON source.
-  * Column pruning is pushed down ([[SupportsPushDownRequiredColumns]]):
-  * a query touching only properties never materializes ring arrays.
-  * Feature objects stream through Jackson one file at a time per task;
-  * nothing collects on the driver.
+  * Paths go through the Hadoop FileSystem API (hdfs://, s3a:// work,
+  * not just local files). Column pruning is pushed down
+  * ([[SupportsPushDownRequiredColumns]]): a query touching only
+  * properties never materializes ring arrays. Range/equality filters on
+  * the bbox columns are pushed down ([[SupportsPushDownFilters]]) and
+  * prune WHOLE FILES: a file whose RFC 7946 top-level `bbox` member
+  * (the sink writes one) proves no feature can match is never opened —
+  * a thousand-file feature corpus answers a windowed spatial query by
+  * reading the window's files. Features stream through Jackson's
+  * incremental JsonParser one at a time; a file is never materialized
+  * whole in task memory. Full-corpus schema inference reads every
+  * feature once on the driver — pass an explicit schema (the source
+  * `supportsExternalMetadata`) to skip that pass on large corpora.
   */
 class GeoJsonDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-geojson"
@@ -55,39 +72,128 @@ object GeoJsonTable {
     ArrayType(StructType(Seq(
       StructField("lon", DoubleType), StructField("lat", DoubleType))))
 
+  /** The geometry-derived columns appended after the property columns. */
+  val geomFields: Seq[StructField] = Seq(
+    StructField("geometry_type", StringType), StructField("ring", ringType),
+    StructField("lon_min", DoubleType), StructField("lat_min", DoubleType),
+    StructField("lon_max", DoubleType), StructField("lat_max", DoubleType))
+
+  val bboxColumns: Set[String] = Set("lon_min", "lat_min", "lon_max", "lat_max")
+
+  private def fs(path: String) = new Path(path).getFileSystem(new Configuration())
+
   /** Files under `path` (a .geojson/.json file, or a directory of them),
-    * sorted for deterministic partition order. */
+    * via the Hadoop FileSystem API, sorted for deterministic partition
+    * order. */
   def files(path: String): Seq[String] = {
-    val f = new java.io.File(path)
-    require(f.exists(), s"graft-geojson: path not found: $path")
-    if (f.isFile) Seq(f.getPath)
-    else f.listFiles().toSeq.map(_.getPath)
-      .filter(p => p.endsWith(".geojson") || p.endsWith(".json")).sorted
+    val p = new Path(path)
+    val filesystem = fs(path)
+    require(filesystem.exists(p), s"graft-geojson: path not found: $path")
+    if (filesystem.getFileStatus(p).isFile) Seq(p.toString)
+    else filesystem.listStatus(p).toSeq.map(_.getPath)
+      .filter(q => q.getName.endsWith(".geojson") || q.getName.endsWith(".json"))
+      .map(_.toString).sorted
   }
 
-  def inferSchema(paths: Seq[String]): StructType = {
-    require(paths.nonEmpty, "graft-geojson: no .geojson/.json files under path")
-    val root = new ObjectMapper().readTree(new java.io.File(paths.head))
-    val feats = root.get("features")
-    require(feats != null && feats.isArray,
-      s"graft-geojson: ${paths.head} is not a FeatureCollection")
-    val propFields =
-      if (feats.size() == 0) Seq.empty
-      else {
-        val props = feats.get(0).get("properties")
-        props.properties().asScala.toSeq.map { e =>
-          val t = e.getValue match {
-            case v if v.isTextual => StringType
-            case v if v.isIntegralNumber => LongType
-            case v if v.isNumber => DoubleType
-            case v if v.isBoolean => BooleanType
-            case _ => StringType
-          }
-          StructField(e.getKey, t)
+  // Typed as InputStream: FSDataInputStream is also a DataInput, which
+  // makes Jackson's createParser overload ambiguous.
+  private[sources] def open(file: String): java.io.InputStream =
+    fs(file).open(new Path(file))
+
+  /** Advances `p` past the top-level fields to the START_ARRAY of
+    * "features", skipping other members (type, bbox, ...) without
+    * materializing them. */
+  private[sources] def seekFeatures(p: JsonParser, file: String): Unit = {
+    require(p.nextToken() == JsonToken.START_OBJECT,
+      s"graft-geojson: $file is not a JSON object")
+    var found = false
+    while (!found) {
+      val t = p.nextToken()
+      require(t != null && t != JsonToken.END_OBJECT,
+        s"graft-geojson: $file is not a FeatureCollection (no features array)")
+      val name = p.currentName()
+      p.nextToken()
+      if (name == "features") {
+        require(p.currentToken() == JsonToken.START_ARRAY,
+          s"graft-geojson: $file: features is not an array")
+        found = true
+      } else p.skipChildren()
+    }
+  }
+
+  /** The file's top-level RFC 7946 `bbox` member as (w, s, e, n), read
+    * from the header tokens only — parsing stops at the first of `bbox`
+    * or `features`, so planning never scans feature data. Files without
+    * a leading bbox return None (and are never pruned). */
+  def fileBbox(file: String): Option[(Double, Double, Double, Double)] = {
+    val p = new ObjectMapper().getFactory.createParser(open(file))
+    try {
+      if (p.nextToken() != JsonToken.START_OBJECT) return None
+      while (true) {
+        val t = p.nextToken()
+        if (t == null || t == JsonToken.END_OBJECT) return None
+        val name = p.currentName()
+        p.nextToken()
+        name match {
+          case "bbox" =>
+            if (p.currentToken() != JsonToken.START_ARRAY) return None
+            val buf = mutable.ArrayBuffer.empty[Double]
+            while (p.nextToken() != JsonToken.END_ARRAY) buf += p.getDoubleValue
+            return if (buf.size >= 4) Some((buf(0), buf(1), buf(2), buf(3))) else None
+          case "features" => return None
+          case _ => p.skipChildren()
         }
       }
-    StructType(propFields ++ Seq(
-      StructField("geometry_type", StringType), StructField("ring", ringType)))
+      None
+    } finally p.close()
+  }
+
+  /** Streams every feature of `file` through `f` — the shared iteration
+    * for inference and a (driver-side) validation pass; the partition
+    * reader inlines the same token walk. */
+  private def forEachFeature(file: String)(f: JsonNode => Unit): Unit = {
+    val mapper = new ObjectMapper()
+    val p = mapper.getFactory.createParser(open(file))
+    try {
+      seekFeatures(p, file)
+      while (p.nextToken() != JsonToken.END_ARRAY) f(mapper.readTree[JsonNode](p))
+    } finally p.close()
+  }
+
+  private def jsonType(v: JsonNode): Option[DataType] = v match {
+    case n if n.isNull => None // carries no type information
+    case n if n.isTextual => Some(StringType)
+    case n if n.isIntegralNumber => Some(LongType)
+    case n if n.isNumber => Some(DoubleType)
+    case n if n.isBoolean => Some(BooleanType)
+    case _ => Some(StringType) // nested containers surface as JSON text
+  }
+
+  /** Infers property columns from ALL features of ALL files — a value
+    * that is integral in one feature and fractional in another widens to
+    * DOUBLE; any other cross-feature type disagreement fails loudly
+    * (silent asLong/asText coercion truncates 2.7 to 2). */
+  def inferSchema(paths: Seq[String]): StructType = {
+    require(paths.nonEmpty, "graft-geojson: no .geojson/.json files under path")
+    val inferred = mutable.LinkedHashMap.empty[String, DataType]
+    paths.foreach { file =>
+      forEachFeature(file) { feat =>
+        val props = feat.get("properties")
+        if (props != null && !props.isNull) props.properties().asScala.foreach { e =>
+          jsonType(e.getValue).foreach { t =>
+            inferred.get(e.getKey) match {
+              case None | Some(`t`) => inferred(e.getKey) = t
+              case Some(prev) if Set(prev, t) == Set[DataType](LongType, DoubleType) =>
+                inferred(e.getKey) = DoubleType
+              case Some(prev) => throw new IllegalArgumentException(
+                s"graft-geojson: property '${e.getKey}' is $prev elsewhere but " +
+                  s"${t} in $file — pass an explicit schema to force a type")
+            }
+          }
+        }
+      }
+    }
+    StructType(inferred.map { case (k, t) => StructField(k, t) }.toSeq ++ geomFields)
   }
 }
 
@@ -102,22 +208,80 @@ class GeoJsonTable(path: String, tableSchema: StructType)
 }
 
 class GeoJsonScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GeoJsonScan(path, required)
+
+  /** Accepts range/equality filters on the bbox columns for FILE-level
+    * skipping. Every filter is also returned (Spark re-evaluates them
+    * per row): the pushdown prunes which files open, it does not claim
+    * row-exact evaluation. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GeoJsonScan.isBboxFilter)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GeoJsonScan(path, required, pushed)
 }
 
 case class GeoJsonInputPartition(file: String) extends InputPartition
 
-class GeoJsonScan(path: String, required: StructType) extends Scan with Batch {
+object GeoJsonScan {
+  import GeoJsonTable.bboxColumns
+
+  def isBboxFilter(f: Filter): Boolean = f match {
+    case GreaterThan(a, v: Number) => bboxColumns(a) && v != null
+    case GreaterThanOrEqual(a, v: Number) => bboxColumns(a) && v != null
+    case LessThan(a, v: Number) => bboxColumns(a) && v != null
+    case LessThanOrEqual(a, v: Number) => bboxColumns(a) && v != null
+    case EqualTo(a, v: Number) => bboxColumns(a) && v != null
+    case _ => false
+  }
+
+  /** Can ANY value of bbox column `a` inside this file satisfy `f`?
+    * Every bbox column's value range within a file is bounded by the
+    * file-level bbox: lon_min/lon_max lie in [w, e], lat_min/lat_max in
+    * [s, n] — so an interval check per conjunct is sound. */
+  def satisfiable(f: Filter, w: Double, s: Double, e: Double, n: Double): Boolean = {
+    def interval(a: String): (Double, Double) =
+      if (a == "lon_min" || a == "lon_max") (w, e) else (s, n)
+    f match {
+      case GreaterThan(a, v: Number) => interval(a)._2 > v.doubleValue()
+      case GreaterThanOrEqual(a, v: Number) => interval(a)._2 >= v.doubleValue()
+      case LessThan(a, v: Number) => interval(a)._1 < v.doubleValue()
+      case LessThanOrEqual(a, v: Number) => interval(a)._1 <= v.doubleValue()
+      case EqualTo(a, v: Number) =>
+        interval(a)._1 <= v.doubleValue() && v.doubleValue() <= interval(a)._2
+      case _ => true
+    }
+  }
+}
+
+class GeoJsonScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-geojson $path, ReadSchema: ${required.simpleString}"
+    s"graft-geojson $path, ReadSchema: ${required.simpleString}" +
+      (if (pushed.nonEmpty) s", PushedBboxFilters: ${pushed.mkString("[", ", ", "]")}" else "")
+
+  /** One partition per file that SURVIVES bbox pruning: a file whose
+    * header bbox proves every pushed conjunct unsatisfiable is skipped
+    * without being opened for data. */
   override def planInputPartitions(): Array[InputPartition] =
-    GeoJsonTable.files(path).map(GeoJsonInputPartition(_)).toArray
+    GeoJsonTable.files(path).filter { f =>
+      pushed.isEmpty || (GeoJsonTable.fileBbox(f) match {
+        case Some((w, s, e, n)) =>
+          pushed.forall(GeoJsonScan.satisfiable(_, w, s, e, n))
+        case None => true // no header bbox: never prune
+      })
+    }.map(GeoJsonInputPartition(_)).toArray
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GeoJsonReaderFactory(required)
 }
@@ -129,22 +293,27 @@ class GeoJsonReaderFactory(required: StructType)
 }
 
 /** Streams one FeatureCollection file's features as InternalRows of the
-  * pruned schema. */
+  * pruned schema — Jackson's incremental parser reads one feature tree
+  * at a time, so task memory is bounded by the largest FEATURE, not the
+  * file. */
 class GeoJsonPartitionReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
-  private val feats: java.util.Iterator[JsonNode] = {
-    val root = new ObjectMapper().readTree(new java.io.File(file))
-    val f = root.get("features")
-    require(f != null && f.isArray, s"graft-geojson: $file is not a FeatureCollection")
-    f.elements()
+  private val mapper = new ObjectMapper()
+  private val parser: JsonParser = {
+    val p = mapper.getFactory.createParser(GeoJsonTable.open(file))
+    GeoJsonTable.seekFeatures(p, file)
+    p
   }
   private var current: InternalRow = _
+  private val needsGeometry =
+    required.fields.exists(f => GeoJsonTable.geomFields.exists(_.name == f.name))
 
-  private def ringOf(geom: JsonNode): ArrayData = {
+  /** The outer ring as (lon, lat) pairs. Only geometries whose outer
+    * ring is unambiguous are supported — anything else must FAIL, not
+    * silently parse nested arrays as 0.0 (Jackson's asDouble on an
+    * array node). */
+  private def ringOf(geom: JsonNode): Array[(Double, Double)] = {
     val coords = geom.get("coordinates")
-    // Only geometries whose outer ring is unambiguous are supported —
-    // anything else must FAIL, not silently parse nested arrays as 0.0
-    // (Jackson's asDouble on an array node).
     val ring = geom.get("type").asText() match {
       case "Point" => Seq(coords)
       case "Polygon" | "LineString" | "MultiPoint" =>
@@ -153,36 +322,52 @@ class GeoJsonPartitionReader(file: String, required: StructType)
       case other => throw new IllegalArgumentException(
         s"graft-geojson: unsupported geometry type '$other' (Point/Polygon/LineString/MultiPoint)")
     }
-    new GenericArrayData(ring.map { pt =>
-      new GenericInternalRow(Array[Any](pt.get(0).asDouble(), pt.get(1).asDouble()))
-    }.toArray[Any])
+    ring.map(pt => (pt.get(0).asDouble(), pt.get(1).asDouble())).toArray
   }
 
-  private def fieldValue(feat: JsonNode, f: StructField): Any = f.name match {
-    case "geometry_type" => UTF8String.fromString(feat.get("geometry").get("type").asText())
-    case "ring" => ringOf(feat.get("geometry"))
-    case prop =>
-      val v = feat.get("properties").get(prop)
-      if (v == null || v.isNull) null
-      else f.dataType match {
-        case StringType => UTF8String.fromString(v.asText())
-        case LongType => v.asLong()
-        case DoubleType => v.asDouble()
-        case BooleanType => v.asBoolean()
-        case other => throw new IllegalStateException(
-          s"graft-geojson: unsupported type $other for property $prop")
-      }
+  private def toRingData(ring: Array[(Double, Double)]): ArrayData =
+    new GenericArrayData(ring.map { case (lon, lat) =>
+      new GenericInternalRow(Array[Any](lon, lat))
+    }.toArray[Any])
+
+  private def propValue(feat: JsonNode, f: StructField): Any = {
+    val v = feat.get("properties").get(f.name)
+    if (v == null || v.isNull) null
+    else f.dataType match {
+      case StringType => UTF8String.fromString(v.asText())
+      case LongType if v.isIntegralNumber => v.asLong()
+      case DoubleType if v.isNumber => v.asDouble()
+      case BooleanType if v.isBoolean => v.asBoolean()
+      case t => throw new IllegalArgumentException(
+        s"graft-geojson: $file: property '${f.name}' is declared $t but " +
+          s"holds ${v.getNodeType} '$v' — refusing to coerce")
+    }
   }
 
   override def next(): Boolean =
-    if (!feats.hasNext) false
+    if (parser.nextToken() == JsonToken.END_ARRAY) false
     else {
-      val feat = feats.next()
-      current = new GenericInternalRow(
-        required.fields.map(fieldValue(feat, _)).toArray[Any])
+      val feat = mapper.readTree[JsonNode](parser)
+      val geom = feat.get("geometry")
+      if (needsGeometry && (geom == null || geom.isNull))
+        throw new IllegalArgumentException(
+          s"graft-geojson: $file: feature has null geometry (RFC 7946 allows " +
+            "it, but the requested columns need one)")
+      lazy val ring = ringOf(geom)
+      current = new GenericInternalRow(required.fields.map { f =>
+        f.name match {
+          case "geometry_type" => UTF8String.fromString(geom.get("type").asText())
+          case "ring" => toRingData(ring)
+          case "lon_min" => ring.iterator.map(_._1).min
+          case "lat_min" => ring.iterator.map(_._2).min
+          case "lon_max" => ring.iterator.map(_._1).max
+          case "lat_max" => ring.iterator.map(_._2).max
+          case _ => propValue(feat, f)
+        }
+      }.toArray[Any])
       true
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = parser.close()
 }

@@ -28,7 +28,8 @@ class GeoJsonSourceSpec extends SparkSpec {
     val path = writeTmp()
     val back = spark.read.format("graft-geojson").load(path)
     assert(back.schema.fieldNames.toSeq ==
-      Seq("site", "pop", "geometry_type", "ring"))
+      Seq("site", "pop", "geometry_type", "ring",
+        "lon_min", "lat_min", "lon_max", "lat_max"))
     val got = back
       .select(col("site"), col("pop"), col("geometry_type"),
         size(col("ring")).as("n"), element_at(col("ring"), 2).getField("lon").as("x2"))
@@ -70,5 +71,82 @@ class GeoJsonSourceSpec extends SparkSpec {
     val back = spark.read.format("graft-geojson").load(dir)
     assert(back.rdd.getNumPartitions == 2)
     assert(back.select("site").as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("bbox filter pushdown skips whole files by their header bbox") {
+    val dir = Files.createTempDirectory("geojson_prune").toString
+    Sinks.writeGeoJson(sitesDf.filter($"site" === "a"), "ring", Seq("site", "pop"),
+      s"$dir/a.geojson") // bbox [0,0,1,1]
+    Sinks.writeGeoJson(sitesDf.filter($"site" === "b"), "ring", Seq("site", "pop"),
+      s"$dir/b.geojson") // bbox [5,5,6,6]
+    val q = spark.read.format("graft-geojson").load(dir)
+      .filter($"lon_min" >= 4.0)
+    // File a's header bbox [0,0,1,1] proves lon_min <= 1 < 4: never opened.
+    assert(q.rdd.getNumPartitions == 1, "file not pruned by header bbox")
+    assert(q.select("site").as[String].collect().toSeq == Seq("b"))
+    // The whole-query result is still row-exact, not file-granular.
+    val between = spark.read.format("graft-geojson").load(dir)
+      .filter($"lat_max" <= 3.0)
+    assert(between.select("site").as[String].collect().toSeq == Seq("a"))
+    assert(between.rdd.getNumPartitions == 1)
+  }
+
+  test("the banded-nation fixture prunes 2 of 5 files under lon_min >= 91") {
+    val dir = graft.queries.SpatialQueries.bandedNationGeoJson(
+      spark, "/root/testdata/sf0.001")
+    val q = spark.read.format("graft-geojson").load(dir).filter($"lon_min" >= 91.0)
+    assert(q.rdd.getNumPartitions == 3, "expected bands 2,3,4 only")
+    assert(q.count() == 12) // nation keys 13..24
+  }
+
+  test("schema inference samples all features and files; long+double widens") {
+    val dir = Files.createTempDirectory("geojson_widen").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/f1.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[0,0]},
+        |"properties":{"v":2}}]}""".stripMargin.replace("\n", ""))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/f2.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[1,1]},
+        |"properties":{"v":2.7,"only_here":"x"}}]}""".stripMargin.replace("\n", ""))
+    val back = spark.read.format("graft-geojson").load(dir)
+    assert(back.schema("v").dataType.typeName == "double")
+    assert(back.schema.fieldNames.contains("only_here"))
+    // 2.7 survives as 2.7 — no silent truncation to 2.
+    assert(back.select("v").as[Double].collect().sorted.toSeq == Seq(2.0, 2.7))
+  }
+
+  test("irreconcilable property types fail inference loudly") {
+    val dir = Files.createTempDirectory("geojson_conflict").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/f1.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[0,0]},
+        |"properties":{"v":1}},
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[1,1]},
+        |"properties":{"v":"one"}}]}""".stripMargin.replace("\n", ""))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-geojson").load(dir).schema
+    }
+    assert(e.getMessage.contains("property 'v'"))
+  }
+
+  test("null geometry errors descriptively when geometry columns are read") {
+    val dir = Files.createTempDirectory("geojson_nullgeom").toString
+    val path = s"$dir/n.geojson"
+    Files.writeString(java.nio.file.Paths.get(path),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":null,"properties":{"site":"n"}}]}"""
+        .stripMargin.replace("\n", ""))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    val e = intercept[Exception] {
+      spark.read.format("graft-geojson").load(path).select("ring").collect()
+    }
+    assert(messages(e).exists(m => m != null && m.contains("null geometry")))
+    // Properties-only reads of the same file are fine (RFC 7946 allows
+    // null geometry; only geometry-derived columns need one).
+    val sites = spark.read.format("graft-geojson").load(path)
+      .select("site").as[String].collect().toSeq
+    assert(sites == Seq("n"))
   }
 }
