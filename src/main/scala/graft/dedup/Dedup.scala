@@ -488,6 +488,11 @@ object Dedup {
         .groupBy("node").agg(min(col("lbl")).as("lbl")))
       val changed = next.join(labels.withColumnRenamed("lbl", "_old"), Seq("node"))
         .filter(col("lbl") < col("_old")).count()
+      // `next` is EAGERLY materialized and `changed` consumed the old
+      // labels, so round N-1's checkpoint (blocks + reliable files) can
+      // be dropped now — otherwise maxIters generations accumulate for
+      // the session lifetime.
+      graft.ops.Materialize.release(labels)
       labels = next
       converged = changed == 0
       iter += 1

@@ -65,4 +65,25 @@ object Materialize {
   def eagerDurable(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** Releases the storage behind a frame produced by [[eagerDurable]]
+    * once a LATER round has materialized and the frame will never be
+    * read again: unpersists the localCheckpoint blocks and deletes the
+    * reliable-checkpoint files (Spark itself keeps both until session
+    * end unless `spark.cleaner.referenceTracking.cleanCheckpoints` GC
+    * kicks in — an iterative operator that runs 50 rounds would
+    * otherwise hold 50 generations of labels). No-op on frames that
+    * aren't checkpoint-backed. */
+  def release(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach { rdd =>
+      rdd.unpersist(blocking = false)
+      rdd.getCheckpointFile.foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        ()
+      }
+    }
 }

@@ -70,6 +70,47 @@ object ScaleOps {
     if (!df.sparkSession.catalog.tableExists(table))
       writeBucketed(df, table, key, numBuckets)
 
+  // ---- Hadoop FS plumbing: layout prep must work on hdfs://, s3a://
+  // and file:// alike, so every existence check, marker file and listing
+  // below goes through the FileSystem API, never java.io.File.
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  private def writeUtf8(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** _SUCCESS exists AND (no fingerprint requested OR the recorded one
+    * matches) — the shared freshness test of ensurePartitioned /
+    * ensureSortedBy. */
+  private def layoutFresh(spark: SparkSession, path: String,
+                          srcFingerprint: String): Boolean = {
+    val (fs, base) = hadoopFs(spark, path)
+    val done = new org.apache.hadoop.fs.Path(base, "_SUCCESS")
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_SRC")
+    fs.exists(done) && (srcFingerprint.isEmpty ||
+      (fs.exists(marker) && readUtf8(fs, marker) == srcFingerprint))
+  }
+
+  private def writeMarker(spark: SparkSession, path: String,
+                          srcFingerprint: String): Unit =
+    if (srcFingerprint.nonEmpty) {
+      val (fs, base) = hadoopFs(spark, path)
+      writeUtf8(fs, new org.apache.hadoop.fs.Path(base, "_GRAFT_SRC"), srcFingerprint)
+    }
+
   /** Write `df` as a directory tree partitioned by `partCol` (the
     * physical layout that lets a partition-filtered query read ONE
     * directory out of thousands instead of scanning everything — at
@@ -80,26 +121,20 @@ object ScaleOps {
     * write instead of silently serving a stale tree (the same
     * cross-process staleness writeBucketed guards against). */
   def ensurePartitioned(df: DataFrame, path: String, partCol: String,
-                        srcFingerprint: String = ""): Unit = {
-    val done = new java.io.File(path, "_SUCCESS")
-    val marker = new java.io.File(path, "_GRAFT_SRC")
-    val fresh = done.exists() && (srcFingerprint.isEmpty ||
-      (marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath),
-          "UTF-8") == srcFingerprint))
-    if (!fresh) {
+                        srcFingerprint: String = ""): Unit =
+    if (!layoutFresh(df.sparkSession, path, srcFingerprint)) {
       df.write.mode("overwrite").partitionBy(partCol).parquet(path)
-      if (srcFingerprint.nonEmpty)
-        java.nio.file.Files.write(marker.toPath, srcFingerprint.getBytes("UTF-8"))
-      ()
+      writeMarker(df.sparkSession, path, srcFingerprint)
     }
-  }
 
   /** Fingerprint of a source file for [[ensurePartitioned]]: length +
-    * mtime — cheap and changes whenever the driver regenerates it. */
+    * mtime — cheap and changes whenever the driver regenerates it.
+    * Resolved through the path's Hadoop FileSystem (default
+    * configuration), so non-local sources fingerprint too. */
   def fileFingerprint(path: String): String = {
-    val f = new java.io.File(path)
-    s"${f.length}:${f.lastModified}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).getFileStatus(p)
+    s"${st.getLen}:${st.getModificationTime}"
   }
 
   /** Write `df` globally range-clustered by `key`: repartitionByRange
@@ -110,22 +145,13 @@ object ScaleOps {
     * pruning, and the poor man's Z-order for a single key). Idempotent
     * via the same fingerprint marker as [[ensurePartitioned]]. */
   def ensureSortedBy(df: DataFrame, path: String, key: String, numFiles: Int,
-                     srcFingerprint: String = ""): Unit = {
-    val done = new java.io.File(path, "_SUCCESS")
-    val marker = new java.io.File(path, "_GRAFT_SRC")
-    val fresh = done.exists() && (srcFingerprint.isEmpty ||
-      (marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath),
-          "UTF-8") == srcFingerprint))
-    if (!fresh) {
+                     srcFingerprint: String = ""): Unit =
+    if (!layoutFresh(df.sparkSession, path, srcFingerprint)) {
       df.repartitionByRange(numFiles, col(key))
         .sortWithinPartitions(key)
         .write.mode("overwrite").parquet(path)
-      if (srcFingerprint.nonEmpty)
-        java.nio.file.Files.write(marker.toPath, srcFingerprint.getBytes("UTF-8"))
-      ()
+      writeMarker(df.sparkSession, path, srcFingerprint)
     }
-  }
 
   /** Row-group [min, max] statistics of an INT64 column across every
     * part file under `path`, straight from the parquet footers — the
@@ -134,11 +160,11 @@ object ScaleOps {
   def rowGroupRanges(path: String, column: String): Seq[(Long, Long)] = {
     import scala.jdk.CollectionConverters._
     val conf = new org.apache.hadoop.conf.Configuration()
-    val files = Option(new java.io.File(path).listFiles()).toSeq.flatten
+    val base = new org.apache.hadoop.fs.Path(path)
+    val files = base.getFileSystem(conf).listStatus(base).toSeq.map(_.getPath)
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
     files.flatMap { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getPath), conf)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == column).flatMap { c =>

@@ -96,6 +96,26 @@ object Similarity {
     math.max(4, math.ceil(
       math.log(math.max(corpusCount, 1).toDouble / targetBucket) / math.log(2.0)).toInt)
 
+  /** Log2-scale row-count estimate: counts ONE partition and scales by
+    * the partition count — one narrow job over a single partition, not
+    * a full pass. Only for knobs that need order-of-magnitude accuracy
+    * (plane counts); an empty sampled partition falls back to counting
+    * the rest lazily via take(). */
+  private[graft] def estimateCount(df: DataFrame): Long = {
+    val rdd = df.rdd
+    val nParts = rdd.getNumPartitions
+    if (nParts == 0) return 1L
+    // runJob on partition 0 only — exactly one task, unlike a
+    // mapPartitionsWithIndex().collect(), which schedules every partition.
+    val sampled = df.sparkSession.sparkContext
+      .runJob(rdd, (it: Iterator[org.apache.spark.sql.Row]) => {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      }, Seq(0)).head
+    if (sampled > 0) sampled * nParts
+    // Partition 0 empty: cheap non-emptiness probe, pessimistic scale.
+    else if (df.take(1).nonEmpty) nParts.toLong else 1L
+  }
+
   /** Per-query top-k window over scored pairs: highest cosine first,
     * ties (and equal-cosine rounding collisions) broken by neighbor id
     * so both engines resolve them identically. */
@@ -214,9 +234,13 @@ object Similarity {
     * window, exposed so quality reports can count the rescored volume
     * (candidate fraction) from the same plan they rank.
     *
-    * numPlanes None -> [[planesFor]] of a corpus count pass (pass an
-    * explicit value to avoid the extra count job, or when the same
-    * planes must be reproduced elsewhere, e.g. in an oracle).
+    * numPlanes None -> [[planesFor]] of a SAMPLED corpus-size estimate:
+    * one partition is counted and scaled by the partition count — never
+    * a full pass over the (possibly computed) input, and log2-scale is
+    * all [[planesFor]] needs (a 2x estimate error moves the plane count
+    * by one). Pass an explicit value when the exact plane count matters
+    * — reproducing the planes elsewhere (e.g. in an oracle), or heavy
+    * partition skew where one partition misestimates the corpus.
     * `candidateCap` keeps, per query, only the cap candidates with the
     * most table collisions (ties by id) — a hard per-query bound on
     * rescore cost that a raw bucket union does not give. */
@@ -226,7 +250,7 @@ object Similarity {
                 bucketCap: Option[Int] = None,
                 candidateCap: Option[Int] = None): DataFrame = {
     val base = df.filter(l2norm(col(vecCol)) > 0)
-    val planes = numPlanes.getOrElse(planesFor(base.count()))
+    val planes = numPlanes.getOrElse(planesFor(estimateCount(base.select(col(idCol)))))
     val pairs = lshCollisions(base, idCol, vecCol, planes, numTables, dim, seed, bucketCap)
     val sym = pairs.select(col("id1").as("query_id"), col("id2").as("neighbor_id"), col("n_tbl"))
       .union(pairs.select(col("id2").as("query_id"), col("id1").as("neighbor_id"), col("n_tbl")))

@@ -45,6 +45,17 @@ object CorpusIngest {
       .groupBy(col("lang_guess"))
       .agg(count(lit(1)).as("n_unique_docs"))
 
+    // CARDINALITY CONTRACT for the complete-mode memory sink: it
+    // re-materializes the WHOLE aggregate on the driver every batch, so
+    // it is only legal when the grouping key space is provably bounded
+    // and small. Here the key is lang_guess, whose domain is the fixed
+    // marker-language set plus "und" — a dozen rows, forever. Do NOT
+    // copy this sink for aggregates keyed by anything data-sized
+    // (users, documents, sessions): those go to an append/update sink
+    // with a watermark. The require pins the contract.
+    val maxKeys = TextFunctions.langMarkers.size + 1 // + "und"
+    require(maxKeys <= 64,
+      s"complete-mode memory sink needs a bounded key space; $maxKeys langs is past the contract")
     val qname = "graft_stream_corpus_ingest"
     val query = stream.writeStream
       .format("memory")

@@ -23,6 +23,30 @@ class AnnScaleSpec extends SparkSpec {
     assert(Similarity.planesFor(1, 32) == 4)
   }
 
+  test("auto plane sizing estimates the corpus from ONE task, not a full count") {
+    val sc = spark.sparkContext
+    val df = spark.range(0, 10000, 1, 8).selectExpr("id")
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    var tasks = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks += 1
+    }
+    sc.addSparkListener(listener)
+    try {
+      val est = Similarity.estimateCount(df)
+      // Listener delivery is async; give the bus a moment to drain.
+      val deadline = System.nanoTime() + 5000000000L
+      while (tasks < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      // 8 even partitions: the one-partition scale-up is exact here.
+      assert(est == 10000L)
+      assert(tasks == 1, s"estimateCount ran $tasks tasks; must sample one partition")
+    } finally sc.removeSparkListener(listener)
+    // Empty partition 0 falls back without crashing.
+    val sparse = spark.range(0, 10, 1, 2).filter($"id" >= 5)
+    assert(Similarity.estimateCount(sparse.toDF()) >= 1L)
+  }
+
   test("zero-norm vectors are excluded from queries and neighbors") {
     val d = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),

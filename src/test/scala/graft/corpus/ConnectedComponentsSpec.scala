@@ -36,4 +36,37 @@ class ConnectedComponentsSpec extends SparkSpec {
       components(chain, maxIters = 2)
     }
   }
+
+  test("superseded rounds release persisted label generations") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    assert(components(chain).values.toSet == Set(1L))
+    val leaked = sc.getPersistentRDDs.size - before
+    // Final labels (+ nothing else) may still be pinned; the ~9 rounds
+    // of a 10-node chain must not each leave a localCheckpoint behind.
+    assert(leaked <= 1, s"$leaked persisted RDD generations leaked by the label loop")
+  }
+
+  test("superseded rounds delete their reliable-checkpoint files") {
+    val sc = spark.sparkContext
+    // A 10-node chain runs ~9 label rounds; without per-round cleanup
+    // the checkpoint dir accumulates one rdd-* subdir per round.
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    val hadCkpt = sc.getCheckpointDir
+    sc.setCheckpointDir(ckptDir.toString)
+    try {
+      val chain = (1L until 10L).map(i => (i, i + 1))
+      val got = components(chain)
+      assert(got.values.toSet == Set(1L))
+      val rddDirs = Option(new java.io.File(sc.getCheckpointDir.get).listFiles())
+        .toSeq.flatten.filter(_.getName.startsWith("rdd-"))
+      // Only the FINAL labels generation (still referenced by the
+      // returned frame) may remain on disk.
+      assert(rddDirs.length <= 1,
+        s"stale checkpoint generations left behind: ${rddDirs.map(_.getName).mkString(", ")}")
+    } finally {
+      hadCkpt.foreach(sc.setCheckpointDir)
+    }
+  }
 }
