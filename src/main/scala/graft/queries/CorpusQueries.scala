@@ -300,6 +300,31 @@ $out"""
   // verification SF.
 
   /** Registered ANN parameters (shared by query + oracle). */
+  /** Oracle for dd_verbatim_spans (k=3, minSpan=6, docFreq cap 20):
+    * positional 3-shingles of both splits, doc-frequency caps per side,
+    * the cross join on shingle text, then gaps-and-islands along each
+    * (pair, diagonal) — count+k-1 tokens per maximal run. */
+  private val verbatimSpansSql: String =
+    """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+sh0 AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        FROM tk WHERE len(ts) >= 3),
+sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS shingle
+       FROM sh0),
+tr0 AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+te0 AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+tcap AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS c FROM tr0 GROUP BY 1) WHERE c <= 20),
+qcap AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS c FROM te0 GROUP BY 1) WHERE c <= 20),
+m AS (SELECT DISTINCT tr.doc_id AS train_id, te.doc_id AS test_id,
+        tr.pos AS tpos, te.pos AS qpos, tr.pos - te.pos AS diag
+      FROM tr0 tr JOIN te0 te USING (shingle)
+      WHERE shingle IN (SELECT shingle FROM tcap)
+        AND shingle IN (SELECT shingle FROM qcap)),
+r AS (SELECT *, qpos - row_number() OVER (PARTITION BY train_id, test_id, diag ORDER BY qpos) AS isl FROM m)
+SELECT train_id, test_id, CAST(min(tpos) AS BIGINT) AS train_start,
+  CAST(min(qpos) AS BIGINT) AS test_start, CAST(count(*) + 2 AS BIGINT) AS span_tokens
+FROM r GROUP BY train_id, test_id, diag, isl HAVING count(*) + 2 >= 6"""
+
   /** DuckDB expression constructing the same fake-media bytes as
     * [[Multimodal.fakeMedia]] — identical header layout constants, so
     * the oracle independently re-parses dimensions from real bytes. */
@@ -970,6 +995,20 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
         docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", n = 5, w = 8, minShared = 3,
         maxDocFreq = Some(20))
+    },
+
+    // Verbatim-span contamination: the maximal copied token runs
+    // between the train (even doc_id) and test (odd) splits — WHERE the
+    // leakage sits and HOW LONG it is, the span-level complement of
+    // dd_fingerprint_overlap's shared-count report. Shingle-position
+    // join + diagonal gaps-and-islands; no suffix structure, nothing
+    // pairwise beyond true shingle matches.
+    Q("dd_verbatim_spans", verbatimSpansSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.text.CorpusStats.verbatimSpans(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", k = 3, minSpanTokens = 6, maxDocFreq = Some(20))
     },
 
     // The composed corpus-cleaning pipeline, end to end: quality gate ->

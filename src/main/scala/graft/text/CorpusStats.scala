@@ -150,6 +150,57 @@ object CorpusStats {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Maximal VERBATIM token spans shared between a train and a test
+    * corpus — the span-level complement of [[fingerprintOverlap]]:
+    * where that reports "these two docs share >= m fingerprints", this
+    * reports WHERE and HOW LONG each contiguous copied run is, without
+    * any suffix structure. Positional k-shingles from both sides join
+    * on shingle text (bucket-keyed, never |train| x |test|); a copied
+    * region shows up as consecutive matches along one DIAGONAL
+    * (train_pos - test_pos constant), so gaps-and-islands per
+    * (pair, diagonal) recovers each maximal run: a run of c matching
+    * k-shingles is a verbatim span of c + k - 1 tokens. `maxDocFreq`
+    * caps shingle document frequency per side (boilerplate/stop-phrase
+    * shingles would otherwise fan the join quadratically). Returns
+    * (train_id, test_id, train_start, test_start, span_tokens) for
+    * spans of at least `minSpanTokens` tokens. */
+  def verbatimSpans(train: DataFrame, test: DataFrame, idCol: String,
+                    textCol: String, k: Int = 4, minSpanTokens: Int = 8,
+                    maxDocFreq: Option[Int] = None): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("shingle"))
+    def capped(f: DataFrame) = maxDocFreq.fold(f) { cap =>
+      val dfreq = f.select(col(idCol), col("shingle")).distinct()
+        .groupBy("shingle").agg(count(lit(1)).as("_df"))
+      f.join(dfreq.filter(col("_df") <= cap), Seq("shingle"))
+        .select(col(idCol), col("pos"), col("shingle"))
+    }
+    val matches = capped(shingles(train))
+      .select(col(idCol).as("train_id"), col("pos").as("tpos"), col("shingle"))
+      .join(capped(shingles(test))
+        .select(col(idCol).as("test_id"), col("pos").as("qpos"), col("shingle")),
+        Seq("shingle"))
+      .select(col("train_id"), col("test_id"), col("tpos"), col("qpos"),
+        (col("tpos") - col("qpos")).as("diag"))
+      .distinct()
+    // Consecutive qpos on one diagonal = one island: qpos - row_number
+    // is constant within a maximal run.
+    val w = Window.partitionBy(col("train_id"), col("test_id"), col("diag"))
+      .orderBy(col("qpos"))
+    matches.withColumn("_isl", col("qpos") - row_number().over(w))
+      .groupBy("train_id", "test_id", "diag", "_isl")
+      .agg(min("tpos").as("train_start"), min("qpos").as("test_start"),
+        (count(lit(1)) + k - 1).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("train_id"), col("test_id"), col("train_start"),
+        col("test_start"), col("span_tokens"))
+  }
+
   /** Composable-operator formulation of the same algorithm (hash every
     * char n-gram, per-doc ordered window min, distinct minima) — kept as
     * the cross-checkable twin of the native expression; it explodes one

@@ -260,6 +260,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("verbatimSpans finds maximal copied runs with exact positions") {
+    // Test doc 101 copies tokens 2..9 of train doc 1 (8 tokens) at its
+    // position 1, and separately tokens 12..17 (6 tokens) at position 11.
+    val t1 = "w0 w1 c0 c1 c2 c3 c4 c5 c6 c7 w10 w11 d0 d1 d2 d3 d4 d5"
+    val train = df("doc_id bigint, text string")(Seq(
+      Row(2L, t1),
+      Row(4L, "totally unrelated training text about something else entirely")))
+    val test_ = df("doc_id bigint, text string")(Seq(
+      Row(101L, "x0 c0 c1 c2 c3 c4 c5 c6 c7 y9 y10 d0 d1 d2 d3 d4 d5"),
+      Row(103L, "clean evaluation document with its own novel content here")))
+    val got = CorpusStats.verbatimSpans(train, test_, "doc_id", "text",
+      k = 3, minSpanTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (2L, 101L, 2L, 1L, 8L),    // the 8-token run
+      (2L, 101L, 12L, 11L, 6L))) // the 6-token run
+    // minSpan above the longest run: nothing reported.
+    assert(CorpusStats.verbatimSpans(train, test_, "doc_id", "text",
+      k = 3, minSpanTokens = 9).count() == 0)
+    // A doc-freq cap of 0 drops every shingle.
+    assert(CorpusStats.verbatimSpans(train, test_, "doc_id", "text",
+      k = 3, minSpanTokens = 6, maxDocFreq = Some(0)).count() == 0)
+  }
+
   test("cleanCorpus pipeline: gates, exact dedup, near-dup removal compose") {
     import graft.text.CorpusPipeline
     val good = "the quick brown fox jumps over a lazy dog and keeps " +
