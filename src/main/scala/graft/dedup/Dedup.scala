@@ -365,6 +365,36 @@ object Dedup {
       .select(col("id1").as("train_id"), col("id2").as("test_id"), col("jaccard"))
   }
 
+  /** Bloom-prefiltered decontamination — the asymmetric-corpus shape:
+    * the TEST side (benchmarks, eval suites) is tiny next to a 100 TB
+    * train corpus, so its distinct shingles collapse into a Bloom
+    * filter (a few MB of bits at 1% fpp) that rides the plan to every
+    * executor and cuts the train side IN THE SCAN STAGE — ~99% of train
+    * shingles never reach the join's exchange, vs
+    * [[crossCorpusNearDupsMd5]] where both sides shuffle to the bucket
+    * join. Bloom false positives are killed by the exact shingle join
+    * that follows; false negatives are impossible, so the result is
+    * EXACTLY the unfiltered exact join (the oracle) at a fraction of
+    * the shuffled bytes. Output: (train_id, test_id, n_shared) with at
+    * least `minShared` shared distinct shingles. */
+  def bloomContamination(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, shingleN: Int = 2,
+                         minShared: Int = 3, fpp: Double = 0.01): DataFrame = {
+    val testSh = graft.ops.CacheOnce.swap("bloom-test-shingles",
+      test.select(col(idCol).as("test_id"),
+        explode(distinctShingles(col(textCol), shingleN)).as("shingle")))
+    // (doc, shingle) row count over-estimates distinct shingles — a
+    // slightly over-sized filter, never an under-sized (leaky) one.
+    val expected = math.max(testSh.count(), 1L)
+    val bloom = testSh.stat.bloomFilter("shingle", expected, fpp)
+    val trainSh = train.select(col(idCol).as("train_id"),
+      explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
+      .filter(graft.functions.BloomFunctions.mightContainString(bloom, col("shingle")))
+    trainSh.join(testSh, Seq("shingle"))
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** [[minhashNearDups]]' md5 twin — same pipeline (shared shingle set,
     * signature aggregate, banded bucket join, exact Jaccard
     * verification), oracle-reproducible end to end. */

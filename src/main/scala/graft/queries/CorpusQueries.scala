@@ -300,6 +300,29 @@ $out"""
   // verification SF.
 
   /** Registered ANN parameters (shared by query + oracle). */
+  /** Oracle for dd_bloom_contamination: the EXACT 2-shingle join with
+    * the shared-count floor. The Spark side prefilters the train side
+    * with a Bloom of the test shingles — false-negative-free, false
+    * positives killed by the exact join — so its result is literally
+    * this SQL; the bloom only changes how many bytes shuffle. */
+  private val bloomContaminationSql: String = {
+    val tri = "list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) " +
+      "THEN x || ' ' || ts[i + 1] || ' ' || ts[i + 2] END)"
+    s"""WITH trc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+tec AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+trtk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM trc),
+trsh AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+    ELSE $tri END) AS shingle FROM trtk) WHERE shingle IS NOT NULL),
+tetk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM tec),
+tesh AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+    ELSE $tri END) AS shingle FROM tetk) WHERE shingle IS NOT NULL)
+SELECT tr.doc_id AS train_id, te.doc_id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM trsh tr JOIN tesh te USING (shingle)
+GROUP BY 1, 2 HAVING count(*) >= 3"""
+  }
+
   /** Oracle for dd_verbatim_spans (k=3, minSpan=6, docFreq cap 20):
     * positional 3-shingles of both splits, doc-frequency caps per side,
     * the cross join on shingle text, then gaps-and-islands along each
@@ -995,6 +1018,19 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
         docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", n = 5, w = 8, minShared = 3,
         maxDocFreq = Some(20))
+    },
+
+    // Bloom-prefiltered decontamination: test-split shingles collapse
+    // into a Bloom riding the plan; the train scan drops non-members
+    // before any exchange, the exact join kills false positives — the
+    // oracle is the plain exact join (bloom is false-negative-free, so
+    // the results are identical by construction).
+    Q("dd_bloom_contamination", bloomContaminationSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.bloomContamination(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", shingleN = 3, minShared = 3)
     },
 
     // Verbatim-span contamination: the maximal copied token runs

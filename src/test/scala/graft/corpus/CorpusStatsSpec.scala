@@ -285,6 +285,32 @@ class CorpusStatsSpec extends SparkSpec {
       k = 3, minSpanTokens = 6, maxDocFreq = Some(0)).count() == 0)
   }
 
+  test("bloomContamination == exact shingle join; prefilter actually cuts the scan") {
+    import graft.dedup.Dedup
+    import graft.functions.BloomFunctions
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test_ = docs.filter(col("doc_id") % 2 === 1)
+    val got = Dedup.bloomContamination(train, test_, "doc_id", "text",
+      shingleN = 3, minShared = 3)
+    // Exact twin without the bloom prefilter.
+    def sh(df: org.apache.spark.sql.DataFrame, as: String) = df.select(
+      col("doc_id").as(as),
+      explode(Dedup.distinctShingles(col("text"), 3)).as("shingle"))
+    val exact = sh(train, "train_id").join(sh(test_, "test_id"), Seq("shingle"))
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    assert(got.count() > 0)
+    assert(got.except(exact).count() == 0 && exact.except(got).count() == 0)
+    // The bloom itself rejects foreign strings (selectivity is real):
+    // a filter over disjoint tokens keeps ~fpp of them, not all.
+    val testSh = sh(test_, "test_id")
+    val bloom = testSh.stat.bloomFilter("shingle", testSh.count(), 0.01)
+    val foreign = spark.range(0, 10000).selectExpr("concat('zz_', id, ' qq_', id) AS s")
+    val kept = foreign.filter(BloomFunctions.mightContainString(bloom, col("s"))).count()
+    assert(kept < 500, s"bloom kept $kept of 10000 foreign shingles")
+  }
+
   test("cleanCorpus pipeline: gates, exact dedup, near-dup removal compose") {
     import graft.text.CorpusPipeline
     val good = "the quick brown fox jumps over a lazy dog and keeps " +
