@@ -1020,6 +1020,34 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
         maxDocFreq = Some(20))
     },
 
+    // Stratified EXACT-k sampling: the deterministic per-language eval
+    // probe — k rows per stratum by hash order (hash-fraction sampling
+    // only hits quotas in expectation). Window keyed by stratum.
+    Q("t_stratified_k",
+      "SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank FROM (" +
+        "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 3") { (s, d) =>
+      graft.text.Mixing.stratifiedK(
+        Tables.documents(s, d).select("lang", "doc_id"), "lang", "doc_id", k = 3)
+        .withColumn("sample_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang")).orderBy(
+            md5(concat(col("doc_id").cast("string"), lit(":42"))), col("doc_id")))
+          .cast("long"))
+        .select("lang", "doc_id", "sample_rank")
+    },
+
+    // Per-source quality calibration: percent_rank of the quality score
+    // within each source — "top X% of every source" gating instead of
+    // one global threshold that over-prunes low-scoring sources.
+    Q("t_quality_calibrated",
+      s"SELECT doc_id, source, $qualitySql AS quality, " +
+        "round(percent_rank() OVER (PARTITION BY source " +
+        s"ORDER BY $qualitySql, doc_id), 6) AS quality_pctl FROM documents") { (s, d) =>
+      graft.text.CorpusPipeline.calibratedQuality(
+        Tables.documents(s, d), "doc_id", "text", "source")
+    },
+
     // Bloom-prefiltered decontamination: test-split shingles collapse
     // into a Bloom riding the plan; the train scan drops non-members
     // before any exchange, the exact join kills false positives — the

@@ -23,6 +23,25 @@ import graft.dedup.Dedup
   */
 object CorpusPipeline {
 
+  /** Per-source quality CALIBRATION: a raw quality score is not
+    * comparable across sources (a forum dump and an encyclopedia dump
+    * have different score distributions, so one global threshold
+    * over-prunes one and under-prunes the other). `percent_rank` of the
+    * score WITHIN each source turns the threshold into "keep the top
+    * X% of every source" — the per-source quantile gate large corpus
+    * builds apply before global mixing. Ties break by id, so the rank
+    * (and any downstream gate) is deterministic and oracle-
+    * reproducible. One window keyed by source; nothing global. */
+  def calibratedQuality(docs: DataFrame, idCol: String, textCol: String,
+                        srcCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(TextFunctions.qualityScoreFast(col(textCol)), col(idCol))
+    docs.select(col(idCol), col(srcCol),
+      TextFunctions.qualityScoreFast(col(textCol)).as("quality"),
+      round(percent_rank().over(w), 6).as("quality_pctl"))
+  }
+
   def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
                   minQuality: Double = 0.6667, dropUnidentified: Boolean = true,
                   jaccardThreshold: Double = 0.5, shingleN: Int = 2,

@@ -24,6 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  /** Deterministic stratified EXACT-k sample: within each stratum keep
+    * the k rows with the smallest md5(id:salt), hash order with id
+    * tiebreak. Hash-fraction sampling ([[graft.queries.ScaleQueries]]'
+    * t_hash_sample shape) guarantees quotas only in expectation; eval
+    * sets, per-language probes and ablation slices need exact counts.
+    * One window per stratum — the shuffle is keyed by stratum, payload
+    * rides once, and the result is engine-reproducible (no RNG state,
+    * no sampleBy approximation). */
+  def stratifiedK(docs: DataFrame, stratumCol: String, idCol: String, k: Int,
+                  salt: String = "42"): DataFrame = {
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+    docs.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk")
+  }
+
   /** Starting-offset chunk assignment: per `groupCol` (ordered by
     * `orderCol`), chunk_id = floor(startOffset / budgetTokens) where
     * startOffset = running token sum EXCLUDING the current doc. */

@@ -35,6 +35,43 @@ class MixingSpec extends SparkSpec {
       ("web", 2L, 8L, 0.8, 0.6667)))
   }
 
+  test("stratifiedK: exact quota per stratum, deterministic, id-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 1000).selectExpr(
+      "id AS doc_id", "CASE WHEN id % 10 < 7 THEN 'big' WHEN id % 10 < 9 THEN 'mid' ELSE 'tiny' END AS lang")
+    val got = graft.text.Mixing.stratifiedK(docs, "lang", "doc_id", k = 5)
+    // EXACT k per stratum (hash-fraction sampling only approximates this).
+    val counts = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 5L, "mid" -> 5L, "tiny" -> 5L))
+    // Deterministic: same call, same rows.
+    val again = graft.text.Mixing.stratifiedK(docs, "lang", "doc_id", k = 5)
+    assert(got.except(again).count() == 0 && again.except(got).count() == 0)
+    // k above stratum size: returns the whole stratum, no padding.
+    val small = graft.text.Mixing.stratifiedK(docs.filter(col("lang") === "tiny")
+      .limit(3), "lang", "doc_id", k = 5)
+    assert(small.count() == 3)
+  }
+
+  test("calibratedQuality: percent_rank spans [0,1] per source, global ranks differ") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cal = graft.text.CorpusPipeline.calibratedQuality(docs, "doc_id", "text", "source")
+    val bounds = cal.groupBy("source")
+      .agg(min("quality_pctl").as("lo"), max("quality_pctl").as("hi")).collect()
+    bounds.foreach { r =>
+      assert(r.getDouble(2) >= 0.99, s"source ${r.get(0)}: top pctl ${r.getDouble(2)}")
+      assert(r.getDouble(1) == 0.0, s"source ${r.get(0)}: bottom pctl ${r.getDouble(1)}")
+    }
+    // A "keep top 50% per source" gate keeps ~half of EVERY source —
+    // the property a single global threshold does not have.
+    val kept = cal.filter(col("quality_pctl") >= 0.5)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    val totals = cal.groupBy("source").count().collect().map(_.getLong(1))
+    kept.zip(totals.sorted.zip(kept.sorted).map(_._1)).foreach { case (k, _) => assert(k > 0) }
+    assert(kept.sum <= totals.sum * 0.6 && kept.sum >= totals.sum * 0.4)
+  }
+
   test("applyMixture: rates follow the budget, keep set matches the md5 threshold") {
     // web: 8 tokens, weight 0.6667; book: 2 tokens, weight 0.3333.
     // target 18 -> rate(web) = round(0.6667*18/8, 6) = 1.500075 capped
