@@ -254,6 +254,58 @@ GROUP BY 1""") { (s, d) =>
       require(scans.nonEmpty && scans.forall(_.dataFilters.nonEmpty),
         "range predicate did not reach the scan — pushdown regressed")
       q
+    },
+
+    // DYNAMIC partition pruning: sc2 prunes on a literal date; the
+    // 100 TB join pattern filters a DIMENSION ("first week of any
+    // month") and lets the runtime prune the fact tree from the dim
+    // join keys — at scale the difference between scanning every
+    // partition and scanning the ones the dim actually selects. The
+    // broadcast dim's keys become a runtime partition filter on the
+    // fact scan (reused broadcast, zero extra jobs); the query REQUIREs
+    // the dynamicpruning subquery in the fact scan's PartitionFilters.
+    Q("sc4_dynamic_pruning",
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events " +
+        "WHERE date_part('day', CAST(ts AS DATE)) <= 7 GROUP BY 1") { (s, d) =>
+      prepare(s, d)
+      val fact = s.read.parquet(partitionedEventsPath(s, d))
+      val dim = s.read.parquet(datesDimPath(s, d))
+        .filter(col("day_of_month") <= 7)
+      val q = fact.join(dim, Seq("event_date"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      require(plan.contains("dynamicpruning"),
+        "dim-filtered join did not plan dynamic partition pruning on the fact scan")
+      q
+    },
+
+    // AQE skew-join: a hot key (90% of fact rows land on one join key —
+    // the one-beach-section / stop-word-shingle shape) turns a sort-merge
+    // join into a single straggler task; AQE splits the skewed partition
+    // at runtime from observed shuffle sizes. Session clone pins the
+    // skew thresholds to data-independent values; the mechanism itself
+    // ("skew=true" in the final adaptive plan) is pinned by AqeSkewSpec
+    // on synthetic data — here the RESULT is the oracle-checked part
+    // (AQE must never change answers, only partitioning).
+    Q("sc5_aqe_skew",
+      "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(payload) AS BIGINT) AS total FROM " +
+        "(SELECT CASE WHEN event_id % 10 < 9 THEN 0 ELSE event_id % 100 END AS k FROM events) e " +
+        "JOIN (SELECT CAST(i AS BIGINT) AS k, CAST(i * 2 AS BIGINT) AS payload " +
+        "FROM generate_series(0, 99) g(i)) dim USING (k)") { (s, d) =>
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "true")
+      ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      ss.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ: the skewed shape
+      val e = Tables.events(ss, d).select(
+        when(col("event_id") % 10 < 9, lit(0L))
+          .otherwise(col("event_id") % 100).as("k"))
+      val dim = ss.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("payload"))
+      e.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("payload")).as("total"))
     })
 
   /** Bucketed-table names, keyed by source dir so a warmup run at one SF
@@ -279,6 +331,15 @@ GROUP BY 1""") { (s, d) =>
     new java.io.File(wh, s"graft_s_events_$tag").toString
   }
 
+  /** Dates-dimension path for `sfDir` (distinct event dates + calendar
+    * attributes — the dim side of the DPP join). */
+  private def datesDimPath(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_d_dates_$tag").toString
+  }
+
   /** One-time physical-layout prep for `sfDir`: write both join sides
     * bucketed+sorted on the key and the date-partitioned events tree
     * (no-ops when they already exist). Bench calls this before timing
@@ -301,6 +362,12 @@ GROUP BY 1""") { (s, d) =>
     ScaleOps.ensureSortedBy(
       Tables.events(spark, sfDir).select("user_id", "event_type", "value"),
       sortedEventsPath(spark, sfDir), "user_id", numFiles = 8,
+      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+    ScaleOps.ensureSortedBy(
+      Tables.events(spark, sfDir)
+        .select(to_date(col("ts")).as("event_date")).distinct()
+        .withColumn("day_of_month", dayofmonth(col("event_date"))),
+      datesDimPath(spark, sfDir), "event_date", numFiles = 1,
       srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
   }
 }
