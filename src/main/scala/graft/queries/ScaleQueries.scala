@@ -256,6 +256,41 @@ GROUP BY 1""") { (s, d) =>
       q
     },
 
+    // Z-ORDER (Morton) clustering: sc3 range-clusters ONE key; a table
+    // queried by windows on TWO keys (user AND season) wants both
+    // columns' row-group stats tight, which a single-key sort cannot
+    // give. Events are written once sorted by the interleaved Morton
+    // key of (user_id, day-of-year); a 2-D window query then skips, by
+    // the parquet footers' own [min,max], most row groups ON BOTH
+    // DIMENSIONS — REQUIREd in-query (<= 1/2 may overlap the window on
+    // both axes; a plain user-sorted layout leaves day-of-year ranges
+    // spanning the whole year in every row group).
+    Q("sc6_zorder_scan",
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM (" +
+        "SELECT event_type, user_id, date_part('doy', CAST(ts AS TIMESTAMP)) AS doy " +
+        "FROM events) WHERE user_id BETWEEN 40 AND 79 AND doy BETWEEN 8 AND 14 " +
+        "GROUP BY 1") { (s, d) =>
+      prepare(s, d)
+      val path = zorderedEventsPath(s, d)
+      val uRanges = ScaleOps.rowGroupRanges(path, "user_id")
+      val dRanges = ScaleOps.rowGroupRanges(path, "doy")
+      val overlap2d = uRanges.zip(dRanges).count { case ((ul, uh), (dl, dh)) =>
+        uh >= 40L && ul <= 79L && dh >= 8L && dl <= 14L
+      }
+      require(uRanges.nonEmpty && overlap2d * 2 <= uRanges.size,
+        s"z-order not clustering: $overlap2d of ${uRanges.size} row groups " +
+          "overlap a 2-D window — multi-key skipping regressed")
+      val q = s.read.parquet(path)
+        .filter(col("user_id").between(40, 79) && col("doy").between(8, 14))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val scans = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty && scans.forall(_.dataFilters.nonEmpty),
+        "2-D predicate did not reach the scan — pushdown regressed")
+      q
+    },
+
     // DYNAMIC partition pruning: sc2 prunes on a literal date; the
     // 100 TB join pattern filters a DIMENSION ("first week of any
     // month") and lets the runtime prune the fact tree from the dim
@@ -331,6 +366,14 @@ GROUP BY 1""") { (s, d) =>
     new java.io.File(wh, s"graft_s_events_$tag").toString
   }
 
+  /** Z-ordered events layout path for `sfDir` (same keying). */
+  private def zorderedEventsPath(spark: org.apache.spark.sql.SparkSession,
+                                 sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_z_events_$tag").toString
+  }
+
   /** Dates-dimension path for `sfDir` (distinct event dates + calendar
     * attributes — the dim side of the DPP join). */
   private def datesDimPath(spark: org.apache.spark.sql.SparkSession,
@@ -368,6 +411,13 @@ GROUP BY 1""") { (s, d) =>
         .select(to_date(col("ts")).as("event_date")).distinct()
         .withColumn("day_of_month", dayofmonth(col("event_date"))),
       datesDimPath(spark, sfDir), "event_date", numFiles = 1,
+      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+    ScaleOps.ensureSortedBy(
+      Tables.events(spark, sfDir).select(
+        col("user_id"), dayofyear(col("ts")).cast("long").as("doy"),
+        col("event_type"), col("value"))
+        .withColumn("zv", graft.functions.ZOrderFunctions.morton2(col("user_id"), col("doy"))),
+      zorderedEventsPath(spark, sfDir), "zv", numFiles = 8,
       srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
   }
 }
