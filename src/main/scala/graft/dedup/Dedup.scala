@@ -365,6 +365,28 @@ object Dedup {
       .select(col("id1").as("train_id"), col("id2").as("test_id"), col("jaccard"))
   }
 
+  /** Incremental exact dedup — the OPERATIONAL shape: a corpus is not
+    * deduped once, it grows by daily crawl increments, and re-deduping
+    * the whole corpus per day is O(corpus) forever. Instead the
+    * accepted set's content digests persist as STATE; each increment
+    * dedups within itself (min-id survivor, same rule as
+    * [[exactGroups]]) and anti-joins the state — O(increment) work per
+    * day. Both the in-batch aggregate and the anti-join key on the
+    * 128-bit digest, so text never shuffles; at deployment the state
+    * table is written bucketed by digest ([[graft.ops.ScaleOps
+    * .writeBucketed]]) and the anti-join plans with no exchange on the
+    * state side. Returns the increment's ACCEPTED rows (idCol,
+    * content_hash); the caller appends those digests to the state. */
+  def incrementalDedup(increment: DataFrame, stateDigests: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val hashed = increment.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val inBatch = hashed.groupBy("content_hash").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("content_hash"))
+    inBatch.join(stateDigests.select(col("content_hash")),
+      Seq("content_hash"), "left_anti")
+      .select(col(idCol), col("content_hash"))
+  }
+
   /** Bloom-prefiltered decontamination — the asymmetric-corpus shape:
     * the TEST side (benchmarks, eval suites) is tiny next to a 100 TB
     * train corpus, so its distinct shingles collapse into a Bloom

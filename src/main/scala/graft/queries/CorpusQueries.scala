@@ -1048,6 +1048,22 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
         Tables.documents(s, d), "doc_id", "text", "source")
     },
 
+    // Incremental exact dedup: the day-2 crawl increment (doc_id % 3 == 2)
+    // dedups within itself then anti-joins the day-1 accepted state —
+    // O(increment) per day instead of re-deduping the whole corpus.
+    Q("dd_incremental",
+      """WITH d1 AS (SELECT md5(text) AS content_hash FROM documents WHERE doc_id % 3 != 2),
+d2 AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 3 = 2),
+w AS (SELECT content_hash, min(doc_id) AS doc_id FROM d2 GROUP BY 1)
+SELECT doc_id, content_hash FROM w
+WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val state = docs.filter(col("doc_id") % 3 =!= 2)
+        .select(md5(col("text")).as("content_hash"))
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 3 === 2), state, "doc_id", "text")
+    },
+
     // Bloom-prefiltered decontamination: test-split shingles collapse
     // into a Bloom riding the plan; the train scan drops non-members
     // before any exchange, the exact join kills false positives — the

@@ -285,6 +285,28 @@ class CorpusStatsSpec extends SparkSpec {
       k = 3, minSpanTokens = 6, maxDocFreq = Some(0)).count() == 0)
   }
 
+  test("incrementalDedup: in-batch min-id survivor, state suppression, day chaining") {
+    import graft.dedup.Dedup
+    val day1 = df("doc_id bigint, text string")(Seq(
+      Row(1L, "alpha"), Row(2L, "beta")))
+    val day2 = df("doc_id bigint, text string")(Seq(
+      Row(10L, "alpha"),   // already in state -> dropped
+      Row(12L, "gamma"),   // new, duplicated in-batch: min id 11 wins
+      Row(11L, "gamma"),
+      Row(13L, "delta")))  // new
+    val state1 = day1.select(md5(col("text")).as("content_hash"))
+    val accepted2 = Dedup.incrementalDedup(day2, state1, "doc_id", "text")
+    assert(accepted2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(11L, 13L))
+    // Chaining: day-3 sees day-1 + day-2 digests as state.
+    val day3 = df("doc_id bigint, text string")(Seq(
+      Row(20L, "gamma"),    // accepted on day 2 -> dropped now
+      Row(21L, "epsilon"))) // new
+    val state2 = state1.union(accepted2.select("content_hash"))
+    val accepted3 = Dedup.incrementalDedup(day3, state2, "doc_id", "text")
+    assert(accepted3.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(21L))
+  }
+
   test("bloomContamination == exact shingle join; prefilter actually cuts the scan") {
     import graft.dedup.Dedup
     import graft.functions.BloomFunctions
