@@ -99,6 +99,22 @@ class GeoJsonSourceSpec extends SparkSpec {
     assert(q.count() == 12) // nation keys 13..24
   }
 
+  test("files WITHOUT a header bbox are never pruned (no false skips)") {
+    val dir = Files.createTempDirectory("geojson_nobbox").toString
+    Sinks.writeGeoJson(sitesDf.filter($"site" === "a"), "ring", Seq("site", "pop"),
+      s"$dir/a.geojson") // has bbox [0,0,1,1]
+    // Hand-written file with NO bbox member: conservatively always read.
+    Files.writeString(java.nio.file.Paths.get(s"$dir/nobbox.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[9.0,9.0]},
+        |"properties":{"site":"far","pop":1}}]}""".stripMargin.replace("\n", ""))
+    val q = spark.read.format("graft-geojson").load(dir).filter($"lon_min" >= 4.0)
+    // File a is pruned by its bbox; the bbox-less file must survive
+    // planning and contribute its (row-filtered) feature.
+    assert(q.rdd.getNumPartitions == 1)
+    assert(q.select("site").as[String].collect().toSeq == Seq("far"))
+  }
+
   test("schema inference samples all features and files; long+double widens") {
     val dir = Files.createTempDirectory("geojson_widen").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/f1.geojson"),
