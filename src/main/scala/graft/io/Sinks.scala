@@ -55,15 +55,19 @@ object Sinks {
     * file from header tokens alone. */
   def writeGeoJson(df: DataFrame, ringCol: String, propCols: Seq[String],
                    path: String): Unit = {
-    val features = df.select(geoJsonFeature(col(ringCol), propCols).as("f"))
-      .collect().map(_.getString(0))
-    val b = df.select(
-      min(array_min(transform(col(ringCol), _("lon")))).as("w"),
-      min(array_min(transform(col(ringCol), _("lat")))).as("s"),
-      max(array_max(transform(col(ringCol), _("lon")))).as("e"),
-      max(array_max(transform(col(ringCol), _("lat")))).as("n")).collect()(0)
-    val bbox = if (b.isNullAt(0)) "" // empty collection: no bbox
-      else s""""bbox":[${b.getDouble(0)},${b.getDouble(1)},${b.getDouble(2)},${b.getDouble(3)}],"""
+    // Feature JSON and per-row ring extents ride the SAME collect — one
+    // job over the (possibly joined/aggregated) input, not two.
+    val rows = df.select(
+      geoJsonFeature(col(ringCol), propCols).as("f"),
+      array_min(transform(col(ringCol), _("lon"))).as("w"),
+      array_min(transform(col(ringCol), _("lat"))).as("s"),
+      array_max(transform(col(ringCol), _("lon"))).as("e"),
+      array_max(transform(col(ringCol), _("lat"))).as("n")).collect()
+    val features = rows.map(_.getString(0))
+    val withExtent = rows.filterNot(_.isNullAt(1))
+    val bbox = if (withExtent.isEmpty) "" // empty collection: no bbox
+      else s""""bbox":[${withExtent.map(_.getDouble(1)).min},${withExtent.map(_.getDouble(2)).min},""" +
+        s"""${withExtent.map(_.getDouble(3)).max},${withExtent.map(_.getDouble(4)).max}],"""
     val doc = features.mkString(
       s"""{"type":"FeatureCollection",$bbox"features":[""", ",", "]}")
     Files.write(Paths.get(path), doc.getBytes("UTF-8"),

@@ -72,18 +72,22 @@ object Materialize {
     * reliable-checkpoint files (Spark itself keeps both until session
     * end unless `spark.cleaner.referenceTracking.cleanCheckpoints` GC
     * kicks in — an iterative operator that runs 50 rounds would
-    * otherwise hold 50 generations of labels). No-op on frames that
-    * aren't checkpoint-backed. */
+    * otherwise hold 50 generations of labels). Deliberately NARROW: it
+    * acts only when the frame IS an [[eagerDurable]] output (its whole
+    * logical plan is the one checkpoint-backed LogicalRDD) — on any
+    * derived or composite plan it is a no-op, because a LogicalRDD
+    * found deeper in a plan may be shared with consumers that still
+    * need its storage. */
   def release(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.logical.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach { rdd =>
-      rdd.unpersist(blocking = false)
-      rdd.getCheckpointFile.foreach { dir =>
-        val p = new org.apache.hadoop.fs.Path(dir)
-        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-        ()
-      }
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          ()
+        }
+      case _ => () // not an eagerDurable output: nothing we own to free
     }
 }

@@ -79,6 +79,14 @@ object ScaleOps {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** The active session's hadoop conf when one exists (carries
+    * spark.hadoop.* credentials/endpoints — without it s3a/hdfs auth is
+    * silently dropped), classpath defaults otherwise. */
+  private[graft] def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
                        p: org.apache.hadoop.fs.Path): String = {
     val in = fs.open(p)
@@ -133,7 +141,7 @@ object ScaleOps {
     * configuration), so non-local sources fingerprint too. */
   def fileFingerprint(path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val st = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).getFileStatus(p)
+    val st = p.getFileSystem(hadoopConf()).getFileStatus(p)
     s"${st.getLen}:${st.getModificationTime}"
   }
 
@@ -159,10 +167,14 @@ object ScaleOps {
     * read (footers, not data); file counts here are layout-prep sized. */
   def rowGroupRanges(path: String, column: String): Seq[(Long, Long)] = {
     import scala.jdk.CollectionConverters._
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = hadoopConf()
     val base = new org.apache.hadoop.fs.Path(path)
+    // Sorted by name: listStatus order is filesystem-dependent, and
+    // callers that correlate two columns' ranges (sc6's 2-D overlap
+    // check) need both calls to walk row groups in the SAME order.
     val files = base.getFileSystem(conf).listStatus(base).toSeq.map(_.getPath)
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
     files.flatMap { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)

@@ -1029,11 +1029,9 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
         "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rk " +
         "FROM documents) WHERE rk <= 3") { (s, d) =>
       graft.text.Mixing.stratifiedK(
-        Tables.documents(s, d).select("lang", "doc_id"), "lang", "doc_id", k = 3)
-        .withColumn("sample_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("lang")).orderBy(
-            md5(concat(col("doc_id").cast("string"), lit(":42"))), col("doc_id")))
-          .cast("long"))
+        Tables.documents(s, d).select("lang", "doc_id"), "lang", "doc_id",
+        k = 3, rankCol = Some("sample_rank"))
+        .withColumn("sample_rank", col("sample_rank").cast("long"))
         .select("lang", "doc_id", "sample_rank")
     },
 

@@ -105,15 +105,26 @@ object Similarity {
     val rdd = df.rdd
     val nParts = rdd.getNumPartitions
     if (nParts == 0) return 1L
-    // runJob on partition 0 only — exactly one task, unlike a
-    // mapPartitionsWithIndex().collect(), which schedules every partition.
-    val sampled = df.sparkSession.sparkContext
+    def countPartition(i: Int): Long = df.sparkSession.sparkContext
       .runJob(rdd, (it: Iterator[org.apache.spark.sql.Row]) => {
         var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
-      }, Seq(0)).head
-    if (sampled > 0) sampled * nParts
-    // Partition 0 empty: cheap non-emptiness probe, pessimistic scale.
-    else if (df.take(1).nonEmpty) nParts.toLong else 1L
+      }, Seq(i)).head
+    // runJob on ONE partition at a time — exactly one task per probe,
+    // unlike a mapPartitionsWithIndex().collect(), which schedules every
+    // partition. Empty partitions (e.g. a leading filter wiped the rows
+    // that landed there) don't end the estimate at a degenerate plane
+    // count: probe a few more before giving up — a handful of tiny jobs,
+    // still never a full pass.
+    val probes = math.min(nParts, 8)
+    var i = 0
+    while (i < probes) {
+      val sampled = countPartition(i)
+      if (sampled > 0) return sampled * (nParts - i)
+      i += 1
+    }
+    // First `probes` partitions all empty: cheap non-emptiness probe,
+    // pessimistic scale.
+    if (df.take(1).nonEmpty) nParts.toLong else 1L
   }
 
   /** Per-query top-k window over scored pairs: highest cosine first,

@@ -80,7 +80,18 @@ object GeoJsonTable {
 
   val bboxColumns: Set[String] = Set("lon_min", "lat_min", "lon_max", "lat_max")
 
-  private def fs(path: String) = new Path(path).getFileSystem(new Configuration())
+  // The active session's hadoop conf carries spark.hadoop.* credentials
+  // and endpoints (how s3a/hdfs are normally configured); it is present
+  // on the driver for every planning call (files/inferSchema/fileBbox).
+  // Executor-side reads fall back to classpath defaults — sufficient for
+  // default-FS paths; a credentialed object store wants the conf
+  // broadcast, which this dimension-sized source does not carry.
+  private def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fs(path: String) = new Path(path).getFileSystem(hadoopConf())
 
   /** Files under `path` (a .geojson/.json file, or a directory of them),
     * via the Hadoop FileSystem API, sorted for deterministic partition
@@ -331,7 +342,10 @@ class GeoJsonPartitionReader(file: String, required: StructType)
     }.toArray[Any])
 
   private def propValue(feat: JsonNode, f: StructField): Any = {
-    val v = feat.get("properties").get(f.name)
+    // A feature with NO properties member is legal (inference tolerates
+    // it); all its property columns are null, same as absent keys.
+    val props = feat.get("properties")
+    val v = if (props == null || props.isNull) null else props.get(f.name)
     if (v == null || v.isNull) null
     else f.dataType match {
       case StringType => UTF8String.fromString(v.asText())

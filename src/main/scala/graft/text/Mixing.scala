@@ -33,11 +33,15 @@ object Mixing {
     * rides once, and the result is engine-reproducible (no RNG state,
     * no sampleBy approximation). */
   def stratifiedK(docs: DataFrame, stratumCol: String, idCol: String, k: Int,
-                  salt: String = "42"): DataFrame = {
+                  salt: String = "42", rankCol: Option[String] = None): DataFrame = {
     val key = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
     val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
-    docs.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= k).drop("_rk")
+    // rankCol keeps the within-stratum sample rank (1-based hash order)
+    // instead of recomputing the same window downstream.
+    val ranked = docs.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+    rankCol.fold(ranked.drop("_rk"))(n =>
+      ranked.withColumnRenamed("_rk", n))
   }
 
   /** Starting-offset chunk assignment: per `groupCol` (ordered by
