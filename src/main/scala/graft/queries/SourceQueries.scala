@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
-import graft.io.{JdbcFixture, Sources}
+import graft.io.{JdbcFixture, Sinks, Sources}
+import graft.Tables
 
 /** Source round-trip queries that exercise a full read path end to end
   * (fixture write -> graft source read -> oracle over the same parquet
@@ -27,5 +29,49 @@ object SourceQueries {
         .select(col("N_NATIONKEY").as("n_nationkey"),
           col("N_NAME").as("n_name"),
           col("N_REGIONKEY").as("n_regionkey"))
+    },
+
+    // K1 + S6/S7 closed as an oracle round trip: the header-CSV sink's
+    // product read back through the CSV source (explicit schema — no
+    // inference pass) must equal the original dimension table.
+    Q("src_csv_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, d) =>
+      val path = s"${tmpDir(d)}/nation_csv"
+      Sinks.writeCsv(Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey"), path)
+      Sources.csv(s, path, Some(StructType.fromDDL(
+        "n_nationkey INT, n_name STRING, n_regionkey INT")))
+    },
+
+    // S2's staging half closed as an oracle round trip: the CSV product
+    // zipped (standing in for the reference's downloaded archive,
+    // ningaloo-etl.Rmd:47-53), extracted through Sources.stageZip, and
+    // the staged file read back — byte-identical data or the hash check
+    // fails.
+    Q("src_zip_staging",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, d) =>
+      val base = tmpDir(d)
+      val csvDir = s"$base/nation_zip_src"
+      Sinks.writeCsv(Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey"), csvDir)
+      val part = new java.io.File(csvDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).head
+      val zipPath = s"$base/nation.zip"
+      val zout = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(zipPath))
+      try {
+        zout.putNextEntry(new java.util.zip.ZipEntry("snapshot/nation.csv"))
+        zout.write(java.nio.file.Files.readAllBytes(part.toPath))
+        zout.closeEntry()
+      } finally zout.close()
+      val staged = Sources.stageZip(zipPath, s"$base/staging")
+        .find(_.endsWith("nation.csv")).get
+      Sources.csv(s, staged, Some(StructType.fromDDL(
+        "n_nationkey INT, n_name STRING, n_regionkey INT")))
     })
+
+  private def tmpDir(sfDir: String): String =
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_src_rt_${Integer.toHexString(sfDir.hashCode)}"))
+      .toString
 }
