@@ -75,7 +75,22 @@ object Bench {
     val ok = results.values.collect { case Right(s) => s }
     val nFailed = results.values.count(_.isLeft)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line gets tail-truncated by log capture in practice, so
+    // the FULL per-query record is also written to a file — the durable
+    // machine-readable copy (commit it as BENCH_LOCAL_r{N}.json).
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query record written to $out")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

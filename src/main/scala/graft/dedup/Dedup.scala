@@ -400,7 +400,7 @@ object Dedup {
     * the shuffled bytes. Output: (train_id, test_id, n_shared) with at
     * least `minShared` shared distinct shingles. */
   def bloomContamination(train: DataFrame, test: DataFrame, idCol: String,
-                         textCol: String, shingleN: Int = 2,
+                         textCol: String, shingleN: Int = 3,
                          minShared: Int = 3, fpp: Double = 0.01): DataFrame = {
     val testSh = graft.ops.CacheOnce.swap("bloom-test-shingles",
       test.select(col(idCol).as("test_id"),

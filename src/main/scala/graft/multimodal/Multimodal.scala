@@ -16,12 +16,12 @@ import graft.functions.MediaFunctions
   * from the SOFn frame header found by walking the segment chain (a
   * native codegen'd expression, [[graft.functions.JpegDimsPacked]],
   * because SOF sits at a variable offset behind APPn/COM/DQT segments).
-  * Only PIXEL decode (resampling, frame rasterizing) remains stubbed —
-  * this container ships no codec libraries — behind [[resizeStub]],
-  * whose Spark-side shape (narrow binary->binary projection) is what a
-  * real codec UDF would keep. All operators are pure column expressions
-  * over BinaryType: a 100 TB media table streams through one narrow
-  * projection, no shuffle.
+  * PIXEL decode is real too: [[decodeResize]] runs the JDK's own
+  * ImageIO codecs (no external library) to decode, downsample and
+  * summarize — video frame RASTERIZING alone stays out of scope (no
+  * video codec ships with the JDK). All operators are narrow per-row
+  * projections over BinaryType: a 100 TB media table streams through
+  * scan → decode → project, no shuffle.
   */
 object Multimodal {
 
@@ -113,9 +113,15 @@ object Multimodal {
     transform(sequence(lit(0), lit(k - 1)), i =>
       lower(hex(bin.substr(i * strideBytes + 1, lit(windowBytes)))))
 
-  /** "Resize" stub: byte-range crop via substring — the real operator
-    * would decode, resample and re-encode; the Spark-side shape (narrow
-    * binary->binary projection) is identical. */
-  def resizeStub(bin: Column, maxBytes: Int): Column =
-    substring(bin, 1, maxBytes)
+  /** REAL pixel decode + downsample via the JDK's ImageIO codecs
+    * ([[graft.functions.DecodeResizeStats]]): decoded dims, resized
+    * dims (fit `maxDim`, aspect-preserving integer arithmetic), and
+    * per-channel means over the RESIZED pixels. Null for bytes no
+    * installed codec accepts — so it composes with [[fakeMedia]]
+    * (structured headers, garbage payload → null) and with real
+    * PNG/JPEG fixtures ([[graft.functions.ImageOps.solidPng]]) alike.
+    * Narrow binary->struct projection: the 100 TB shape is scan →
+    * decode → project, no shuffle. */
+  def decodeResize(bin: Column, maxDim: Int): Column =
+    graft.functions.ImageFunctions.decodeResizeStats(bin, maxDim)
 }

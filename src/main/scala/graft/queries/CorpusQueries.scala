@@ -300,7 +300,7 @@ $out"""
   // verification SF.
 
   /** Registered ANN parameters (shared by query + oracle). */
-  /** Oracle for dd_bloom_contamination: the EXACT 2-shingle join with
+  /** Oracle for dd_bloom_contamination: the EXACT 3-shingle join with
     * the shared-count floor. The Spark side prefilters the train side
     * with a Bloom of the test shingles — false-negative-free, false
     * positives killed by the exact join — so its result is literally
@@ -880,6 +880,44 @@ FROM j""") { (s, d) =>
         .select(col("doc_id"), col("pos").as("frame_idx"), col("col").as("frame_hex"))
     },
 
+    // Multimodal PIXEL decode, real codec end to end: solid-color PNGs
+    // are ENCODED per row with the JDK's ImageIO (executor-side — the
+    // fixture generation is itself distributed, no driver loop), then
+    // DECODED back and downsampled to fit a 16px box by
+    // DecodeResizeStats. The channel means are computed over the
+    // RESIZED pixels, so they prove real decoded pixel data flowed
+    // through the resample — a byte-crop stub cannot produce them. The
+    // oracle re-derives everything from the constructor formulas: PNG
+    // is lossless and the fixtures are solid-color, so the means equal
+    // the constructor color under ANY resampling kernel, and the fit
+    // arithmetic is integer division both engines share.
+    Q("mm_resize",
+      """WITH m AS (SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(CASE WHEN greatest(w, h) <= 16 THEN w
+       ELSE greatest(1, w * 16 // greatest(w, h)) END AS BIGINT) AS out_w,
+  CAST(CASE WHEN greatest(w, h) <= 16 THEN h
+       ELSE greatest(1, h * 16 // greatest(w, h)) END AS BIGINT) AS out_h,
+  CAST((doc_id * 3) % 256 AS BIGINT) AS avg_r,
+  CAST((doc_id * 5) % 256 AS BIGINT) AS avg_g,
+  CAST((doc_id * 7) % 256 AS BIGINT) AS avg_b
+FROM m""") { (s, d) =>
+      import s.implicits._
+      val pngs = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.functions.ImageOps.solidPng((id % 64 + 1).toInt,
+            (id % 48 + 1).toInt, ((id * 3) % 256).toInt,
+            ((id * 5) % 256).toInt, ((id * 7) % 256).toInt))
+        }).toDF("doc_id", "img")
+      val st = Multimodal.decodeResize(col("img"), 16)
+      pngs.select(col("doc_id"), st.getField("width").as("width"),
+        st.getField("height").as("height"), st.getField("out_w").as("out_w"),
+        st.getField("out_h").as("out_h"), st.getField("avg_r").as("avg_r"),
+        st.getField("avg_g").as("avg_g"), st.getField("avg_b").as("avg_b"))
+    },
+
     // Multi-table sign-LSH ANN top-k with a 100-candidate-per-query
     // rescore cap (ranked by cross-table collision count). The planes
     // are inlined into the oracle, which recomputes buckets, the
@@ -1048,18 +1086,59 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
 
     // Incremental exact dedup: the day-2 crawl increment (doc_id % 3 == 2)
     // dedups within itself then anti-joins the day-1 accepted state —
-    // O(increment) per day instead of re-deduping the whole corpus.
+    // O(increment) per day instead of re-deduping the whole corpus. The
+    // state is PERSISTED BUCKETED by digest (the operational layout:
+    // written once per day, anti-joined forever), and the query REQUIREs
+    // the exchange-free plan that layout buys: the only shuffle is the
+    // increment's own in-batch aggregate, whose hash partitioning the
+    // anti-join then reuses against the bucketed state scan — the state
+    // side never re-shuffles, at any corpus size. A layout regression
+    // fails the query itself, sc1-style.
     Q("dd_incremental",
       """WITH d1 AS (SELECT md5(text) AS content_hash FROM documents WHERE doc_id % 3 != 2),
 d2 AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 3 = 2),
 w AS (SELECT content_hash, min(doc_id) AS doc_id FROM d2 GROUP BY 1)
 SELECT doc_id, content_hash FROM w
 WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val state = docs.filter(col("doc_id") % 3 =!= 2)
-        .select(md5(col("text")).as("content_hash"))
-      Dedup.incrementalDedup(
-        docs.filter(col("doc_id") % 3 === 2), state, "doc_id", "text")
+      // Cloned session: broadcast + AQE off only HERE so the static
+      // plan check is deterministic (a broadcast anti-join would also
+      // be shuffle-free but would not exercise the bucketed layout).
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      // Pin shuffle partitions to the bucket count so the increment
+      // aggregate's hash partitioning aligns with the bucketing 1:1 —
+      // otherwise the join inserts a REPARTITION of the aggregate (the
+      // state side still never shuffles, but the single-exchange claim
+      // is the one worth REQUIREing).
+      ss.conf.set("spark.sql.shuffle.partitions", "32")
+      val docs = Tables.documents(ss, d)
+      val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+      val tbl = s"graft_dd_state_$tag"
+      // One-time state write (idempotent, catalog-keyed).
+      graft.ops.ScaleOps.ensureBucketed(
+        docs.filter(col("doc_id") % 3 =!= 2)
+          .select(md5(col("text")).as("content_hash")).distinct(),
+        tbl, "content_hash", 32)
+      val out = Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 3 === 2), ss.table(tbl), "doc_id", "text")
+      val plan = out.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      require(exchanges.size == 1,
+        s"incremental dedup planned ${exchanges.size} exchanges — must be exactly " +
+          "the increment's in-batch aggregate (the state side rides its bucketing)")
+      def bucketedScans(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.bucketSpec.isDefined && f.bucketedScan => f
+      }
+      require(bucketedScans(plan).nonEmpty,
+        "state digests did not plan a bucketed scan — the persisted layout regressed")
+      require(exchanges.forall(e => bucketedScans(e).isEmpty),
+        "the bucketed state scan sits under an Exchange — the anti-join re-shuffled " +
+          "the state side despite its bucketing")
+      out
     },
 
     // Bloom-prefiltered decontamination: test-split shingles collapse

@@ -54,14 +54,25 @@ object SourceQueries {
       val csvDir = s"$base/nation_zip_src"
       Sinks.writeCsv(Tables.nation(s, d)
         .select("n_nationkey", "n_name", "n_regionkey"), csvDir)
-      val part = new java.io.File(csvDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).head
+      // Listing + read go through the Hadoop FileSystem API with the
+      // session's conf (the repo-wide convention), even though this
+      // staging dir is always local tmp in practice.
+      val fs = new org.apache.hadoop.fs.Path(csvDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(csvDir))
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
+        .minBy(_.getName)
+      val partBytes = {
+        val in = fs.open(part)
+        try in.readAllBytes() finally in.close()
+      }
       val zipPath = s"$base/nation.zip"
       val zout = new java.util.zip.ZipOutputStream(
         new java.io.FileOutputStream(zipPath))
       try {
         zout.putNextEntry(new java.util.zip.ZipEntry("snapshot/nation.csv"))
-        zout.write(java.nio.file.Files.readAllBytes(part.toPath))
+        zout.write(partBytes)
         zout.closeEntry()
       } finally zout.close()
       val staged = Sources.stageZip(zipPath, s"$base/staging")

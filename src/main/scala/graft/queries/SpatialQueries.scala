@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.spatial.{Poly, Spatial}
+import graft.spatial.{Poly, Region, Spatial}
 
 /** Spatial operators (SURVEY.md J10, R4): reverse-geocode by containment
   * through the codegen PointInPolygon expression, and bbox→ring
@@ -171,7 +171,75 @@ object SpatialQueries {
         .filter(col("lon_min") >= 91.0)
         .select(col("n_nationkey"), col("n_name"),
           col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"))
+    },
+
+    // S-family + J10, multi-ring: holed MultiPolygon features read
+    // through the DSv2 source's `rings` column, bridged to plan-time
+    // MultiPoly constants, and geocoded with EVEN-ODD containment
+    // (sp::over on real SpatialPolygons — outer rings + holes,
+    // turtle-tracks.Rmd:80-87). A point inside a hole falls through to
+    // 'none'; the oracle re-derives everything from interval logic on
+    // the rectangle bounds.
+    Q("src_geojson_multipoly", multiPolySql) { (s, d) =>
+      val path = multiPolyGeoJson(d)
+      val feats = s.read.format("graft-geojson").load(path)
+        .select(col("region"), col("rings")).collect()
+      val regions: Seq[(String, Region)] = feats.map { r =>
+        r.getString(0) -> (Spatial.regionFromRings(
+          r.getSeq[collection.Seq[org.apache.spark.sql.Row]](1)): Region)
+      }.sortBy(_._1).toSeq
+      synth(s, d)
+        .groupBy(Spatial.geocode(col("lon"), col("lat"), regions, "none")
+          .as("location"))
+        .agg(count(lit(1)).as("n"))
     })
+
+  /** Oracle for src_geojson_multipoly: each region r is TWO rectangles,
+    * the first with a rectangular hole, so even-odd containment reduces
+    * to closed-form interval logic (`in A and not in hole, or in B`).
+    * Bounds sit off the synthesized data grid (lon integral, bounds at
+    * .005; lat integral, bounds at .5), so ray-casting boundary
+    * semantics can never disagree with the SQL — the j10 convention. */
+  // lazy: referenced from `defs` above its declaration point — a plain
+  // val would still be null during the object's initializer.
+  private lazy val multiPolySql: String = {
+    val cases = (0 until 5).map { r =>
+      val b = 72.0 * r - 180.0
+      s"WHEN (lon > ${b + 0.005} AND lon < ${b + 30.005} AND lat > -60.5 AND lat < 60.5 " +
+        s"AND NOT (lon > ${b + 10.005} AND lon < ${b + 20.005} AND lat > -30.5 AND lat < 30.5)) " +
+        s"OR (lon > ${b + 35.005} AND lon < ${b + 65.005} AND lat > -60.5 AND lat < 60.5) " +
+        s"THEN 'r$r'"
+    }.mkString(" ")
+    s"SELECT CASE $cases ELSE 'none' END AS location, " +
+      s"CAST(count(*) AS BIGINT) AS n FROM $synthSql GROUP BY 1"
+  }
+
+  /** The 5 holed MultiPolygon regions of [[multiPolySql]] as a GeoJSON
+    * FeatureCollection file (hand-laid-out: the K3 sink writes single
+    * rings; this fixture exercises the SOURCE'S multi-ring parse).
+    * Outer rings wind CCW and holes CW per RFC 7946 — though the
+    * even-odd consumer is winding-agnostic by construction. */
+  def multiPolyGeoJson(d: String): String = {
+    val dir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_geojson_mp_${Integer.toHexString(d.hashCode)}"))
+    val path = s"$dir/regions.geojson"
+    def ring(x0: Double, y0: Double, x1: Double, y1: Double, cw: Boolean): String = {
+      val ccw = Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))
+      (if (cw) ccw.reverse else ccw)
+        .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+    }
+    val feats = (0 until 5).map { r =>
+      val b = 72.0 * r - 180.0
+      val polyA = s"[${ring(b + 0.005, -60.5, b + 30.005, 60.5, cw = false)}," +
+        s"${ring(b + 10.005, -30.5, b + 20.005, 30.5, cw = true)}]"
+      val polyB = s"[${ring(b + 35.005, -60.5, b + 65.005, 60.5, cw = false)}]"
+      s"""{"type":"Feature","geometry":{"type":"MultiPolygon",""" +
+        s""""coordinates":[$polyA,$polyB]},"properties":{"region":"r$r"}}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      feats.mkString("""{"type":"FeatureCollection","features":[""", ",", "]}"))
+    path
+  }
 
   /** Writes the 25 nation rectangles as 5 band files (nation keys
     * 0-4, 5-9, ...) with file-level bboxes; returns the directory.

@@ -96,11 +96,15 @@ object Similarity {
     math.max(4, math.ceil(
       math.log(math.max(corpusCount, 1).toDouble / targetBucket) / math.log(2.0)).toInt)
 
-  /** Log2-scale row-count estimate: counts ONE partition and scales by
-    * the partition count — one narrow job over a single partition, not
-    * a full pass. Only for knobs that need order-of-magnitude accuracy
-    * (plane counts); an empty sampled partition falls back to counting
-    * the rest lazily via take(). */
+  /** Log2-scale row-count estimate: counts THREE partitions spread
+    * across the partition range (first/middle/last) and scales their
+    * MEAN by the partition count — each probe is one narrow single-task
+    * job, never a full pass. Spreading the probes keeps the estimate
+    * stable under partition skew (a leading filter that wipes the early
+    * partitions, or data concentrated in them): any single probe can be
+    * unrepresentative, but the three-probe mean stays within one
+    * plane-count step of the truth in both directions. Only for knobs
+    * that need order-of-magnitude accuracy (plane counts). */
   private[graft] def estimateCount(df: DataFrame): Long = {
     val rdd = df.rdd
     val nParts = rdd.getNumPartitions
@@ -111,19 +115,24 @@ object Similarity {
       }, Seq(i)).head
     // runJob on ONE partition at a time — exactly one task per probe,
     // unlike a mapPartitionsWithIndex().collect(), which schedules every
-    // partition. Empty partitions (e.g. a leading filter wiped the rows
-    // that landed there) don't end the estimate at a degenerate plane
-    // count: probe a few more before giving up — a handful of tiny jobs,
-    // still never a full pass.
-    val probes = math.min(nParts, 8)
-    var i = 0
-    while (i < probes) {
-      val sampled = countPartition(i)
-      if (sampled > 0) return sampled * (nParts - i)
+    // partition.
+    val spread = Seq(0, nParts / 2, nParts - 1).distinct
+    val probed = spread.map(countPartition)
+    val total = probed.sum
+    if (total > 0)
+      return math.max(math.round(total.toDouble / probed.size * nParts), 1L)
+    // All spread probes empty: scan a few more sequentially before
+    // giving up — a handful of tiny jobs, still never a full pass.
+    var i = 1
+    val extra = math.min(nParts, 8)
+    while (i < extra) {
+      if (!spread.contains(i)) {
+        val sampled = countPartition(i)
+        if (sampled > 0) return sampled * nParts
+      }
       i += 1
     }
-    // First `probes` partitions all empty: cheap non-emptiness probe,
-    // pessimistic scale.
+    // Cheap non-emptiness probe, pessimistic scale.
     if (df.take(1).nonEmpty) nParts.toLong else 1L
   }
 

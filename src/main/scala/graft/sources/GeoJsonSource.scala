@@ -31,11 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * files (text -> STRING, integral -> BIGINT, number -> DOUBLE, boolean
   * -> BOOLEAN; integral+fractional widens to DOUBLE, any other
   * disagreement FAILS loudly instead of silently coercing), plus
-  * `geometry_type STRING`, the outer ring as
+  * `geometry_type STRING`, the first outer ring as
   * `ring ARRAY<STRUCT<lon DOUBLE, lat DOUBLE>>` (Polygon: ring 0;
-  * Point: a 1-element ring), and the feature's bounding box as four
-  * DOUBLE columns `lon_min, lat_min, lon_max, lat_max` — the spatial
-  * predicate surface.
+  * Point: a 1-element ring), ALL rings as `rings ARRAY<ARRAY<STRUCT<
+  * lon DOUBLE, lat DOUBLE>>>` (Polygon: outer + interior/hole rings;
+  * MultiPolygon: every member polygon's rings — the input
+  * [[graft.spatial.MultiPoly]] even-odd containment consumes), and the
+  * feature's bounding box as four DOUBLE columns `lon_min, lat_min,
+  * lon_max, lat_max` — the spatial predicate surface. A feature whose
+  * coordinate arrays are empty carries zero rings and null bbox columns.
   *
   * Scale shape: one [[InputPartition]] per file — a path can be a single
   * FeatureCollection or a directory of them, so a sharded corpus of
@@ -72,9 +76,16 @@ object GeoJsonTable {
     ArrayType(StructType(Seq(
       StructField("lon", DoubleType), StructField("lat", DoubleType))))
 
+  /** All rings of the geometry: Polygon = outer ring then interior
+    * (hole) rings; MultiPolygon = every polygon's rings in order —
+    * the multi-ring surface `sp::over`-style even-odd containment
+    * ([[graft.spatial.MultiPoly]]) consumes. */
+  val ringsType: ArrayType = ArrayType(ringType)
+
   /** The geometry-derived columns appended after the property columns. */
   val geomFields: Seq[StructField] = Seq(
     StructField("geometry_type", StringType), StructField("ring", ringType),
+    StructField("rings", ringsType),
     StructField("lon_min", DoubleType), StructField("lat_min", DoubleType),
     StructField("lon_max", DoubleType), StructField("lat_max", DoubleType))
 
@@ -186,11 +197,20 @@ object GeoJsonTable {
     * (silent asLong/asText coercion truncates 2.7 to 2). */
   def inferSchema(paths: Seq[String]): StructType = {
     require(paths.nonEmpty, "graft-geojson: no .geojson/.json files under path")
+    val reserved = geomFields.map(_.name).toSet
     val inferred = mutable.LinkedHashMap.empty[String, DataType]
     paths.foreach { file =>
       forEachFeature(file) { feat =>
         val props = feat.get("properties")
         if (props != null && !props.isNull) props.properties().asScala.foreach { e =>
+          // A property named like a geometry-derived column would be
+          // silently shadowed (duplicate column name; the reader returns
+          // the geometry value, and a pushed filter on it would prune as
+          // if it were a bbox bound) — fail loudly instead.
+          if (reserved(e.getKey)) throw new IllegalArgumentException(
+            s"graft-geojson: property '${e.getKey}' in $file collides with the " +
+              s"reserved geometry column of the same name (${reserved.mkString(", ")}) " +
+              "— rename the property or read it with an explicit schema that omits it")
           jsonType(e.getValue).foreach { t =>
             inferred.get(e.getKey) match {
               case None | Some(`t`) => inferred(e.getKey) = t
@@ -319,21 +339,46 @@ class GeoJsonPartitionReader(file: String, required: StructType)
   private val needsGeometry =
     required.fields.exists(f => GeoJsonTable.geomFields.exists(_.name == f.name))
 
-  /** The outer ring as (lon, lat) pairs. Only geometries whose outer
-    * ring is unambiguous are supported — anything else must FAIL, not
-    * silently parse nested arrays as 0.0 (Jackson's asDouble on an
-    * array node). */
-  private def ringOf(geom: JsonNode): Array[(Double, Double)] = {
+  /** One coordinate array [lon, lat, ...] as a pair; anything else must
+    * FAIL, not silently parse nested arrays as 0.0 (Jackson's asDouble
+    * on an array node). */
+  private def point(pt: JsonNode): (Double, Double) = {
+    if (pt == null || !pt.isArray || pt.size() < 2)
+      throw new IllegalArgumentException(
+        s"graft-geojson: $file: coordinate position is not a [lon, lat] array: $pt")
+    (pt.get(0).asDouble(), pt.get(1).asDouble())
+  }
+
+  private def parseRing(r: JsonNode): Array[(Double, Double)] =
+    (0 until r.size()).map(i => point(r.get(i))).toArray
+
+  /** ALL rings of the geometry as (lon, lat) pair arrays: Polygon =
+    * outer then holes; MultiPolygon = every member polygon's rings in
+    * order; Point/LineString/MultiPoint = one ring. An EMPTY coordinate
+    * array (RFC 7946 allows it) yields zero rings — the bbox columns
+    * surface as null (mirroring the sink, which excludes the feature
+    * from the file bbox) rather than throwing from min/max. */
+  private def ringsOf(geom: JsonNode): Array[Array[(Double, Double)]] = {
     val coords = geom.get("coordinates")
-    val ring = geom.get("type").asText() match {
-      case "Point" => Seq(coords)
-      case "Polygon" | "LineString" | "MultiPoint" =>
-        val r = if (geom.get("type").asText() == "Polygon") coords.get(0) else coords
-        (0 until r.size()).map(r.get(_))
+    geom.get("type").asText() match {
+      case "Point" =>
+        if (coords == null || !coords.isArray || coords.size() == 0)
+          Array.empty
+        else Array(Array(point(coords)))
+      case "LineString" | "MultiPoint" =>
+        if (coords.size() == 0) Array.empty else Array(parseRing(coords))
+      case "Polygon" =>
+        (0 until coords.size()).map(i => parseRing(coords.get(i)))
+          .filter(_.nonEmpty).toArray
+      case "MultiPolygon" =>
+        (0 until coords.size()).flatMap { p =>
+          val poly = coords.get(p)
+          (0 until poly.size()).map(i => parseRing(poly.get(i)))
+        }.filter(_.nonEmpty).toArray
       case other => throw new IllegalArgumentException(
-        s"graft-geojson: unsupported geometry type '$other' (Point/Polygon/LineString/MultiPoint)")
+        s"graft-geojson: unsupported geometry type '$other' " +
+          "(Point/Polygon/MultiPolygon/LineString/MultiPoint)")
     }
-    ring.map(pt => (pt.get(0).asDouble(), pt.get(1).asDouble())).toArray
   }
 
   private def toRingData(ring: Array[(Double, Double)]): ArrayData =
@@ -367,15 +412,23 @@ class GeoJsonPartitionReader(file: String, required: StructType)
         throw new IllegalArgumentException(
           s"graft-geojson: $file: feature has null geometry (RFC 7946 allows " +
             "it, but the requested columns need one)")
-      lazy val ring = ringOf(geom)
+      lazy val rings = ringsOf(geom)
+      // Feature bbox over ALL rings (holes lie inside their outer ring,
+      // so including them never widens it); zero rings -> null bounds.
+      lazy val pts = rings.flatten
+      def bound(sel: ((Double, Double)) => Double, max: Boolean): Any =
+        if (pts.isEmpty) null
+        else if (max) pts.iterator.map(sel).max
+        else pts.iterator.map(sel).min
       current = new GenericInternalRow(required.fields.map { f =>
         f.name match {
           case "geometry_type" => UTF8String.fromString(geom.get("type").asText())
-          case "ring" => toRingData(ring)
-          case "lon_min" => ring.iterator.map(_._1).min
-          case "lat_min" => ring.iterator.map(_._2).min
-          case "lon_max" => ring.iterator.map(_._1).max
-          case "lat_max" => ring.iterator.map(_._2).max
+          case "ring" => toRingData(rings.headOption.getOrElse(Array.empty))
+          case "rings" => new GenericArrayData(rings.map(toRingData).toArray[Any])
+          case "lon_min" => bound(_._1, max = false)
+          case "lat_min" => bound(_._2, max = false)
+          case "lon_max" => bound(_._1, max = true)
+          case "lat_max" => bound(_._2, max = true)
           case _ => propValue(feat, f)
         }
       }.toArray[Any])

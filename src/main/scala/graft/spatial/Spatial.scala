@@ -53,16 +53,25 @@ object Spatial {
       struct(xMin.as("lon"), yMax.as("lat")),
       struct(xMin.as("lon"), yMin.as("lat")))
 
-  def pointInPolygon(lon: Column, lat: Column, poly: Poly): Column =
+  def pointInPolygon(lon: Column, lat: Column, poly: Region): Column =
     PointInPolygon(lon, lat, poly)
 
   /** Reverse geocode by containment (turtle-tracks.Rmd:80-87): first
     * containing area's label wins, else the default ("WA",
     * turtle-tracks.Rmd:60). A when-chain over constant polygons —
-    * stays fully inside whole-stage codegen. */
-  def geocode(lon: Column, lat: Column, areas: Seq[(String, Poly)],
+    * stays fully inside whole-stage codegen. Areas may be single rings
+    * ([[Poly]]) or holed/multi-part regions ([[MultiPoly]]). */
+  def geocode(lon: Column, lat: Column, areas: Seq[(String, Region)],
               default: String): Column =
     areas.foldRight(lit(default)) { case ((name, poly), elseCol) =>
       when(PointInPolygon(lon, lat, poly), lit(name)).otherwise(elseCol)
     }
+
+  /** [[MultiPoly]] from the graft-geojson source's `rings` column value
+    * (one collected Row's ARRAY<ARRAY<STRUCT<lon,lat>>> — dimension
+    * data): the driver-side bridge from a feature file to a plan-time
+    * geofence constant. */
+  def regionFromRings(
+      rings: collection.Seq[collection.Seq[org.apache.spark.sql.Row]]): MultiPoly =
+    MultiPoly(rings.toSeq.map(_.toSeq.map(p => (p.getDouble(0), p.getDouble(1)))))
 }

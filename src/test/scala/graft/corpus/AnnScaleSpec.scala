@@ -23,10 +23,9 @@ class AnnScaleSpec extends SparkSpec {
     assert(Similarity.planesFor(1, 32) == 4)
   }
 
-  test("auto plane sizing estimates the corpus from ONE task, not a full count") {
+  test("auto plane sizing estimates the corpus from 3 spread single-task probes") {
     val sc = spark.sparkContext
     val df = spark.range(0, 10000, 1, 8).selectExpr("id")
-    val before = sc.statusTracker.getJobIdsForGroup(null).length
     var tasks = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
@@ -37,14 +36,32 @@ class AnnScaleSpec extends SparkSpec {
       val est = Similarity.estimateCount(df)
       // Listener delivery is async; give the bus a moment to drain.
       val deadline = System.nanoTime() + 5000000000L
-      while (tasks < 1 && System.nanoTime() < deadline) Thread.sleep(50)
-      // 8 even partitions: the one-partition scale-up is exact here.
+      while (tasks < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      // 8 even partitions: the spread-probe mean is exact here.
       assert(est == 10000L)
-      assert(tasks == 1, s"estimateCount ran $tasks tasks; must sample one partition")
+      assert(tasks == 3,
+        s"estimateCount ran $tasks tasks; must be one task per spread probe (3)")
     } finally sc.removeSparkListener(listener)
     // Empty partition 0 falls back without crashing.
     val sparse = spark.range(0, 10, 1, 2).filter($"id" >= 5)
     assert(Similarity.estimateCount(sparse.toDF()) >= 1L)
+  }
+
+  test("partition skew: a front-loaded filter still sizes planes within one step") {
+    // A leading filter wipes the first three quarters of the range:
+    // partitions 0-5 are empty, the tail holds the 2500 surviving rows.
+    // The spread-probe mean must stay within ONE planesFor step of the
+    // true count — the failure mode (first-non-empty scaling by the
+    // remaining-partition count) could be off by far more.
+    val skewed = spark.range(0, 10000, 1, 8).filter($"id" >= 7500).toDF()
+    val est = Similarity.estimateCount(skewed)
+    assert(math.abs(Similarity.planesFor(est) - Similarity.planesFor(2500)) <= 1,
+      s"skewed estimate $est sized planes more than one step from planesFor(2500)")
+    // And the mirror image: data concentrated at the FRONT.
+    val front = spark.range(0, 10000, 1, 8).filter($"id" < 1250).toDF()
+    val estF = Similarity.estimateCount(front)
+    assert(math.abs(Similarity.planesFor(estF) - Similarity.planesFor(1250)) <= 1,
+      s"front-loaded estimate $estF sized planes more than one step from planesFor(1250)")
   }
 
   test("zero-norm vectors are excluded from queries and neighbors") {

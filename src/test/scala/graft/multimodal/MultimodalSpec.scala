@@ -53,7 +53,41 @@ class MultimodalSpec extends SparkSpec {
     assert(got.flatten.forall(_ == null))
   }
 
-  import graft.functions.MediaUtil
+  import graft.functions.{ImageOps, MediaUtil}
+
+  test("decodeResize: real ImageIO decode of a real PNG, aspect-fit downsample") {
+    val d = Seq(
+      (0L, ImageOps.solidPng(64, 32, 200, 100, 50)),  // landscape, needs resize
+      (1L, ImageOps.solidPng(8, 6, 1, 2, 3)),         // already fits: no-op
+      (2L, ImageOps.solidPng(3, 48, 255, 0, 128)))    // extreme aspect: floor >= 1
+      .toDF("id", "img")
+    val st = Multimodal.decodeResize($"img", 16)
+    val got = rows(d.select($"id", st.getField("width"), st.getField("height"),
+      st.getField("out_w"), st.getField("out_h"),
+      st.getField("avg_r"), st.getField("avg_g"), st.getField("avg_b")).orderBy("id"))
+    assert(got == Seq(
+      Seq(0L, 64L, 32L, 16L, 8L, 200L, 100L, 50L),
+      Seq(1L, 8L, 6L, 8L, 6L, 1L, 2L, 3L),
+      Seq(2L, 3L, 48L, 1L, 16L, 255L, 0L, 128L)))
+  }
+
+  test("decodeResize: structured-header fakes and junk bytes decode to null") {
+    // fakeMedia bytes have valid PNG/JPEG HEADERS but garbage payloads —
+    // a real codec must reject them, not hallucinate pixels.
+    val got = rows(docs.select(Multimodal.decodeResize($"bin", 16)))
+    assert(got.flatten.forall(_ == null))
+    val junk = Seq((0L, Array.fill[Byte](32)(0x55))).toDF("id", "img")
+    assert(rows(junk.select(Multimodal.decodeResize($"img", 16))).flatten
+      .forall(_ == null))
+  }
+
+  test("fitDims integer arithmetic matches the oracle's // semantics") {
+    assert(ImageOps.fitDims(64, 48, 16) == (16, 12))
+    assert(ImageOps.fitDims(48, 64, 16) == (12, 16))
+    assert(ImageOps.fitDims(16, 16, 16) == (16, 16))
+    assert(ImageOps.fitDims(17, 1, 16) == (16, 1)) // 1*16/17 floors to 0 -> clamped 1
+    assert(ImageOps.fitDims(1, 1, 16) == (1, 1))
+  }
 
   private def jpeg(segments: Array[Byte]*): Array[Byte] =
     Array[Byte](0xFF.toByte, 0xD8.toByte) ++ segments.flatten

@@ -28,7 +28,7 @@ class GeoJsonSourceSpec extends SparkSpec {
     val path = writeTmp()
     val back = spark.read.format("graft-geojson").load(path)
     assert(back.schema.fieldNames.toSeq ==
-      Seq("site", "pop", "geometry_type", "ring",
+      Seq("site", "pop", "geometry_type", "ring", "rings",
         "lon_min", "lat_min", "lon_max", "lat_max"))
     val got = back
       .select(col("site"), col("pop"), col("geometry_type"),
@@ -52,7 +52,7 @@ class GeoJsonSourceSpec extends SparkSpec {
     val path = s"$dir/bad.geojson"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
       """{"type":"FeatureCollection","features":[{"type":"Feature",
-        |"geometry":{"type":"MultiPolygon","coordinates":[[[[0,0],[1,0],[1,1],[0,0]]]]},
+        |"geometry":{"type":"GeometryCollection","geometries":[]},
         |"properties":{"site":"m"}}]}""".stripMargin.replace("\n", ""))
     val e = intercept[Exception] {
       spark.read.format("graft-geojson").load(path).collect()
@@ -60,6 +60,67 @@ class GeoJsonSourceSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
     assert(messages(e).exists(m => m != null && m.contains("unsupported geometry")))
+  }
+
+  test("MultiPolygon with a hole: all rings surface; ring stays the first outer") {
+    val dir = Files.createTempDirectory("geojson_mp").toString
+    val path = s"$dir/mp.geojson"
+    // Two polygons: a 0..4 square with a 1..3 hole, and a 10..12 square.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"type":"FeatureCollection","features":[{"type":"Feature",
+        |"geometry":{"type":"MultiPolygon","coordinates":[
+        |[[[0,0],[4,0],[4,4],[0,4],[0,0]],[[1,1],[3,1],[3,3],[1,3],[1,1]]],
+        |[[[10,0],[12,0],[12,2],[10,2],[10,0]]]]},
+        |"properties":{"site":"m"}}]}""".stripMargin.replace("\n", ""))
+    val back = spark.read.format("graft-geojson").load(path)
+      .select(col("site"), col("geometry_type"), size(col("rings")).as("n_rings"),
+        size(col("ring")).as("n_outer"),
+        col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"))
+      .as[(String, String, Int, Int, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(back == Seq(("m", "MultiPolygon", 3, 5, 0.0, 0.0, 12.0, 4.0)))
+    // Even-odd containment over the collected rings: inside the first
+    // outer -> true, inside its hole -> false, inside the second
+    // polygon -> true, outside everything -> false.
+    val rings = spark.read.format("graft-geojson").load(path)
+      .select("rings").collect().head
+      .getSeq[Seq[Row]](0)
+    val region = graft.spatial.Spatial.regionFromRings(rings)
+    assert(region.contains(0.5, 0.5))
+    assert(!region.contains(2.0, 2.0), "point in the hole must be outside")
+    assert(region.contains(11.0, 1.0))
+    assert(!region.contains(7.0, 1.0))
+  }
+
+  test("empty coordinate arrays: zero rings, null bbox (no min/max crash)") {
+    val dir = Files.createTempDirectory("geojson_empty").toString
+    val path = s"$dir/e.geojson"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"MultiPoint","coordinates":[]},
+        |"properties":{"site":"e"}},
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[2.0,3.0]},
+        |"properties":{"site":"p"}}]}""".stripMargin.replace("\n", ""))
+    val back = spark.read.format("graft-geojson").load(path)
+      .select(col("site"), size(col("rings")).as("n"), col("lon_min"), col("lat_max"))
+      .orderBy("site").collect().toSeq
+    assert(back.head.getString(0) == "e" && back.head.getInt(1) == 0)
+    assert(back.head.isNullAt(2) && back.head.isNullAt(3),
+      "empty geometry must carry null bbox, mirroring the sink")
+    assert(back(1).getString(0) == "p" && back(1).getDouble(2) == 2.0 &&
+      back(1).getDouble(3) == 3.0)
+  }
+
+  test("a property named like a reserved geometry column fails inference loudly") {
+    val dir = Files.createTempDirectory("geojson_clash").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/c.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[0,0]},
+        |"properties":{"lon_min":-5.0,"site":"x"}}]}""".stripMargin.replace("\n", ""))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-geojson").load(dir).schema
+    }
+    assert(e.getMessage.contains("lon_min") && e.getMessage.contains("collides"))
   }
 
   test("a directory of feature files reads as one table, one partition per file") {
