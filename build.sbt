@@ -24,6 +24,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // jdk.incubator.vector unlocks dev.ludovic.netlib's VectorBLAS (the
+  // fastest pure-JVM BLAS tier — SIMD kernels, no native library): the
+  // driver-side eigensolver (stats.ParallelEig) shards its GEMM/GEMV
+  // work across threads, each calling the vectorized single-threaded
+  // kernels. Safe everywhere: without the module netlib just falls back
+  // to Java11BLAS.
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

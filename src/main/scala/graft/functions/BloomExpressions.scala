@@ -40,4 +40,24 @@ object BloomFunctions {
     * bytes, matching `mightContainBinary(getBytes)` here). */
   def mightContainString(bloom: BloomFilter, s: Column): Column =
     GraftShim.column(BloomMightContainString(bloom, GraftShim.expression(s)))
+
+  /** Hex serialization of a filter — how a pre-built Bloom crosses the
+    * pure-SQL surface (`graft_bloom_might_contain('<hex>', col)`): SQL
+    * text has no object literals, so the filter rides as a string and
+    * is deserialized ONCE at analysis time into the expression's
+    * reference object (per-row cost is still one codegen'd probe).
+    * Dimension-sized filters only (a few KB..MB of hex in the query
+    * text); a corpus-sized filter belongs on the Column API. */
+  def toHex(bloom: BloomFilter): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray.map(b => f"${b & 0xFF}%02x").mkString
+  }
+
+  def fromHex(hex: String): BloomFilter = {
+    require(hex.length % 2 == 0, "graft_bloom_might_contain: odd-length hex")
+    val bytes = Array.tabulate(hex.length / 2)(i =>
+      Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
 }

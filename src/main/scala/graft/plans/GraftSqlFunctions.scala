@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{GraftShim, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import graft.functions._
 
 /** SQL-surface registration of graft's custom Catalyst expressions, so
@@ -88,6 +88,28 @@ object GraftSqlFunctions {
         s"graft_multi_occurrences expects a text column plus at least one pattern literal")
       MultiOccurrences(args.head,
         args.tail.map(strLit("graft_multi_occurrences", "pattern")))
+    },
+
+    fd("graft_morton2", classOf[Morton2],
+      "graft_morton2(a, b) - Morton (Z-order) interleave of two non-negative 32-bit keys") { args =>
+      arity("graft_morton2", 2, args)
+      Morton2(Cast(args.head, LongType), Cast(args(1), LongType))
+    },
+
+    fd("graft_jpeg_dims_packed", classOf[JpegDimsPacked],
+      "graft_jpeg_dims_packed(bin) - (height << 16) | width from the JPEG SOF header, null if none") { args =>
+      arity("graft_jpeg_dims_packed", 1, args)
+      JpegDimsPacked(args.head)
+    },
+
+    fd("graft_bloom_might_contain", classOf[BloomMightContainString],
+      "graft_bloom_might_contain(filterHex, s) - probe s against a hex-serialized Bloom filter") { args =>
+      arity("graft_bloom_might_contain", 2, args)
+      // Deserialized ONCE here (analysis time); the hex literal is the
+      // SQL-surface carrier for a pre-built dimension-sized filter.
+      BloomMightContainString(
+        BloomFunctions.fromHex(strLit("graft_bloom_might_contain", "filterHex")(args.head)),
+        args(1))
     })
 
   /** Idempotent post-hoc registration on an existing session

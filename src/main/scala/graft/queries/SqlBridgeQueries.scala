@@ -44,5 +44,68 @@ FROM tk JOIN d2 ON tk.doc_id = d2.doc_id""") { (s, d) =>
       Tables.embeddings(s, d).createOrReplaceTempView("graft_sql_embeddings")
       s.sql("""SELECT vec_id, round(sqrt(graft_dot(embedding, embedding)), 4) AS l2_norm
         FROM graft_sql_embeddings""")
+    },
+
+    // Morton interleave through SQL (the sc6 clustering key from a
+    // SQL-only client). The oracle unrolls the exact 5-step
+    // parallel-prefix bit spread (Morton 1966 magic masks) with plain
+    // BIGINT arithmetic — inputs stay under 2^31 so no shift overflows.
+    Q("sql_morton2", {
+      val masks = Seq(
+        281470681808895L,    // 0x0000FFFF0000FFFF after | (x << 16)
+        71777214294589695L,  // 0x00FF00FF00FF00FF after | (x << 8)
+        1085102592571150095L, // 0x0F0F0F0F0F0F0F0F after | (x << 4)
+        3689348814741910323L, // 0x3333333333333333 after | (x << 2)
+        6148914691236517205L) // 0x5555555555555555 after | (x << 1)
+      val shifts = Seq(16, 8, 4, 2, 1)
+      val steps = masks.zip(shifts).zipWithIndex.map { case ((m, sh), i) =>
+        s"s${i + 1} AS (SELECT event_id, (x | (x << $sh)) & $m AS x, " +
+          s"(y | (y << $sh)) & $m AS y FROM s$i)"
+      }.mkString(", ")
+      "WITH s0 AS (SELECT event_id, user_id & 4294967295 AS x, " +
+        "(event_id % 97) & 4294967295 AS y FROM events), " + steps +
+        " SELECT event_id, CAST(x | (y * 2) AS BIGINT) AS zval FROM s5"
+    }) { (s, d) =>
+      GraftSqlFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("graft_sql_events")
+      s.sql("""SELECT event_id, graft_morton2(user_id, event_id % 97) AS zval
+        FROM graft_sql_events""")
+    },
+
+    // JPEG segment-walk decode through SQL, over the fakeMedia binary
+    // column: JPEG rows (doc_id % 3 = 1) recover (height << 16) | width
+    // from the SOF0 header the bytes embed; PNG/plain rows are null.
+    // The oracle re-derives the packed value from the constructor
+    // formulas (width = id % 640 + 1, height = id % 480 + 1).
+    Q("sql_jpeg_dims",
+      "SELECT doc_id, CAST(CASE WHEN doc_id % 3 = 1 THEN " +
+        "(doc_id % 480 + 1) * 65536 + (doc_id % 640 + 1) END AS BIGINT) AS packed " +
+        "FROM documents") { (s, d) =>
+      GraftSqlFunctions.register(s)
+      Tables.documents(s, d)
+        .withColumn("bin", graft.multimodal.Multimodal.fakeMedia(col("text"), col("doc_id")))
+        .createOrReplaceTempView("graft_sql_media")
+      s.sql("SELECT doc_id, graft_jpeg_dims_packed(bin) AS packed FROM graft_sql_media")
+    },
+
+    // Bloom probe through SQL: a pre-built filter over the early docs'
+    // languages rides the query TEXT as hex, prefilters the scan, and
+    // the exact semi-join kills false positives — so the result equals
+    // the plain exact semi-join (the oracle), Bloom being
+    // false-negative-free. The SQL-surface twin of
+    // dd_bloom_contamination's scan-stage cut.
+    Q("sql_bloom_probe",
+      "SELECT doc_id, lang FROM documents WHERE lang IN " +
+        "(SELECT DISTINCT lang FROM documents WHERE doc_id < 100)") { (s, d) =>
+      GraftSqlFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val langs = docs.filter(col("doc_id") < 100).select("lang").distinct()
+      val hex = graft.functions.BloomFunctions.toHex(
+        langs.stat.bloomFilter("lang", 64, 0.01))
+      docs.createOrReplaceTempView("graft_sql_docs_bloom")
+      s.sql(s"SELECT doc_id, lang FROM graft_sql_docs_bloom " +
+          s"WHERE graft_bloom_might_contain('$hex', lang)")
+        .join(langs, Seq("lang"), "left_semi")
+        .select("doc_id", "lang")
     })
 }

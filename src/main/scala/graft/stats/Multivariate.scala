@@ -17,10 +17,10 @@ object Multivariate {
 
   /** Direct-PCNM size cap. 10k covers the reference's own largest
     * demonstrated direct run (9,366 surveys, spatial_modelling.Rmd:213 —
-    * "this one's gonna hurt": ~3 min of optimized-LAPACK R; pure-JVM
-    * F2J is ~10x that, so the dimension-first path below remains the
-    * recommended shape). Beyond the cap the O(n^3) eigendecomposition
-    * stops being a sane driver-side call anywhere. */
+    * "this one's gonna hurt": ~3 min of optimized-LAPACK R; the
+    * multithreaded [[ParallelEig]] path does it in ~62s, SCALE.md).
+    * Beyond the cap the O(n^3) eigendecomposition stops being a sane
+    * driver-side call anywhere. */
   val maxPcnmPoints = 10000
 
   /** Pairwise Euclidean distance matrix (O5, spatial_modelling.Rmd:217). */
@@ -82,6 +82,13 @@ object Multivariate {
     DenseMatrix.tabulate(n, n)((i, j) => a(i, j) - rowMeans(i) - rowMeans(j) + grand)
   }
 
+  /** Above this size the eigendecomposition runs on the multithreaded
+    * [[ParallelEig]] (blocked Householder + dstedc + blocked WY
+    * back-transform, kernels on netlib's vectorized JVM BLAS); at or
+    * below it, breeze's LAPACK `dsyev` is instant and stays the
+    * reference numerics for the registered dimension-sized queries. */
+  val parallelEigThreshold = 1024
+
   /** Full spectrum of the PCNM matrix: ALL eigenpairs (negative
     * eigenvalues included), ordered by descending eigenvalue, sign
     * normalized. The complete VΛV' = G factorization — [[pcnm]] filters
@@ -94,10 +101,21 @@ object Multivariate {
         "aggregate to dimension granularity first (spatial_modelling.Rmd:211)")
     val n = pts.length
     val g = centeredTruncated(pts, truncationOpt)
-    val es = eigSym((g + g.t) *:* 0.5)
-    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1)
+    val sym = (g + g.t) *:* 0.5
+    // (ascending eigenvalues, eigenvectors) from either path — breeze's
+    // DenseMatrix data IS column-major, so ParallelEig factors it in
+    // place (sym is a fresh intermediate; nothing else reads it).
+    val (evals, evecs) =
+      if (n > parallelEigThreshold) {
+        val (d, z) = ParallelEig.eigSym(sym.data, n)
+        (d, new DenseMatrix(n, n, z))
+      } else {
+        val es = eigSym(sym)
+        (es.eigenvalues.toArray, es.eigenvectors)
+      }
+    val order = evals.zipWithIndex.sortBy(-_._1)
     val vals = order.map(_._1)
-    val scores = DenseMatrix.tabulate(n, n)((i, k) => es.eigenvectors(i, order(k)._2))
+    val scores = DenseMatrix.tabulate(n, n)((i, k) => evecs(i, order(k)._2))
     for (k <- 0 until scores.cols) {
       val colV = scores(::, k)
       val mx = (0 until n).maxBy(i => math.abs(colV(i)))

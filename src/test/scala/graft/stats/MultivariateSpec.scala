@@ -110,9 +110,10 @@ class MultivariateSpec extends AnyFunSuite {
 
   test("pcnm handles the reference's 9,366-point direct workload (env-gated)") {
     // spatial_modelling.Rmd:213 runs PCNM directly on 9,366 surveys
-    // (~3 min of optimized-LAPACK R). Pure-JVM F2J LAPACK is ~10x
-    // slower (measured: this test ran to completion in 27m34s on the
-    // build container), so the full run is opt-in:
+    // (~3 min of optimized-LAPACK R). The ParallelEig path completes
+    // the eigendecomposition in ~62s (SCALE.md, round 7 — the whole
+    // spec including this test in 1m14s); still opt-in because a
+    // minute-scale test doesn't belong in every `sbt test`:
     // SPARK_GRAFT_BIG_PCNM=1 sbt test. The cap itself must admit the
     // workload either way.
     assert(Multivariate.maxPcnmPoints >= 9366)
