@@ -29,7 +29,7 @@ object EigBench {
       val t1 = System.nanoTime()
       val sym = breeze.linalg.DenseMatrix.tabulate(n, n)((i, j) =>
         0.5 * (g(i, j) + g(j, i)))
-      val (d, z) = ParallelEig.eigSym(sym.data, n)
+      val (d, z) = ParallelEig.eigSym(sym.data, n, verbose = true)
       val t2 = System.nanoTime()
       // Residual on the extreme eigenpairs against the ORIGINAL G.
       def residual(k: Int): Double = {

@@ -241,11 +241,14 @@ object ParallelEig {
     * `a` (both triangles populated; DESTROYED in place). Returns
     * (eigenvalues ascending, eigenvectors column-major n x n, column k
     * pairing with eigenvalue k) — the `dsyevd` contract. */
-  def eigSym(a: Array[Double], n: Int, nb: Int = 64): (Array[Double], Array[Double]) = {
+  def eigSym(a: Array[Double], n: Int, nb: Int = 64,
+             verbose: Boolean = false): (Array[Double], Array[Double]) = {
     require(n >= 1, "eigSym needs n >= 1")
     require(a.length >= n.toLong * n, s"matrix storage too small for n=$n")
     if (n == 1) return (Array(a(0)), Array(1.0))
+    val t0 = System.nanoTime()
     val (d, e, tau) = tridiagonalize(a, n, math.min(nb, n))
+    val t1 = System.nanoTime()
     val z = new Array[Double](n * n)
     val lwork = 1 + 4 * n + n * n
     val work = new Array[Double](lwork)
@@ -254,7 +257,11 @@ object ParallelEig {
     val info = new org.netlib.util.intW(0)
     lapack.dstedc("I", n, d, e, z, n, work, lwork, iwork, liwork, info)
     require(info.`val` == 0, s"dstedc failed: info=${info.`val`}")
+    val t2 = System.nanoTime()
     backTransform(a, n, tau, z, math.min(nb, n))
+    if (verbose)
+      System.err.println(f"[paralleleig] n=$n tridiag=${(t1 - t0) / 1e9}%.1fs " +
+        f"dstedc=${(t2 - t1) / 1e9}%.1fs backtransform=${(System.nanoTime() - t2) / 1e9}%.1fs")
     (d, z)
   }
 }

@@ -86,6 +86,30 @@ class ParallelEigSpec extends AnyFunSuite {
     assert(reconError(a, d2, z2, n) < 1e-9)
   }
 
+  test("n=600 multi-panel stress: spectrum matches breeze, basis stays orthonormal") {
+    // Big enough for ~10 panels at nb=64 with the parallel shards hot;
+    // full O(n^3) reconstruction is too slow in test loops, so the
+    // cross-checks are the spectrum (vs LAPACK dsyev), orthonormality,
+    // and exact reconstruction on a sample of matrix entries.
+    val n = 600
+    val a = randSym(n, seed = 42)
+    val es = eigSym(new DenseMatrix(n, n, a.clone()))
+    val (d, z) = ParallelEig.eigSym(a.clone(), n)
+    val bv = es.eigenvalues.toArray
+    for (k <- 0 until n)
+      assert(math.abs(d(k) - bv(k)) <= 1e-8 * math.max(1.0, math.abs(bv(k))),
+        s"eigenvalue $k: ${d(k)} vs ${bv(k)}")
+    assert(orthoError(z, n) < 1e-8)
+    val rng = new scala.util.Random(5)
+    (0 until 200).foreach { _ =>
+      val i = rng.nextInt(n); val j = rng.nextInt(n)
+      var acc = 0.0
+      var k = 0
+      while (k < n) { acc += z(i + k * n) * d(k) * z(j + k * n); k += 1 }
+      assert(math.abs(acc - a(i + j * n)) < 1e-8, s"recon ($i,$j)")
+    }
+  }
+
   test("PCNM-shaped matrix: ParallelEig satisfies the diagonal identity") {
     // The spectral-reconstruction invariant the registered queries rely
     // on (sum_k lambda_k v_ik^2 == G_ii), on a real centered-truncated
