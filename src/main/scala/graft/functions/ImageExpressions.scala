@@ -28,6 +28,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   */
 object ImageOps {
 
+  // ImageIO defaults to a disk-backed stream cache (a temp FILE per
+  // decode) — pure overhead for byte-array inputs on the executor hot
+  // path; keep everything in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Downsampled size fitting `maxDim`, preserving aspect via integer
     * arithmetic (w * maxDim / m with truncating division — the exact
     * semantics an engine-independent oracle can re-derive; no float

@@ -54,15 +54,52 @@ object Sinks {
     * the graft-geojson source's file-level bbox pruning can skip the
     * file from header tokens alone. */
   def writeGeoJson(df: DataFrame, ringCol: String, propCols: Seq[String],
-                   path: String): Unit = {
-    // Feature JSON and per-row ring extents ride the SAME collect — one
-    // job over the (possibly joined/aggregated) input, not two.
+                   path: String): Unit =
+    writeFeatureCollection(df,
+      geoJsonFeature(col(ringCol), propCols),
+      transform(col(ringCol), _("lon")),
+      transform(col(ringCol), _("lat")), path)
+
+  /** MultiPolygon Feature per row from a polygons column
+    * `array<array<array<struct<lon,lat>>>>` (polygons → rings →
+    * positions; ring 0 of each polygon is its outer ring, the rest are
+    * holes) — the multi-ring geometry class the graft-geojson source
+    * reads back into its `rings` column. */
+  def geoJsonMultiPolygonFeature(polys: Column, propCols: Seq[String]): Column =
+    to_json(struct(
+      lit("Feature").as("type"),
+      struct(
+        lit("MultiPolygon").as("type"),
+        transform(polys, poly => transform(poly, ring =>
+          transform(ring, p => array(p("lon"), p("lat"))))).as("coordinates"))
+        .as("geometry"),
+      struct(propCols.map(col): _*).as("properties")))
+
+  /** K3, multi-ring twin of [[writeGeoJson]]: MultiPolygon features
+    * (outers + holes) with the same header-bbox contract — the bbox
+    * spans every ring of every polygon (holes lie inside their outers,
+    * so including them never widens it). */
+  def writeGeoJsonMulti(df: DataFrame, polysCol: String, propCols: Seq[String],
+                        path: String): Unit = {
+    val rings = flatten(col(polysCol))
+    writeFeatureCollection(df,
+      geoJsonMultiPolygonFeature(col(polysCol), propCols),
+      flatten(transform(rings, ring => transform(ring, _("lon")))),
+      flatten(transform(rings, ring => transform(ring, _("lat")))), path)
+  }
+
+  /** Shared FeatureCollection assembly: feature JSON and per-row
+    * extents ride the SAME collect — one job over the (possibly
+    * joined/aggregated) input, not two. Rows with empty geometry (null
+    * extents) contribute features but not bbox, mirroring the source's
+    * null-bbox reading of empty rings. */
+  private def writeFeatureCollection(df: DataFrame, feature: Column,
+                                     lons: Column, lats: Column,
+                                     path: String): Unit = {
     val rows = df.select(
-      geoJsonFeature(col(ringCol), propCols).as("f"),
-      array_min(transform(col(ringCol), _("lon"))).as("w"),
-      array_min(transform(col(ringCol), _("lat"))).as("s"),
-      array_max(transform(col(ringCol), _("lon"))).as("e"),
-      array_max(transform(col(ringCol), _("lat"))).as("n")).collect()
+      feature.as("f"),
+      array_min(lons).as("w"), array_min(lats).as("s"),
+      array_max(lons).as("e"), array_max(lats).as("n")).collect()
     val features = rows.map(_.getString(0))
     val withExtent = rows.filterNot(_.isNullAt(1))
     val bbox = if (withExtent.isEmpty) "" // empty collection: no bbox

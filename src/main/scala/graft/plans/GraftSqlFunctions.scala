@@ -102,6 +102,12 @@ object GraftSqlFunctions {
       JpegDimsPacked(args.head)
     },
 
+    fd("graft_decode_resize", classOf[DecodeResizeStats],
+      "graft_decode_resize(bin, maxDim) - ImageIO pixel decode + aspect-fit downsample; struct<width,height,out_w,out_h,avg_r,avg_g,avg_b>") { args =>
+      arity("graft_decode_resize", 2, args)
+      DecodeResizeStats(args.head, intLit("graft_decode_resize", "maxDim")(args(1)))
+    },
+
     fd("graft_bloom_might_contain", classOf[BloomMightContainString],
       "graft_bloom_might_contain(filterHex, s) - probe s against a hex-serialized Bloom filter") { args =>
       arity("graft_bloom_might_contain", 2, args)

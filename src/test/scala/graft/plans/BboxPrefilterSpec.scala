@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.spatial.{Poly, Spatial}
+import graft.spatial.{MultiPoly, Poly, Spatial}
 import java.nio.file.Files
 
 class BboxPrefilterSpec extends SparkSpec {
@@ -37,6 +37,32 @@ class BboxPrefilterSpec extends SparkSpec {
     assert(df.count() == expected)
     // bbox over-approximation alone would give 11*11: the exact test still runs
     assert(expected < 121)
+  }
+
+  test("rule injects the COMBINED bbox for a multi-part holed region") {
+    // Two disjoint parts + a hole: the injected bounds must cover the
+    // UNION of parts (not one ring, not the hole), and the exact
+    // even-odd test still excludes hole points inside the bbox.
+    val region = MultiPoly(Seq(
+      Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)),
+      Seq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)), // hole
+      Seq((8.0, 0.0), (10.0, 0.0), (10.0, 2.0), (8.0, 2.0))))
+    GraftOptimizations.enable(spark)
+    val df = spark.read.parquet(parquetDir)
+      .filter(Spatial.pointInPolygon($"lon", $"lat", region))
+    val plan = df.queryExecution.executedPlan.toString
+    // (the FileScan PushedFilters summary truncates; the lat upper
+    // bound is asserted from the Filter condition text instead)
+    assert(plan.contains("GreaterThanOrEqual(lon,0.0)") &&
+      plan.contains("LessThanOrEqual(lon,10.0)") &&
+      plan.contains("<= 4.0)"),
+      s"combined multi-part bounds not pushed:\n$plan")
+    val expected = (-5 until 15).flatMap(x => (-5 until 15).map(y => (x, y)))
+      .count { case (x, y) => region.contains(x, y) }
+    assert(df.count() == expected)
+    // The hole interior point (2,2) is inside the pushed bbox but must
+    // not survive the exact test.
+    assert(!region.contains(2.0, 2.0))
   }
 
   test("rule is idempotent and leaves OR'd PIP predicates alone") {

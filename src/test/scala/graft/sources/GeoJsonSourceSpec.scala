@@ -92,6 +92,34 @@ class GeoJsonSourceSpec extends SparkSpec {
     assert(!region.contains(7.0, 1.0))
   }
 
+  test("writeGeoJsonMulti -> source round trip: holed MultiPolygon, header bbox") {
+    import graft.spatial.Spatial
+    val dir = Files.createTempDirectory("geojson_mpsink").toString
+    val path = s"$dir/mp.geojson"
+    // One feature: square [0,4]^2 with hole [1,3]^2, plus [10,12]x[0,2].
+    val d = Seq(("m", 7L)).toDF("site", "pop").select(
+      col("site"), col("pop"),
+      array(
+        array(
+          Spatial.bboxRing(lit(0.0), lit(0.0), lit(4.0), lit(4.0)),
+          Spatial.bboxRing(lit(1.0), lit(1.0), lit(3.0), lit(3.0))),
+        array(Spatial.bboxRing(lit(10.0), lit(0.0), lit(12.0), lit(2.0))))
+        .as("polys"))
+    Sinks.writeGeoJsonMulti(d, "polys", Seq("site", "pop"), path)
+    // Header bbox spans every ring — the file stays prunable.
+    assert(GeoJsonTable.fileBbox(path).contains((0.0, 0.0, 12.0, 4.0)))
+    val back = spark.read.format("graft-geojson").load(path)
+    val head = back.select(col("site"), col("pop"), col("geometry_type"),
+      size(col("rings")).as("n"), col("lon_max"), col("lat_max")).collect().head
+    assert(head.getString(0) == "m" && head.getLong(1) == 7L &&
+      head.getString(2) == "MultiPolygon" && head.getInt(3) == 3 &&
+      head.getDouble(4) == 12.0 && head.getDouble(5) == 4.0)
+    val region = graft.spatial.Spatial.regionFromRings(
+      back.select("rings").collect().head.getSeq[Seq[Row]](0))
+    assert(region.contains(0.5, 0.5) && !region.contains(2.0, 2.0) &&
+      region.contains(11.0, 1.0) && !region.contains(7.0, 1.0))
+  }
+
   test("empty coordinate arrays: zero rings, null bbox (no min/max crash)") {
     val dir = Files.createTempDirectory("geojson_empty").toString
     val path = s"$dir/e.geojson"
