@@ -28,8 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fastest pure-JVM BLAS tier — SIMD kernels, no native library): the
   // driver-side eigensolver (stats.ParallelEig) shards its GEMM/GEMV
   // work across threads, each calling the vectorized single-threaded
-  // kernels. Safe everywhere: without the module netlib just falls back
-  // to Java11BLAS.
+  // kernels. NOTE the flag itself requires a JDK that ships the
+  // incubator module (16+; this toolchain is 17) — on such JDKs it is
+  // a no-op for everything but netlib's tier selection, and only if
+  // the MODULE were absent at runtime would netlib fall back to
+  // Java11BLAS.
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

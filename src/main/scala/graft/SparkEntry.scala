@@ -148,6 +148,8 @@ object SparkEntry {
   /** One-time physical-layout prep for `sfDir` (bucketed CTAS etc.) —
     * idempotent; every query also self-prepares, so calling this is only
     * about keeping one-time layout cost out of a timed run. */
-  def prepare(spark: SparkSession, sfDir: String): Unit =
+  def prepare(spark: SparkSession, sfDir: String): Unit = {
     ScaleQueries.prepare(spark, sfDir)
+    CorpusQueries.prepareDedupState(spark, sfDir)
+  }
 }

@@ -51,13 +51,10 @@ object BloomFunctions {
   def toHex(bloom: BloomFilter): String = {
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    bos.toByteArray.map(b => f"${b & 0xFF}%02x").mkString
+    java.util.HexFormat.of().formatHex(bos.toByteArray)
   }
 
-  def fromHex(hex: String): BloomFilter = {
-    require(hex.length % 2 == 0, "graft_bloom_might_contain: odd-length hex")
-    val bytes = Array.tabulate(hex.length / 2)(i =>
-      Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
-  }
+  def fromHex(hex: String): BloomFilter =
+    BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(java.util.HexFormat.of().parseHex(hex)))
 }

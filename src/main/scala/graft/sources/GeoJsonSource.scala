@@ -352,28 +352,41 @@ class GeoJsonPartitionReader(file: String, required: StructType)
   private def parseRing(r: JsonNode): Array[(Double, Double)] =
     (0 until r.size()).map(i => point(r.get(i))).toArray
 
+  /** Asserts a coordinates-level node is an ARRAY — a scalar there is
+    * malformed GeoJSON and must FAIL (Jackson's size() == 0 on scalars
+    * would otherwise make garbage indistinguishable from the
+    * deliberately-tolerated empty arrays). */
+  private def coordArray(c: JsonNode, what: String): JsonNode = {
+    if (c == null || !c.isArray) throw new IllegalArgumentException(
+      s"graft-geojson: $file: $what coordinates is not an array: $c")
+    c
+  }
+
   /** ALL rings of the geometry as (lon, lat) pair arrays: Polygon =
     * outer then holes; MultiPolygon = every member polygon's rings in
     * order; Point/LineString/MultiPoint = one ring. An EMPTY coordinate
-    * array (RFC 7946 allows it) yields zero rings — the bbox columns
+    * ARRAY (RFC 7946 allows it) yields zero rings — the bbox columns
     * surface as null (mirroring the sink, which excludes the feature
-    * from the file bbox) rather than throwing from min/max. */
+    * from the file bbox) rather than throwing from min/max; any
+    * NON-array node at a coordinates level still fails loudly. */
   private def ringsOf(geom: JsonNode): Array[Array[(Double, Double)]] = {
     val coords = geom.get("coordinates")
     geom.get("type").asText() match {
       case "Point" =>
-        if (coords == null || !coords.isArray || coords.size() == 0)
-          Array.empty
+        if (coordArray(coords, "Point").size() == 0) Array.empty
         else Array(Array(point(coords)))
-      case "LineString" | "MultiPoint" =>
-        if (coords.size() == 0) Array.empty else Array(parseRing(coords))
+      case t @ ("LineString" | "MultiPoint") =>
+        if (coordArray(coords, t).size() == 0) Array.empty
+        else Array(parseRing(coords))
       case "Polygon" =>
-        (0 until coords.size()).map(i => parseRing(coords.get(i)))
+        (0 until coordArray(coords, "Polygon").size())
+          .map(i => parseRing(coordArray(coords.get(i), "Polygon ring")))
           .filter(_.nonEmpty).toArray
       case "MultiPolygon" =>
-        (0 until coords.size()).flatMap { p =>
-          val poly = coords.get(p)
-          (0 until poly.size()).map(i => parseRing(poly.get(i)))
+        (0 until coordArray(coords, "MultiPolygon").size()).flatMap { p =>
+          val poly = coordArray(coords.get(p), "MultiPolygon member")
+          (0 until poly.size())
+            .map(i => parseRing(coordArray(poly.get(i), "MultiPolygon ring")))
         }.filter(_.nonEmpty).toArray
       case other => throw new IllegalArgumentException(
         s"graft-geojson: unsupported geometry type '$other' " +

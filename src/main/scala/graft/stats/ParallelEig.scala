@@ -90,7 +90,7 @@ object ParallelEig {
     val d = new Array[Double](n)
     val e = new Array[Double](math.max(n - 1, 0))
     val tau = new Array[Double](math.max(n - 1, 0))
-    val w = new Array[Double](n.toLong.toInt * nb) // W panel, lda n
+    val w = new Array[Double](n * nb) // W panel, lda n (n capped far below Int overflow)
     var j0 = 0
     while (j0 < n) {
       val pb = math.min(nb, n - j0)
@@ -189,7 +189,7 @@ object ParallelEig {
                                    nb: Int): Unit = {
     val panelStarts =
       Iterator.iterate(0)(_ + nb).takeWhile(_ < n).toArray.reverse
-    val v = new Array[Double](n.toLong.toInt * nb) // clean staircase copy, ld k
+    val v = new Array[Double](n * nb) // clean staircase copy, ld k
     val tm = new Array[Double](nb * nb)
     val tcol = new Array[Double](nb)
     panelStarts.foreach { j0 =>

@@ -139,6 +139,34 @@ class GeoJsonSourceSpec extends SparkSpec {
       back(1).getDouble(3) == 3.0)
   }
 
+  test("malformed (non-array) coordinates fail loudly, not as silent empties") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    // A scalar where a Polygon ring belongs: the garbage ring must not
+    // be silently dropped (the hole would be promoted to the outer).
+    val dir = Files.createTempDirectory("geojson_malformed").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/badring.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Polygon",
+        |"coordinates":["oops",[[1,1],[3,1],[3,3],[1,3],[1,1]]]},
+        |"properties":{"site":"x"}}]}""".stripMargin.replace("\n", ""))
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-geojson").load(s"$dir/badring.geojson")
+        .select("ring").collect()
+    }
+    assert(messages(e1).exists(m => m != null && m.contains("not an array")))
+    // A scalar where Point coordinates belong.
+    Files.writeString(java.nio.file.Paths.get(s"$dir/badpoint.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":7},
+        |"properties":{"site":"y"}}]}""".stripMargin.replace("\n", ""))
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-geojson").load(s"$dir/badpoint.geojson")
+        .select("lon_min").collect()
+    }
+    assert(messages(e2).exists(m => m != null && m.contains("not an array")))
+  }
+
   test("a property named like a reserved geometry column fails inference loudly") {
     val dir = Files.createTempDirectory("geojson_clash").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/c.geojson"),
