@@ -88,6 +88,37 @@ FROM tk JOIN d2 ON tk.doc_id = d2.doc_id""") { (s, d) =>
       s.sql("SELECT doc_id, graft_jpeg_dims_packed(bin) AS packed FROM graft_sql_media")
     },
 
+    // Pixel decode through SQL: the same real-ImageIO decode+resize as
+    // mm_resize, reached via the registered graft_decode_resize — a
+    // SQL-only client gets the full multimodal surface. Same oracle
+    // (constructor formulas; PNG lossless + solid color ⇒ exact means).
+    Q("sql_decode_resize",
+      """WITH m AS (SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(CASE WHEN greatest(w, h) <= 16 THEN w
+       ELSE greatest(1, w * 16 // greatest(w, h)) END AS BIGINT) AS out_w,
+  CAST(CASE WHEN greatest(w, h) <= 16 THEN h
+       ELSE greatest(1, h * 16 // greatest(w, h)) END AS BIGINT) AS out_h,
+  CAST((doc_id * 3) % 256 AS BIGINT) AS avg_r,
+  CAST((doc_id * 5) % 256 AS BIGINT) AS avg_g,
+  CAST((doc_id * 7) % 256 AS BIGINT) AS avg_b
+FROM m""") { (s, d) =>
+      GraftSqlFunctions.register(s)
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.functions.ImageOps.solidPng((id % 64 + 1).toInt,
+            (id % 48 + 1).toInt, ((id * 3) % 256).toInt,
+            ((id * 5) % 256).toInt, ((id * 7) % 256).toInt))
+        }).toDF("doc_id", "img")
+        .createOrReplaceTempView("graft_sql_pngs")
+      s.sql("""SELECT doc_id, s.width, s.height, s.out_w, s.out_h,
+          s.avg_r, s.avg_g, s.avg_b
+        FROM (SELECT doc_id, graft_decode_resize(img, 16) AS s FROM graft_sql_pngs)""")
+    },
+
     // Bloom probe through SQL: a pre-built filter over the early docs'
     // languages rides the query TEXT as hex, prefilters the scan, and
     // the exact semi-join kills false positives — so the result equals

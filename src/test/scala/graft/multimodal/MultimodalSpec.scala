@@ -81,6 +81,27 @@ class MultimodalSpec extends SparkSpec {
       .forall(_ == null))
   }
 
+  test("decodeResize handles REAL JPEGs too (lossy: dims exact, color near)") {
+    // The JDK JPEG codec round trip: dimensions must decode exactly;
+    // solid-color channel means land within JPEG quantization error
+    // (not oracle-able, hence unit-level).
+    val img = new java.awt.image.BufferedImage(40, 30,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 40; y <- 0 until 30) img.setRGB(x, y, (120 << 16) | (80 << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val d = Seq((1L, bos.toByteArray)).toDF("id", "img")
+    val st = Multimodal.decodeResize($"img", 16)
+    val r = d.select(st.getField("width"), st.getField("height"),
+      st.getField("out_w"), st.getField("out_h"),
+      st.getField("avg_r"), st.getField("avg_g"), st.getField("avg_b"))
+      .collect().head
+    assert(r.getLong(0) == 40L && r.getLong(1) == 30L)
+    assert(r.getLong(2) == 16L && r.getLong(3) == 12L)
+    assert(math.abs(r.getLong(4) - 120L) <= 8 && math.abs(r.getLong(5) - 80L) <= 8 &&
+      math.abs(r.getLong(6) - 200L) <= 8, s"jpeg color drifted: $r")
+  }
+
   test("fitDims integer arithmetic matches the oracle's // semantics") {
     assert(ImageOps.fitDims(64, 48, 16) == (16, 12))
     assert(ImageOps.fitDims(48, 64, 16) == (12, 16))
