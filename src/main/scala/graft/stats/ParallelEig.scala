@@ -136,7 +136,7 @@ object ParallelEig {
             val aoff = (j + 1) + (j + 1) * n
             // w := A_trail · v — the hot loop: sharded by row block,
             // each block one contiguous GEMV on the vector kernel.
-            parallelRanges(k, 1024) { (r0, r1) =>
+            parallelRanges(k, 256) { (r0, r1) =>
               blas.dgemv("N", r1 - r0, k, 1.0, a, aoff + r0, n,
                 a, (j + 1) + j * n, 1, 0.0, w, wcol + (j + 1) + r0, 1)
             }
