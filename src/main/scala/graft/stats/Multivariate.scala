@@ -23,21 +23,35 @@ object Multivariate {
     * driver-side call anywhere. */
   val maxPcnmPoints = 10000
 
-  /** Pairwise Euclidean distance matrix (O5, spatial_modelling.Rmd:217). */
+  /** Pairwise Euclidean distance matrix (O5, spatial_modelling.Rmd:217).
+    * Rows are filled in balanced mirrored pairs across the shared
+    * thread pool (row r computes n-r-1 pairs, so contiguous ranges
+    * alone would leave the first shard with ~2x the work); every
+    * element's arithmetic is unchanged and elements are written exactly
+    * once, so the result is bit-identical to the serial loop. */
   def distanceMatrix(pts: Array[(Double, Double)]): DenseMatrix[Double] = {
     val n = pts.length
     val m = DenseMatrix.zeros[Double](n, n)
-    var i = 0
-    while (i < n) {
+    val data = m.data
+    def fillRow(i: Int): Unit = {
       var j = i + 1
       while (j < n) {
         val dx = pts(i)._1 - pts(j)._1
         val dy = pts(i)._2 - pts(j)._2
         val d = math.sqrt(dx * dx + dy * dy)
-        m(i, j) = d; m(j, i) = d
+        data(i + j * n) = d; data(j + i * n) = d
         j += 1
       }
-      i += 1
+    }
+    val half = (n + 1) / 2
+    ParallelEig.parallelRanges(half, 64) { (lo, hi) =>
+      var r = lo
+      while (r < hi) {
+        fillRow(r)
+        val mirror = n - 1 - r
+        if (mirror != r) fillRow(mirror)
+        r += 1
+      }
     }
     m
   }
@@ -75,11 +89,58 @@ object Multivariate {
       "pcnm: all points are coincident (no positive pairwise distance); " +
         "pass an explicit truncation or deduplicate the coordinates")
     val trunc = truncationOpt.getOrElse(4.0 * minPos)
-    val dt = d.map(v => if (v > trunc) 4.0 * trunc else v)
-    val a = dt.map(v => -0.5 * v * v)
-    val rowMeans = DenseVector.tabulate(n)(i => sum(a(i, ::).t) / n)
-    val grand = sum(rowMeans) / n
-    DenseMatrix.tabulate(n, n)((i, j) => a(i, j) - rowMeans(i) - rowMeans(j) + grand)
+    // Truncate + square + double-center in three parallel column passes
+    // (column-contiguous, balanced). Arithmetic is element-identical to
+    // the serial map/tabulate formulation; the row means are computed
+    // as COLUMN sums, which are bitwise-equal by symmetry (the j-th
+    // summand of row i's sum is a(i,j) = a(j,i), the j-th summand of
+    // column i's sum, in the same ascending order).
+    val dd = d.data
+    val a = new Array[Double](n * n)
+    ParallelEig.parallelRanges(n, 32) { (c0, c1) =>
+      var j = c0
+      while (j < c1) {
+        val base = j * n
+        var i = 0
+        while (i < n) {
+          val v = dd(base + i)
+          val vt = if (v > trunc) 4.0 * trunc else v
+          a(base + i) = -0.5 * vt * vt
+          i += 1
+        }
+        j += 1
+      }
+    }
+    val rowMeans = new Array[Double](n)
+    ParallelEig.parallelRanges(n, 32) { (c0, c1) =>
+      var j = c0
+      while (j < c1) {
+        val base = j * n
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += a(base + i); i += 1 }
+        rowMeans(j) = s / n
+        j += 1
+      }
+    }
+    var grandSum = 0.0
+    var r = 0
+    while (r < n) { grandSum += rowMeans(r); r += 1 }
+    val grand = grandSum / n
+    val g = new Array[Double](n * n)
+    ParallelEig.parallelRanges(n, 32) { (c0, c1) =>
+      var j = c0
+      while (j < c1) {
+        val base = j * n
+        var i = 0
+        while (i < n) {
+          g(base + i) = a(base + i) - rowMeans(i) - rowMeans(j) + grand
+          i += 1
+        }
+        j += 1
+      }
+    }
+    new DenseMatrix(n, n, g)
   }
 
   /** Above this size the eigendecomposition runs on the multithreaded
@@ -101,35 +162,80 @@ object Multivariate {
         "aggregate to dimension granularity first (spatial_modelling.Rmd:211)")
     val n = pts.length
     val g = centeredTruncated(pts, truncationOpt)
-    val sym = (g + g.t) *:* 0.5
-    // (ascending eigenvalues, eigenvectors) from either path — breeze's
-    // DenseMatrix data IS column-major, so ParallelEig factors it in
-    // place (sym is a fresh intermediate; nothing else reads it).
-    val (evals, evecs) =
-      if (n > parallelEigThreshold) {
-        val (d, z) = ParallelEig.eigSym(sym.data, n)
-        (d, new DenseMatrix(n, n, z))
-      } else {
-        val es = eigSym(sym)
-        (es.eigenvalues.toArray, es.eigenvectors)
+    // Exact symmetrization ((x + y) * 0.5 per element, same arithmetic
+    // as the breeze (g + g.t) *:* 0.5 formulation), parallel by column.
+    val gd = g.data
+    val symData = new Array[Double](n * n)
+    ParallelEig.parallelRanges(n, 32) { (c0, c1) =>
+      var j = c0
+      while (j < c1) {
+        var i = 0
+        while (i < n) {
+          symData(i + j * n) = (gd(i + j * n) + gd(j + i * n)) * 0.5
+          i += 1
+        }
+        j += 1
       }
+    }
+    // (ascending eigenvalues, eigenvectors) from either path — the
+    // column-major array is a fresh intermediate, so ParallelEig may
+    // factor it in place.
+    val (evals, evecsData) =
+      if (n > parallelEigThreshold) {
+        ParallelEig.eigSym(symData, n)
+      } else {
+        val es = eigSym(new DenseMatrix(n, n, symData))
+        val evm = es.eigenvectors
+        val data =
+          if (evm.offset == 0 && evm.majorStride == n && !evm.isTranspose) evm.data
+          else Array.tabulate(n * n)(idx => evm(idx % n, idx / n))
+        (es.eigenvalues.toArray, data)
+      }
+    // Descending-eigenvalue column permutation + first-max sign
+    // normalization, one parallel pass per output column (same
+    // element values and the same first-strict-max tie rule as the
+    // tabulate/maxBy formulation).
     val order = evals.zipWithIndex.sortBy(-_._1)
     val vals = order.map(_._1)
-    val scores = DenseMatrix.tabulate(n, n)((i, k) => evecs(i, order(k)._2))
-    for (k <- 0 until scores.cols) {
-      val colV = scores(::, k)
-      val mx = (0 until n).maxBy(i => math.abs(colV(i)))
-      if (colV(mx) < 0) scores(::, k) :*= -1.0
+    val out = new Array[Double](n * n)
+    ParallelEig.parallelRanges(n, 16) { (k0, k1) =>
+      var k = k0
+      while (k < k1) {
+        val dst = k * n
+        System.arraycopy(evecsData, order(k)._2 * n, out, dst, n)
+        var mx = 0
+        var best = math.abs(out(dst))
+        var i = 1
+        while (i < n) {
+          val v = math.abs(out(dst + i))
+          if (v > best) { best = v; mx = i }
+          i += 1
+        }
+        if (out(dst + mx) < 0) {
+          var i2 = 0
+          while (i2 < n) { out(dst + i2) = out(dst + i2) * -1.0; i2 += 1 }
+        }
+        k += 1
+      }
     }
-    (vals, scores)
+    (vals, new DenseMatrix(n, n, out))
   }
 
   def pcnm(pts: Array[(Double, Double)], truncationOpt: Option[Double] = None)
       : (Array[Double], DenseMatrix[Double]) = {
     val (vals, scores) = pcnmFull(pts, truncationOpt)
     val keep = vals.zipWithIndex.filter(_._1 > 1e-9)
-    (keep.map(_._1),
-      DenseMatrix.tabulate(pts.length, keep.length)((i, k) => scores(i, keep(k)._2)))
+    val n = pts.length
+    val sd = scores.data // fresh contiguous column-major from pcnmFull
+    val out = new Array[Double](n * keep.length)
+    ParallelEig.parallelRanges(keep.length, 16) { (k0, k1) =>
+      var k = k0
+      while (k < k1) {
+        System.arraycopy(sd, keep(k)._2 * n, out, k * n, n)
+        k += 1
+      }
+    }
+    (keep.map(_._1), new DenseMatrix(n, keep.length, out))
   }
 
   /** Multi-response OLS fit: residuals of Y on X (with intercept) — the

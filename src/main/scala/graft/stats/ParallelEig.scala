@@ -62,8 +62,11 @@ object ParallelEig {
 
   /** Runs `f` over `m` index ranges covering [0, total) on the pool and
     * waits; ranges are contiguous and near-equal. Serial when the work
-    * is too small to be worth dispatching. */
-  private def parallelRanges(total: Int, minPerTask: Int)(f: (Int, Int) => Unit): Unit = {
+    * is too small to be worth dispatching. Shared with
+    * [[Multivariate]]'s O(n^2) matrix-construction phases (distance,
+    * centering, eigenvector reordering), which parallelize per
+    * row/column with element-identical arithmetic. */
+  private[stats] def parallelRanges(total: Int, minPerTask: Int)(f: (Int, Int) => Unit): Unit = {
     val procs = Runtime.getRuntime.availableProcessors()
     val nTasks = math.max(1, math.min(procs, total / math.max(1, minPerTask)))
     if (nTasks <= 1) { f(0, total); return }
