@@ -291,6 +291,38 @@ GROUP BY 1""") { (s, d) =>
       q
     },
 
+    // HILBERT clustering: the step past sc6's Morton — the Hilbert
+    // curve has no Z-seams (consecutive indices are always adjacent
+    // cells), so a contiguous sort range maps to a compact 2-D blob
+    // and even fewer row groups straddle a window. Same write-once
+    // layout, same footer-REQUIREd claim, on a DIFFERENT window than
+    // sc6 so the two queries pin two independent regions.
+    Q("sc7_hilbert_scan",
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM (" +
+        "SELECT event_type, user_id, date_part('doy', CAST(ts AS TIMESTAMP)) AS doy " +
+        "FROM events) WHERE user_id BETWEEN 100 AND 139 AND doy BETWEEN 190 AND 196 " +
+        "GROUP BY 1") { (s, d) =>
+      prepare(s, d)
+      val path = hilbertEventsPath(s, d)
+      val uRanges = ScaleOps.rowGroupRanges(path, "user_id")
+      val dRanges = ScaleOps.rowGroupRanges(path, "doy")
+      val overlap2d = uRanges.zip(dRanges).count { case ((ul, uh), (dl, dh)) =>
+        uh >= 100L && ul <= 139L && dh >= 190L && dl <= 196L
+      }
+      require(uRanges.nonEmpty && overlap2d * 2 <= uRanges.size,
+        s"hilbert not clustering: $overlap2d of ${uRanges.size} row groups " +
+          "overlap a 2-D window — multi-key skipping regressed")
+      val q = s.read.parquet(path)
+        .filter(col("user_id").between(100, 139) && col("doy").between(190, 196))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val scans = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty && scans.forall(_.dataFilters.nonEmpty),
+        "2-D predicate did not reach the scan — pushdown regressed")
+      q
+    },
+
     // DYNAMIC partition pruning: sc2 prunes on a literal date; the
     // 100 TB join pattern filters a DIMENSION ("first week of any
     // month") and lets the runtime prune the fact tree from the dim
@@ -419,5 +451,20 @@ GROUP BY 1""") { (s, d) =>
         .withColumn("zv", graft.functions.ZOrderFunctions.morton2(col("user_id"), col("doy"))),
       zorderedEventsPath(spark, sfDir), "zv", numFiles = 8,
       srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+    ScaleOps.ensureSortedBy(
+      Tables.events(spark, sfDir).select(
+        col("user_id"), dayofyear(col("ts")).cast("long").as("doy"),
+        col("event_type"), col("value"))
+        .withColumn("hv", graft.functions.HilbertFunctions.hilbert2(col("user_id"), col("doy"))),
+      hilbertEventsPath(spark, sfDir), "hv", numFiles = 8,
+      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+  }
+
+  /** Hilbert-ordered events layout path for `sfDir` (same keying). */
+  private def hilbertEventsPath(spark: org.apache.spark.sql.SparkSession,
+                                sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_h_events_$tag").toString
   }
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The Hilbert index: bijectivity, the defining unit-step locality
+  * property (which Morton does NOT have — the reason sc7 exists), the
+  * d↔(x,y) round trip, and expression/util agreement through codegen. */
+class HilbertSpec extends SparkSpec {
+
+  test("bijection: a 64x64 grid maps exactly onto 0..4095") {
+    val order = 6
+    val ds = for (x <- 0 until 64; y <- 0 until 64)
+      yield HilbertUtil.hilbert2(x, y, order)
+    assert(ds.toSet == (0 until 4096).map(_.toLong).toSet)
+  }
+
+  test("unit-step locality: consecutive indices are ALWAYS adjacent cells") {
+    // The Hilbert property Morton lacks: |d2 - d1| = 1 implies Manhattan
+    // distance 1 on the grid. (Morton's Z jumps corner-to-corner at
+    // every power-of-two seam — checked below as the contrast.)
+    val order = 6
+    val inv = (0 until 4096).map(d => HilbertUtil.hilbertInverse(d, order))
+    inv.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1) -> ($x2,$y2)")
+    }
+    // The Morton contrast, pinned structurally: index 1 -> 2 jumps from
+    // (1,0) to (0,1) — Manhattan distance 2, a seam on the very first
+    // step of the walk.
+    assert(ZOrderUtil.morton2(1, 0) == 1L && ZOrderUtil.morton2(0, 1) == 2L)
+  }
+
+  test("round trip: hilbertInverse(hilbert2(x, y)) == (x, y) at order 16") {
+    val rng = new scala.util.Random(9)
+    (0 until 500).foreach { _ =>
+      val x = rng.nextInt(1 << 16).toLong
+      val y = rng.nextInt(1 << 16).toLong
+      val d = HilbertUtil.hilbert2(x, y, 16)
+      assert(d >= 0 && d < (1L << 32))
+      assert(HilbertUtil.hilbertInverse(d, 16) == (x, y), s"($x,$y) via $d")
+    }
+  }
+
+  test("expression matches the util through the DataFrame path") {
+    val rows = (0 until 200).map(i => Row(i.toLong * 7 % 1500, i.toLong * 13 % 366))
+    val d = df("x bigint, y bigint")(rows)
+    val got = d.select(col("x"), col("y"),
+        HilbertFunctions.hilbert2(col("x"), col("y")).as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == HilbertUtil.hilbert2(r.getLong(0), r.getLong(1), 16))
+    }
+  }
+
+  test("locality beats Morton on window straddling (the sc7 claim in miniature)") {
+    // Sort a 128x128 grid by each curve, cut into 64 equal "row groups",
+    // and count groups whose [min,max] on BOTH axes overlap a fixed
+    // 16x16 window. Hilbert's compact blobs must never do worse than
+    // Morton's seamed Zs on this aggregate claim.
+    val order = 7
+    val cells = for (x <- 0 until 128; y <- 0 until 128) yield (x.toLong, y.toLong)
+    def overlapping(key: (Long, Long) => Long): Int = {
+      val sorted = cells.sortBy { case (x, y) => key(x, y) }
+      sorted.grouped(256).count { g =>
+        val xs = g.map(_._1); val ys = g.map(_._2)
+        xs.max >= 40 && xs.min <= 55 && ys.max >= 40 && ys.min <= 55
+      }
+    }
+    val h = overlapping(HilbertUtil.hilbert2(_, _, order))
+    val m = overlapping(ZOrderUtil.morton2)
+    assert(h <= m, s"hilbert straddled $h groups vs morton $m")
+    assert(h <= 8, s"hilbert window spread too wide: $h of 64 groups")
+  }
+}
