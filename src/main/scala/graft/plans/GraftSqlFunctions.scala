@@ -96,6 +96,13 @@ object GraftSqlFunctions {
       Morton2(Cast(args.head, LongType), Cast(args(1), LongType))
     },
 
+    fd("graft_hilbert2", classOf[Hilbert2],
+      "graft_hilbert2(a, b, order) - Hilbert-curve index of two non-negative keys on the 2^order grid") { args =>
+      arity("graft_hilbert2", 3, args)
+      Hilbert2(Cast(args.head, LongType), Cast(args(1), LongType),
+        intLit("graft_hilbert2", "order")(args(2)))
+    },
+
     fd("graft_jpeg_dims_packed", classOf[JpegDimsPacked],
       "graft_jpeg_dims_packed(bin) - (height << 16) | width from the JPEG SOF header, null if none") { args =>
       arity("graft_jpeg_dims_packed", 1, args)

@@ -72,6 +72,35 @@ FROM tk JOIN d2 ON tk.doc_id = d2.doc_id""") { (s, d) =>
         FROM graft_sql_events""")
     },
 
+    // Hilbert index through SQL (sc7's clustering key from a SQL-only
+    // client). The oracle unrolls the rotate-and-accumulate loop into
+    // 16 explicit steps (two CTEs per step: rx/ry quadrant bits + d
+    // accumulation, then the conditional reflect-and-swap rotation) —
+    // a fully independent DuckDB re-derivation of every curve value.
+    Q("sql_hilbert2", {
+      val order = 16
+      val init = "h_init AS (SELECT event_id, user_id & 65535 AS x, " +
+        "(event_id % 97) & 65535 AS y, 0 AS d FROM events)"
+      val steps = (0 until order).map { i =>
+        val s = 1L << (order - 1 - i)
+        val prev = if (i == 0) "h_init" else s"h${i - 1}"
+        s"r$i AS (SELECT event_id, x, y, d, " +
+          s"CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx, " +
+          s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM $prev), " +
+          s"h$i AS (SELECT event_id, " +
+          s"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - y ELSE y END ELSE x END AS x, " +
+          s"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - x ELSE x END ELSE y END AS y, " +
+          s"d + $s * $s * xor(3 * rx, ry) AS d FROM r$i)"
+      }.mkString(", ")
+      s"WITH $init, $steps SELECT event_id, CAST(d AS BIGINT) AS hval " +
+        s"FROM h${order - 1}"
+    }) { (s, d) =>
+      GraftSqlFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("graft_sql_events_h")
+      s.sql("""SELECT event_id, graft_hilbert2(user_id, event_id % 97, 16) AS hval
+        FROM graft_sql_events_h""")
+    },
+
     // JPEG segment-walk decode through SQL, over the fakeMedia binary
     // column: JPEG rows (doc_id % 3 = 1) recover (height << 16) | width
     // from the SOF0 header the bytes embed; PNG/plain rows are null.
