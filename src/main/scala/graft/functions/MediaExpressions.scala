@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** JPEG header walk — the real decode step behind
   * [[graft.multimodal.Multimodal.decodeDims]].
@@ -55,6 +56,123 @@ object MediaUtil {
   }
 }
 
+object Mp4Util {
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def is4cc(b: Array[Byte], i: Int, cc: String): Boolean =
+    b(i) == cc.charAt(0).toByte && b(i + 1) == cc.charAt(1).toByte &&
+      b(i + 2) == cc.charAt(2).toByte && b(i + 3) == cc.charAt(3).toByte
+
+  /** Walks the ISO-BMFF (MP4) box tree of `b` and returns
+    * [width, height, duration_ms, n_tracks], or null when the bytes
+    * carry no `ftyp` leader or no `moov` with an mvhd. Width/height
+    * come from the FIRST trak whose tkhd has nonzero 16.16 dimensions
+    * (the video track; audio traks carry zeros); duration_ms =
+    * mvhd duration * 1000 / timescale. Boxes are walked by their size
+    * fields — `free`/`skip`/unknown boxes of any length are stepped
+    * over, so the layout is NOT assumed fixed. Version-1 (64-bit)
+    * mvhd/tkhd are out of scope (null), as are 64-bit box sizes. */
+  def mp4Meta(b: Array[Byte]): Array[Long] = {
+    val n = b.length
+    if (n < 16 || !is4cc(b, 4, "ftyp")) return null
+    var w = -1L; var h = -1L; var durMs = -1L; var tracks = 0L
+    // top level: find moov
+    var i = 0
+    while (i + 8 <= n) {
+      val size = u32(b, i)
+      if (size < 8) return null // corrupt box would loop forever
+      if (is4cc(b, i + 4, "moov")) {
+        val end = math.min(n.toLong, i + size).toInt
+        var j = i + 8
+        while (j + 8 <= end) {
+          val bs = u32(b, j)
+          if (bs < 8) return null
+          if (is4cc(b, j + 4, "mvhd")) {
+            if (b(j + 8) != 0 || j + 32 > end) return null // v1 unsupported
+            val timescale = u32(b, j + 20)
+            val duration = u32(b, j + 24)
+            if (timescale > 0) durMs = duration * 1000L / timescale
+          } else if (is4cc(b, j + 4, "trak")) {
+            tracks += 1
+            val tend = math.min(end.toLong, j + bs).toInt
+            var k = j + 8
+            while (k + 8 <= tend) {
+              val ts = u32(b, k)
+              if (ts < 8) return null
+              if (is4cc(b, k + 4, "tkhd") && b(k + 8) == 0 && k + 92 <= tend) {
+                val tw = u32(b, k + 84) >> 16 // 16.16 fixed
+                val th = u32(b, k + 88) >> 16
+                if (tw > 0 && th > 0 && w < 0) { w = tw; h = th }
+              }
+              k += ts.toInt
+            }
+          }
+          j += bs.toInt
+        }
+        return if (durMs < 0) null
+          else Array(math.max(w, 0), math.max(h, 0), durMs, tracks)
+      }
+      i += size.toInt
+    }
+    null
+  }
+}
+
+object WavUtil {
+  private def u16le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8)
+
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  private def is4cc(b: Array[Byte], i: Int, cc: String): Boolean =
+    b(i) == cc.charAt(0).toByte && b(i + 1) == cc.charAt(1).toByte &&
+      b(i + 2) == cc.charAt(2).toByte && b(i + 3) == cc.charAt(3).toByte
+
+  /** Walks the RIFF/WAVE chunk list and returns
+    * [channels, sample_rate, bits_per_sample, duration_ms], or null
+    * without a RIFF/WAVE leader or an fmt chunk. duration_ms is the
+    * DECLARED data-chunk size scaled by the fmt byte rate (-1 when
+    * either is absent/zero, surfaced as null by the expression; a
+    * truncated tail still yields the declared duration — this is
+    * header metadata, not a payload integrity check). Chunks are
+    * walked by their size fields (word-aligned per RIFF), so LIST/fact
+    * or any unknown chunks of any length are stepped over; the walk
+    * always advances >= 8 bytes, so corrupt sizes cannot loop. */
+  def wavMeta(b: Array[Byte]): Array[Long] = {
+    val n = b.length
+    if (n < 12 || !is4cc(b, 0, "RIFF") || !is4cc(b, 8, "WAVE")) return null
+    var channels = -1L; var rate = -1L; var bits = -1L
+    var byteRate = -1L; var dataBytes = -1L
+    var i = 12
+    while (i + 8 <= n) {
+      val size = u32le(b, i + 4)
+      if (is4cc(b, i, "fmt ") && i + 24 <= n) {
+        channels = u16le(b, i + 10)
+        rate = u32le(b, i + 12)
+        byteRate = u32le(b, i + 16)
+        bits = u16le(b, i + 22)
+      } else if (is4cc(b, i, "data")) {
+        dataBytes = size
+      }
+      // RIFF chunks are word-aligned: odd sizes carry a pad byte.
+      val step = 8 + size + (size & 1L)
+      if (i + step > Int.MaxValue) return finish(channels, rate, bits, byteRate, dataBytes)
+      i += step.toInt
+    }
+    finish(channels, rate, bits, byteRate, dataBytes)
+  }
+
+  private def finish(channels: Long, rate: Long, bits: Long,
+                     byteRate: Long, dataBytes: Long): Array[Long] =
+    if (channels < 0) null
+    else Array(channels, rate, bits,
+      if (byteRate > 0 && dataBytes >= 0) dataBytes * 1000L / byteRate else -1L)
+}
+
 /** `(height << 16) | width` of a JPEG binary column, null when no SOF
   * frame header is found. */
 case class JpegDimsPacked(child: Expression) extends UnaryExpression {
@@ -76,7 +194,81 @@ case class JpegDimsPacked(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ISO-BMFF (MP4) metadata: struct<width, height, duration_ms,
+  * n_tracks>, null for non-MP4 bytes. Same narrow codegen'd walk shape
+  * as [[JpegDimsPacked]] — a 100 TB video-container table streams
+  * scan → walk → project, no shuffle, no codec. */
+case class Mp4Meta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Mp4Meta.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(bin: Any): Any =
+    Mp4Meta.eval(bin.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Mp4Meta.eval($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Mp4Meta {
+  val schema: StructType = StructType(Seq(
+    StructField("width", LongType), StructField("height", LongType),
+    StructField("duration_ms", LongType), StructField("n_tracks", LongType)))
+
+  /** Called from generated code — must stay a plain static-shaped JVM
+    * method returning InternalRow (null = row-level null). */
+  def eval(b: Array[Byte]): InternalRow = {
+    val m = Mp4Util.mp4Meta(b)
+    if (m == null) null
+    else new GenericInternalRow(Array[Any](m(0), m(1), m(2), m(3)))
+  }
+}
+
+/** RIFF/WAVE metadata: struct<channels, sample_rate, bits,
+  * duration_ms>, null for non-WAV bytes; duration_ms is null when the
+  * fmt byte rate or data chunk is absent. */
+case class WavMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WavMeta.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(bin: Any): Any =
+    WavMeta.eval(bin.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WavMeta.eval($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WavMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("channels", LongType), StructField("sample_rate", LongType),
+    StructField("bits", LongType), StructField("duration_ms", LongType)))
+
+  def eval(b: Array[Byte]): InternalRow = {
+    val m = WavUtil.wavMeta(b)
+    if (m == null) null
+    else new GenericInternalRow(Array[Any](
+      m(0), m(1), m(2), if (m(3) < 0) null else m(3)))
+  }
+}
+
 object MediaFunctions {
   def jpegDimsPacked(bin: Column): Column =
     GraftShim.column(JpegDimsPacked(GraftShim.expression(bin)))
+
+  def mp4Meta(bin: Column): Column =
+    GraftShim.column(Mp4Meta(GraftShim.expression(bin)))
+
+  def wavMeta(bin: Column): Column =
+    GraftShim.column(WavMeta(GraftShim.expression(bin)))
 }

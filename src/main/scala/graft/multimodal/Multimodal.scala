@@ -50,6 +50,13 @@ object Multimodal {
   private def beHex(v: Column, bytes: Int): Column =
     lpad(lower(hex(v)), bytes * 2, "0")
 
+  /** Little-endian hex (RIFF/WAVE's byte order): the big-endian hex
+    * with its byte pairs reversed. */
+  private def leHex(v: Column, bytes: Int): Column = {
+    val be = beHex(v, bytes)
+    concat((bytes - 1 to 0 by -1).map(i => substring(be, i * 2 + 1, 2)): _*)
+  }
+
   /** Deterministic fake media bytes with STRUCTURALLY VALID headers: a
     * real PNG signature + IHDR chunk, or a real JPEG SOI + JFIF APP0
     * (variable-length — padded by `id % 8` bytes so the decoder's
@@ -112,6 +119,92 @@ object Multimodal {
   def frameWindows(bin: Column, k: Int, windowBytes: Int, strideBytes: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
       lower(hex(bin.substr(i * strideBytes + 1, lit(windowBytes)))))
+
+  // ---- Audio/video containers (ISO-BMFF + RIFF/WAVE) ----------------
+
+  /** 16-byte `ftyp` leader (isom, minor 0x200). */
+  val Mp4FtypHex: String = "00000010" + "66747970" + "69736f6d" + "00000200"
+  /** The 3x3 identity transform matrix both mvhd and tkhd carry. */
+  val Mp4MatrixHex: String =
+    "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+
+  /** Deterministic fake MP4 with a REAL ISO-BMFF box tree: ftyp, a
+    * variable-length `free` box (id % 8 pad bytes — the box walk is
+    * actually exercised, moov never sits at a fixed offset), and a moov
+    * holding mvhd (timescale 1000, duration id % 5000 + 40 ticks → the
+    * same number in ms) plus one video trak (tkhd 16.16 dims embedding
+    * width = id % 640 + 1, height = id % 480 + 1) and, for odd ids, an
+    * audio trak with zero dims. Payload bytes follow as an opaque tail.
+    * [[decodeAv]] must recover every value from the BYTES. */
+  def fakeMp4(payload: Column, id: Column): Column = {
+    val w = id % 640 + 1
+    val h = id % 480 + 1
+    val dur = id % 5000 + 40
+    val pad = id % 8
+    val mvhd = concat(
+      lit("0000006c" + "6d766864" + "00000000" + "00000000" + "00000000" +
+        "000003e8"),
+      beHex(dur, 4),
+      lit("00010000" + "0100" + "0000" + "00" * 8 + Mp4MatrixHex +
+        "00" * 24 + "00000002"))
+    def tkhd(tid: Int, wc: Column, hc: Column) = concat(
+      lit("0000005c" + "746b6864" + "00000007" + "00000000" + "00000000"),
+      beHex(lit(tid), 4), lit("00000000"), beHex(dur, 4),
+      lit("00" * 8 + "0000" + "0000" + "0000" + "0000" + Mp4MatrixHex),
+      beHex(wc, 2), lit("0000"), beHex(hc, 2), lit("0000"))
+    val trakV = concat(lit("00000064" + "7472616b"), tkhd(1, w, h))
+    val trakA = concat(lit("00000064" + "7472616b"), tkhd(2, lit(0), lit(0)))
+    val moovSize = lit(116) + lit(100) * (id % 2 + 1)
+    val moov = concat(beHex(moovSize, 4), lit("6d6f6f76"), mvhd, trakV,
+      when(id % 2 === 1, trakA).otherwise(lit("")))
+    val free = concat(beHex(pad + 8, 4), lit("66726565"),
+      lit("0" * 14).substr(lit(1), (pad * 2).cast("int")))
+    concat(unhex(concat(lit(Mp4FtypHex), free, moov)), payload.cast("binary"))
+  }
+
+  /** Deterministic fake WAV with a REAL RIFF chunk list: fmt (PCM,
+    * channels = id % 2 + 1, rate = (id % 4 + 1) * 8000, bits =
+    * (id % 2 + 2) * 8), a variable-length junk chunk ((id % 4) * 2 pad
+    * bytes — the chunk walk is exercised), and a data chunk whose size
+    * is the payload's UTF-8 byte length (so duration rides the data). */
+  def fakeWav(payload: Column, id: Column): Column = {
+    val ch = id % 2 + 1
+    val rate = (id % 4 + 1) * 8000
+    val bits = (id % 2 + 2) * 8
+    // Spark's `/` on integers yields DOUBLE; ch*bits is always a
+    // multiple of 8, so the division is exact and the cast lossless.
+    val blockAlign = ((ch * bits) / 8).cast("long")
+    val byteRate = rate * blockAlign
+    val dataSize = length(payload.cast("binary"))
+    val p2 = (id % 4) * 2
+    val riffSize = lit(36) + p2 + lit(8) + dataSize
+    concat(
+      unhex(concat(
+        lit("52494646"), leHex(riffSize, 4), lit("57415645"),
+        lit("666d7420" + "10000000" + "0100"), leHex(ch, 2), leHex(rate, 4),
+        leHex(byteRate, 4), leHex(blockAlign, 2), leHex(bits, 2),
+        lit("6a756e6b"), leHex(p2, 4),
+        lit("0" * 12).substr(lit(1), (p2 * 2).cast("int")),
+        lit("64617461"), leHex(dataSize, 4))),
+      payload.cast("binary"))
+  }
+
+  /** Mixed audio/video corpus: MP4 (id % 3 = 0), WAV (id % 3 = 1),
+    * headerless payload otherwise — the a/v sibling of [[fakeMedia]]. */
+  def fakeAv(payload: Column, id: Column): Column =
+    when(id % 3 === 0, fakeMp4(payload, id))
+      .when(id % 3 === 1, fakeWav(payload, id))
+      .otherwise(payload.cast("binary"))
+
+  /** REAL container-metadata decode from the bytes: the ISO-BMFF box
+    * walk ([[graft.functions.Mp4Meta]]: width/height from the first
+    * video trak's tkhd, duration from mvhd, track count) and the RIFF
+    * chunk walk ([[graft.functions.WavMeta]]: channels/rate/bits from
+    * fmt, duration from data size over byte rate). Null struct for
+    * bytes that aren't that container — same contract as
+    * [[decodeDims]]. */
+  def mp4Meta(bin: Column): Column = graft.functions.MediaFunctions.mp4Meta(bin)
+  def wavMeta(bin: Column): Column = graft.functions.MediaFunctions.wavMeta(bin)
 
   /** REAL pixel decode + downsample via the JDK's ImageIO codecs
     * ([[graft.functions.DecodeResizeStats]]): decoded dims, resized

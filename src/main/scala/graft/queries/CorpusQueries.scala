@@ -880,6 +880,47 @@ FROM j""") { (s, d) =>
         .select(col("doc_id"), col("pos").as("frame_idx"), col("col").as("frame_hex"))
     },
 
+    // Audio/video container metadata, REAL box/chunk walks end to end:
+    // fakeAv embeds every value in genuine ISO-BMFF / RIFF structure
+    // (variable-length free/junk boxes, so neither walk can cheat with
+    // fixed offsets), and Mp4Meta/WavMeta must recover them from the
+    // BYTES. The oracle re-derives the embedded values from the
+    // constructor formulas (WAV duration additionally rides the
+    // payload's byte length over the fmt byte rate — integer division
+    // both engines share); the byte-exact absolute offsets are pinned
+    // separately by hand-written container blobs in MultimodalSpec.
+    Q("mm_av_metadata",
+      """SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'mp4' WHEN doc_id % 3 = 1 THEN 'wav'
+       ELSE 'unknown' END AS container,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1 END AS BIGINT) AS v_width,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1 END AS BIGINT) AS v_height,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 5000 + 40 END AS BIGINT) AS v_duration_ms,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 2 + 1 END AS BIGINT) AS n_tracks,
+  CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1 END AS BIGINT) AS a_channels,
+  CAST(CASE WHEN doc_id % 3 = 1 THEN (doc_id % 4 + 1) * 8000 END AS BIGINT) AS a_sample_rate,
+  CAST(CASE WHEN doc_id % 3 = 1 THEN (doc_id % 2 + 2) * 8 END AS BIGINT) AS a_bits,
+  CAST(CASE WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) * 1000 //
+    ((doc_id % 4 + 1) * 8000 * ((doc_id % 2 + 1) * (doc_id % 2 + 2))) END AS BIGINT)
+    AS a_duration_ms
+FROM documents""") { (s, d) =>
+      val withBin = Tables.documents(s, d)
+        .withColumn("bin", Multimodal.fakeAv(col("text"), col("doc_id")))
+      val v = Multimodal.mp4Meta(col("bin"))
+      val a = Multimodal.wavMeta(col("bin"))
+      withBin.select(col("doc_id"),
+        when(v.isNotNull, lit("mp4")).when(a.isNotNull, lit("wav"))
+          .otherwise(lit("unknown")).as("container"),
+        v.getField("width").as("v_width"),
+        v.getField("height").as("v_height"),
+        v.getField("duration_ms").as("v_duration_ms"),
+        v.getField("n_tracks").as("n_tracks"),
+        a.getField("channels").as("a_channels"),
+        a.getField("sample_rate").as("a_sample_rate"),
+        a.getField("bits").as("a_bits"),
+        a.getField("duration_ms").as("a_duration_ms"))
+    },
+
     // Multimodal PIXEL decode, real codec end to end: solid-color PNGs
     // are ENCODED per row with the JDK's ImageIO (executor-side — the
     // fixture generation is itself distributed, no driver loop), then

@@ -110,6 +110,73 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageOps.fitDims(1, 1, 16) == (1, 1))
   }
 
+  import graft.functions.{Mp4Util, WavUtil}
+
+  private def hexBytes(h: String): Array[Byte] = {
+    val s = h.replaceAll("\\s+", "")
+    Array.tabulate(s.length / 2)(i =>
+      Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+
+  test("mp4Meta: hand-written box tree decodes byte-exactly; walks skip free") {
+    // Minimal hand-laid-out MP4: ftyp(16) + free(11: 3 pad bytes) +
+    // moov( mvhd(timescale 600, duration 1200 -> 2000 ms) +
+    // video trak(tkhd 320x240) ). Offsets written by hand, NOT by the
+    // fakeMp4 generator — pins the walker against the spec itself.
+    val matrix = "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+    val mvhd = "0000006c 6d766864 00000000 00000000 00000000" +
+      "00000258" + // timescale 600
+      "000004b0" + // duration 1200 ticks
+      "00010000 0100 0000" + "00" * 8 + matrix + "00" * 24 + "00000002"
+    val tkhd = "0000005c 746b6864 00000007 00000000 00000000" +
+      "00000001 00000000 000004b0" + "00" * 8 + "0000 0000 0000 0000" +
+      matrix + "01400000" + "00f00000" // 320.0 x 240.0 in 16.16
+    val mp4 = hexBytes(
+      "00000010 66747970 69736f6d 00000200" + // ftyp
+        "0000000b 66726565 000000" +          // free with 3 pad bytes
+        "000000d8 6d6f6f76" + mvhd +          // moov (8 + 108 + 100)
+        "00000064 7472616b" + tkhd)           // trak
+    assert(Mp4Util.mp4Meta(mp4).toSeq == Seq(320L, 240L, 2000L, 1L))
+    // Corrupt zero-size box: refuses instead of looping.
+    val corrupt = mp4.clone(); corrupt(16) = 0; corrupt(17) = 0; corrupt(18) = 0; corrupt(19) = 0
+    assert(Mp4Util.mp4Meta(corrupt) == null)
+    // Non-MP4 bytes.
+    assert(Mp4Util.mp4Meta("RIFFxxxxWAVE".getBytes("UTF-8")) == null)
+  }
+
+  test("wavMeta: hand-written RIFF chunks decode byte-exactly; walks skip junk") {
+    // 2ch, 22050 Hz, 16-bit PCM; a 5-byte odd-sized junk chunk (word
+    // padding exercised) then 88200 data bytes declared -> 1000 ms.
+    val wav = hexBytes(
+      "52494646 ba580100 57415645" +                     // RIFF size WAVE
+        "666d7420 10000000 0100 0200 22560000 88580100 0400 1000" + // fmt
+        "6a756e6b 05000000 1122334455 00" +              // junk(5) + pad
+        "64617461 88580100")                             // data size 88200
+    assert(WavUtil.wavMeta(wav).toSeq == Seq(2L, 22050L, 16L, 1000L))
+    assert(WavUtil.wavMeta("not a wav at all".getBytes("UTF-8")) == null)
+  }
+
+  test("fakeAv -> mp4Meta/wavMeta round trip recovers the embedded values") {
+    val d = Seq((0L, "video payload"), (1L, "audio payload bytes"),
+      (2L, "plain"), (3L, "more video"), (4L, "more audio"))
+      .toDF("id", "payload")
+      .withColumn("bin", Multimodal.fakeAv($"payload", $"id"))
+    val v = Multimodal.mp4Meta($"bin")
+    val a = Multimodal.wavMeta($"bin")
+    val got = rows(d.select($"id", v.getField("width"), v.getField("duration_ms"),
+      v.getField("n_tracks"), a.getField("channels"), a.getField("sample_rate"),
+      a.getField("duration_ms")).orderBy("id"))
+    // id 0: mp4 w=1 dur=40 tracks=1; id 3: mp4 w=4 dur=43 tracks=2
+    assert(got(0) == Seq(0L, 1L, 40L, 1L, null, null, null))
+    assert(got(3) == Seq(3L, 4L, 43L, 2L, null, null, null))
+    // id 1: wav ch=2 rate=16000 bits=24: byteRate=96000, 19 bytes -> 0 ms
+    assert(got(1) == Seq(1L, null, null, null, 2L, 16000L, 0L))
+    // id 4: wav ch=1 rate=8000 bits=16: byteRate=16000, 10 bytes -> 0 ms
+    assert(got(4) == Seq(4L, null, null, null, 1L, 8000L, 0L))
+    // id 2: neither
+    assert(got(2) == Seq(2L, null, null, null, null, null, null))
+  }
+
   private def jpeg(segments: Array[Byte]*): Array[Byte] =
     Array[Byte](0xFF.toByte, 0xD8.toByte) ++ segments.flatten
 
