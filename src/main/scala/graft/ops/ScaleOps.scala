@@ -195,4 +195,41 @@ object ScaleOps {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Part-file count under `path` (Hadoop FS; _markers excluded) — the
+    * small-files metric [[compact]] exists to drive down. */
+  def partFileCount(spark: SparkSession, path: String): Int = {
+    val (fs, base) = hadoopFs(spark, path)
+    fs.listStatus(base).count { st =>
+      val name = st.getPath.getName
+      st.isFile && name.endsWith(".parquet") && !name.startsWith("_")
+    }
+  }
+
+  /** Write `df` as exactly `numFiles` part files (repartition — the
+    * deliberately-fragmented fixture writer for the compaction demo).
+    * Idempotent via the fingerprint marker. */
+  def ensureFragmented(df: DataFrame, path: String, numFiles: Int,
+                       srcFingerprint: String = ""): Unit =
+    if (!layoutFresh(df.sparkSession, path, srcFingerprint)) {
+      df.repartition(numFiles).write.mode("overwrite").parquet(path)
+      writeMarker(df.sparkSession, path, srcFingerprint)
+    }
+
+  /** Small-file compaction: rewrite `src`'s parquet tree as
+    * `targetFiles` part files at `dst` (idempotent via the same
+    * fingerprint marker as the other layout preps). coalesce — not
+    * repartition — so the rewrite is shuffle-FREE: at 100 TB the
+    * compactor must move bytes once (read+write), never twice
+    * (read+shuffle+write). The streaming-ingest operational loop:
+    * micro-batches land thousands of small files per day; queries pay
+    * per-file open/footer cost until a compaction pass rewrites the
+    * day, after which scans read a handful of full-size files. */
+  def compact(spark: SparkSession, src: String, dst: String,
+              targetFiles: Int, srcFingerprint: String = ""): Unit =
+    if (!layoutFresh(spark, dst, srcFingerprint)) {
+      spark.read.parquet(src).coalesce(targetFiles)
+        .write.mode("overwrite").parquet(dst)
+      writeMarker(spark, dst, srcFingerprint)
+    }
 }

@@ -323,6 +323,30 @@ GROUP BY 1""") { (s, d) =>
       q
     },
 
+    // SMALL-FILE COMPACTION (sc8): the operational 100 TB problem the
+    // other layout queries assume away — streaming ingest lands
+    // thousands of per-micro-batch files, and every query pays
+    // per-file open/footer/listing cost until a compaction pass
+    // rewrites them. The fixture fragments events into 64 files; the
+    // compactor (shuffle-free coalesce rewrite, one-time and
+    // fingerprint-idempotent) folds them to <= 4. The query REQUIREs
+    // both facts from the filesystem and answers from the COMPACTED
+    // copy, so the oracle (raw events) also proves the rewrite lost
+    // and duplicated nothing.
+    Q("sc8_compaction",
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(value), 2) AS total_value FROM events GROUP BY 1") { (s, d) =>
+      prepare(s, d)
+      val nFrag = ScaleOps.partFileCount(s, fragmentedEventsPath(s, d))
+      val nComp = ScaleOps.partFileCount(s, compactedEventsPath(s, d))
+      require(nFrag >= 32,
+        s"fragmented fixture lost its fragmentation: $nFrag files")
+      require(nComp >= 1 && nComp <= 4,
+        s"compaction regressed: $nComp part files after rewrite")
+      s.read.parquet(compactedEventsPath(s, d)).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    },
+
     // DYNAMIC partition pruning: sc2 prunes on a literal date; the
     // 100 TB join pattern filters a DIMENSION ("first week of any
     // month") and lets the runtime prune the fact tree from the dim
@@ -458,6 +482,12 @@ GROUP BY 1""") { (s, d) =>
         .withColumn("hv", graft.functions.HilbertFunctions.hilbert2(col("user_id"), col("doy"))),
       hilbertEventsPath(spark, sfDir), "hv", numFiles = 8,
       srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+    val eventsFp = ScaleOps.fileFingerprint(s"$sfDir/events.parquet")
+    ScaleOps.ensureFragmented(
+      Tables.events(spark, sfDir).select("event_id", "event_type", "value"),
+      fragmentedEventsPath(spark, sfDir), 64, eventsFp)
+    ScaleOps.compact(spark, fragmentedEventsPath(spark, sfDir),
+      compactedEventsPath(spark, sfDir), targetFiles = 4, eventsFp)
   }
 
   /** Hilbert-ordered events layout path for `sfDir` (same keying). */
@@ -466,5 +496,21 @@ GROUP BY 1""") { (s, d) =>
     val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     new java.io.File(wh, s"graft_h_events_$tag").toString
+  }
+
+  /** Deliberately-fragmented events copy (the sc8 "before"). */
+  private def fragmentedEventsPath(spark: org.apache.spark.sql.SparkSession,
+                                   sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_f_events_$tag").toString
+  }
+
+  /** Compacted rewrite of the fragmented copy (the sc8 "after"). */
+  private def compactedEventsPath(spark: org.apache.spark.sql.SparkSession,
+                                  sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_c_events_$tag").toString
   }
 }

@@ -79,6 +79,30 @@ object SourceQueries {
         .find(_.endsWith("nation.csv")).get
       Sources.csv(s, staged, Some(StructType.fromDDL(
         "n_nationkey INT, n_name STRING, n_regionkey INT")))
+    },
+
+    // Parquet schema EVOLUTION: a v1 snapshot (two columns) and a v2
+    // snapshot that grew n_regionkey, read as ONE dataset via
+    // mergeSchema — the append-only corpus reality: yesterday's files
+    // never get rewritten when today's schema adds a column. v1 rows
+    // surface null for the new column; the oracle re-derives both
+    // snapshots from the nation table with the same even/odd split.
+    Q("src_schema_evolution",
+      "SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey " +
+        "FROM nation WHERE n_nationkey % 2 = 0 " +
+        "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_nationkey % 2 = 1") { (s, d) =>
+      val base = tmpDir(d)
+      val v1 = s"$base/nation_v1"
+      val v2 = s"$base/nation_v2"
+      Tables.nation(s, d).filter(col("n_nationkey") % 2 === 0)
+        .select("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(v1)
+      Tables.nation(s, d).filter(col("n_nationkey") % 2 === 1)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(v2)
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .select("n_nationkey", "n_name", "n_regionkey")
     })
 
   private def tmpDir(sfDir: String): String =
