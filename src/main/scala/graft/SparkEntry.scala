@@ -130,6 +130,16 @@ object SparkEntry {
             "SELECT CAST(date_trunc('day', tsl) AS DATE) AS obs_date, event_type, " +
             "CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1, 2") { (s, d) =>
           graft.streaming.LateArrivals.lateTallyOnce(s, d)
+        },
+        // §2.11 streaming FILE sink: bronze-landing ingest — drain to
+        // parquet through the sink's _spark_metadata transaction log
+        // (exactly-once file commits), read the landed table back as a
+        // batch source (which resolves commits through the log), and
+        // aggregate; the batch aggregate over raw events is the oracle.
+        Q("st_file_sink",
+          "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+            "round(sum(value), 2) AS total_value FROM events GROUP BY 1") { (s, d) =>
+          graft.streaming.FileSinkIngest.landOnce(s, d)
         })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

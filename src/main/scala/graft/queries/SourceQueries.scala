@@ -81,6 +81,33 @@ object SourceQueries {
         "n_nationkey INT, n_name STRING, n_regionkey INT")))
     },
 
+    // ORC round trip: the OTHER columnar format the engine speaks
+    // natively (Spark's built-in orc source — footer stats, predicate
+    // pushdown, same scan machinery as parquet). The oracle reads the
+    // same rows straight from the parquet the fixture came from, so a
+    // type or value drift through the ORC writer/reader pair fails the
+    // hash.
+    Q("src_orc_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, d) =>
+      val path = s"${tmpDir(d)}/nation_orc"
+      Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+    },
+
+    // JSON-lines round trip: the interchange format crawl pipelines
+    // actually exchange (one JSON object per line, splittable,
+    // appendable). Explicit schema on read — no inference pass over a
+    // large corpus, and no silent type widening.
+    Q("src_jsonl_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, d) =>
+      val path = s"${tmpDir(d)}/nation_jsonl"
+      Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").json(path)
+      s.read.schema(StructType.fromDDL(
+        "n_nationkey INT, n_name STRING, n_regionkey INT")).json(path)
+    },
+
     // Parquet schema EVOLUTION: a v1 snapshot (two columns) and a v2
     // snapshot that grew n_regionkey, read as ONE dataset via
     // mergeSchema — the append-only corpus reality: yesterday's files
