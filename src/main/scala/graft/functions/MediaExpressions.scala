@@ -78,30 +78,38 @@ object Mp4Util {
     val n = b.length
     if (n < 16 || !is4cc(b, 4, "ftyp")) return null
     var w = -1L; var h = -1L; var durMs = -1L; var tracks = 0L
-    // top level: find moov
+    // Every size is validated against the REMAINING bytes before the
+    // walk steps: a 32-bit size past the buffer (corrupt, or the
+    // 0xFFFFFFF8 wrap that would turn .toInt negative and walk
+    // BACKWARDS forever) is corrupt metadata -> null, never a hang.
     var i = 0
     while (i + 8 <= n) {
       val size = u32(b, i)
-      if (size < 8) return null // corrupt box would loop forever
+      if (size < 8 || size > n - i) return null
       if (is4cc(b, i + 4, "moov")) {
-        val end = math.min(n.toLong, i + size).toInt
+        val end = i + size.toInt
         var j = i + 8
         while (j + 8 <= end) {
           val bs = u32(b, j)
-          if (bs < 8) return null
+          if (bs < 8 || bs > end - j) return null
           if (is4cc(b, j + 4, "mvhd")) {
-            if (b(j + 8) != 0 || j + 32 > end) return null // v1 unsupported
+            // bounds BEFORE the version-byte read; v1 (64-bit) headers
+            // are out of scope -> null, per the contract.
+            if (j + 32 > end || b(j + 8) != 0) return null
             val timescale = u32(b, j + 20)
             val duration = u32(b, j + 24)
             if (timescale > 0) durMs = duration * 1000L / timescale
           } else if (is4cc(b, j + 4, "trak")) {
             tracks += 1
-            val tend = math.min(end.toLong, j + bs).toInt
+            val tend = j + bs.toInt
             var k = j + 8
             while (k + 8 <= tend) {
               val ts = u32(b, k)
-              if (ts < 8) return null
-              if (is4cc(b, k + 4, "tkhd") && b(k + 8) == 0 && k + 92 <= tend) {
+              if (ts < 8 || ts > tend - k) return null
+              if (is4cc(b, k + 4, "tkhd")) {
+                // A v1 or truncated tkhd is corrupt-for-us, not
+                // silently-dimensionless (keeps mvhd/tkhd consistent).
+                if (k + 92 > tend || b(k + 8) != 0) return null
                 val tw = u32(b, k + 84) >> 16 // 16.16 fixed
                 val th = u32(b, k + 88) >> 16
                 if (tw > 0 && th > 0 && w < 0) { w = tw; h = th }

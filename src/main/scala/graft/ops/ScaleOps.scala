@@ -41,17 +41,21 @@ object ScaleOps {
     * by a previous process (whose in-memory metastore is gone) is
     * removed before the create — `mode(overwrite)` alone only replaces
     * tables the CURRENT catalog knows about. */
+  /** Recursive LOCAL-file delete (fixture/staging/landing cleanup —
+    * the one shared copy; layout paths that may be remote go through
+    * the Hadoop FS helpers below instead). */
+  def deleteLocal(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteLocal)
+    f.delete(); ()
+  }
+
   def writeBucketed(df: DataFrame, table: String, key: String,
                     numBuckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val loc = new java.io.File(wh, table)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(); ()
-    }
-    if (loc.exists()) rm(loc)
+    if (loc.exists()) deleteLocal(loc)
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, key)

@@ -406,44 +406,45 @@ GROUP BY 1""") { (s, d) =>
     (s"graft_b_orders_$tag", s"graft_b_lineitem_$tag")
   }
 
-  /** Date-partitioned events layout path for `sfDir` (same keying). */
+  /** One warehouse-dir layout path per (prefix, sfDir) — keyed by
+    * source dir so a warmup run at one SF can never satisfy (or poison)
+    * the timed run at another. */
+  private def warehousePath(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String, prefix: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_${prefix}_events_$tag").toString
+  }
+
+  /** Date-partitioned events layout path for `sfDir`. */
   private def partitionedEventsPath(spark: org.apache.spark.sql.SparkSession,
-                                    sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    new java.io.File(wh, s"graft_p_events_$tag").toString
-  }
+                                    sfDir: String): String =
+    warehousePath(spark, sfDir, "p")
 
-  /** Range-clustered events layout path for `sfDir` (same keying). */
+  /** Range-clustered events layout path for `sfDir`. */
   private def sortedEventsPath(spark: org.apache.spark.sql.SparkSession,
-                               sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    new java.io.File(wh, s"graft_s_events_$tag").toString
-  }
+                               sfDir: String): String =
+    warehousePath(spark, sfDir, "s")
 
-  /** Z-ordered events layout path for `sfDir` (same keying). */
+  /** Z-ordered events layout path for `sfDir`. */
   private def zorderedEventsPath(spark: org.apache.spark.sql.SparkSession,
-                                 sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    new java.io.File(wh, s"graft_z_events_$tag").toString
-  }
+                                 sfDir: String): String =
+    warehousePath(spark, sfDir, "z")
 
   /** Dates-dimension path for `sfDir` (distinct event dates + calendar
     * attributes — the dim side of the DPP join). */
   private def datesDimPath(spark: org.apache.spark.sql.SparkSession,
-                           sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    new java.io.File(wh, s"graft_d_dates_$tag").toString
-  }
+                           sfDir: String): String =
+    warehousePath(spark, sfDir, "d")
 
   /** One-time physical-layout prep for `sfDir`: write both join sides
     * bucketed+sorted on the key and the date-partitioned events tree
     * (no-ops when they already exist). Bench calls this before timing
     * so the registered queries measure the steady state, not the CTAS. */
   def prepare(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    // One fingerprint lookup for the shared source file (a FileSystem
+    // RPC on remote stores), shared by every events-derived layout.
+    val eventsFp = ScaleOps.fileFingerprint(s"$sfDir/events.parquet")
     val (tOrders, tLineitem) = bucketTables(sfDir)
     ScaleOps.ensureBucketed(
       Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus"),
@@ -456,33 +457,31 @@ GROUP BY 1""") { (s, d) =>
       Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"), col("value"),
           to_date(col("ts")).as("event_date")),
-      partitionedEventsPath(spark, sfDir), "event_date",
-      ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+      partitionedEventsPath(spark, sfDir), "event_date", eventsFp)
     ScaleOps.ensureSortedBy(
       Tables.events(spark, sfDir).select("user_id", "event_type", "value"),
       sortedEventsPath(spark, sfDir), "user_id", numFiles = 8,
-      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+      srcFingerprint = eventsFp)
     ScaleOps.ensureSortedBy(
       Tables.events(spark, sfDir)
         .select(to_date(col("ts")).as("event_date")).distinct()
         .withColumn("day_of_month", dayofmonth(col("event_date"))),
       datesDimPath(spark, sfDir), "event_date", numFiles = 1,
-      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+      srcFingerprint = eventsFp)
     ScaleOps.ensureSortedBy(
       Tables.events(spark, sfDir).select(
         col("user_id"), dayofyear(col("ts")).cast("long").as("doy"),
         col("event_type"), col("value"))
         .withColumn("zv", graft.functions.ZOrderFunctions.morton2(col("user_id"), col("doy"))),
       zorderedEventsPath(spark, sfDir), "zv", numFiles = 8,
-      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
+      srcFingerprint = eventsFp)
     ScaleOps.ensureSortedBy(
       Tables.events(spark, sfDir).select(
         col("user_id"), dayofyear(col("ts")).cast("long").as("doy"),
         col("event_type"), col("value"))
         .withColumn("hv", graft.functions.HilbertFunctions.hilbert2(col("user_id"), col("doy"))),
       hilbertEventsPath(spark, sfDir), "hv", numFiles = 8,
-      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/events.parquet"))
-    val eventsFp = ScaleOps.fileFingerprint(s"$sfDir/events.parquet")
+      srcFingerprint = eventsFp)
     ScaleOps.ensureFragmented(
       Tables.events(spark, sfDir).select("event_id", "event_type", "value"),
       fragmentedEventsPath(spark, sfDir), 64, eventsFp)
@@ -490,27 +489,18 @@ GROUP BY 1""") { (s, d) =>
       compactedEventsPath(spark, sfDir), targetFiles = 4, eventsFp)
   }
 
-  /** Hilbert-ordered events layout path for `sfDir` (same keying). */
+  /** Hilbert-ordered events layout path for `sfDir`. */
   private def hilbertEventsPath(spark: org.apache.spark.sql.SparkSession,
-                                sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    new java.io.File(wh, s"graft_h_events_$tag").toString
-  }
+                                sfDir: String): String =
+    warehousePath(spark, sfDir, "h")
 
   /** Deliberately-fragmented events copy (the sc8 "before"). */
   private def fragmentedEventsPath(spark: org.apache.spark.sql.SparkSession,
-                                   sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    new java.io.File(wh, s"graft_f_events_$tag").toString
-  }
+                                   sfDir: String): String =
+    warehousePath(spark, sfDir, "f")
 
   /** Compacted rewrite of the fragmented copy (the sc8 "after"). */
   private def compactedEventsPath(spark: org.apache.spark.sql.SparkSession,
-                                  sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    new java.io.File(wh, s"graft_c_events_$tag").toString
-  }
+                                  sfDir: String): String =
+    warehousePath(spark, sfDir, "c")
 }

@@ -79,8 +79,12 @@ FROM tk JOIN d2 ON tk.doc_id = d2.doc_id""") { (s, d) =>
     // a fully independent DuckDB re-derivation of every curve value.
     Q("sql_hilbert2", {
       val order = 16
-      val init = "h_init AS (SELECT event_id, user_id & 65535 AS x, " +
-        "(event_id % 97) & 65535 AS y, 0 AS d FROM events)"
+      // d and the s*s quadrant contribution are forced BIGINT: DuckDB's
+      // INT32 arithmetic overflows at s = 2^15 (s*s*3 > 2^31) the
+      // moment a masked coordinate reaches 32768 — latent at today's
+      // user_id range, fatal at larger SFs.
+      val init = "h_init AS (SELECT event_id, CAST(user_id & 65535 AS BIGINT) AS x, " +
+        "CAST((event_id % 97) & 65535 AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM events)"
       val steps = (0 until order).map { i =>
         val s = 1L << (order - 1 - i)
         val prev = if (i == 0) "h_init" else s"h${i - 1}"
@@ -90,7 +94,7 @@ FROM tk JOIN d2 ON tk.doc_id = d2.doc_id""") { (s, d) =>
           s"h$i AS (SELECT event_id, " +
           s"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - y ELSE y END ELSE x END AS x, " +
           s"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - x ELSE x END ELSE y END AS y, " +
-          s"d + $s * $s * xor(3 * rx, ry) AS d FROM r$i)"
+          s"d + CAST($s AS BIGINT) * $s * xor(3 * rx, ry) AS d FROM r$i)"
       }.mkString(", ")
       s"WITH $init, $steps SELECT event_id, CAST(d AS BIGINT) AS hval " +
         s"FROM h${order - 1}"

@@ -29,11 +29,7 @@ object FileSinkIngest {
     // checkpoint + log PAIR; reusing one against a deleted other is
     // the classic operational mistake, so the fixture recreates both
     // together.
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(); ()
-    }
-    rm(base.toFile)
+    graft.ops.ScaleOps.deleteLocal(base.toFile)
     java.nio.file.Files.createDirectories(base)
     val data = s"$base/data"
     val ckpt = s"$base/ckpt"

@@ -44,11 +44,7 @@ object LateArrivals {
     * (sorted by mod time, `latestFirst=false`) replays them in order,
     * one per micro-batch under `maxFilesPerTrigger=1`. */
   def stageBatches(batches: Seq[DataFrame], dir: Path): Path = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(); ()
-    }
-    rm(dir.toFile)
+    graft.ops.ScaleOps.deleteLocal(dir.toFile)
     Files.createDirectories(dir)
     val t0 = System.currentTimeMillis()
     batches.zipWithIndex.foreach { case (b, i) =>
@@ -62,7 +58,7 @@ object LateArrivals {
         finally listing.close()
       val target = dir.resolve(f"b$i%03d.parquet")
       Files.move(part, target)
-      rm(tmp.toFile)
+      graft.ops.ScaleOps.deleteLocal(tmp.toFile)
       // 10s apart: far above any filesystem mod-time granularity.
       require(target.toFile.setLastModified(t0 + i * 10000L),
         s"cannot set modification time on $target")

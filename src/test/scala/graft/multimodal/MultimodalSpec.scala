@@ -140,6 +140,15 @@ class MultimodalSpec extends SparkSpec {
     // Corrupt zero-size box: refuses instead of looping.
     val corrupt = mp4.clone(); corrupt(16) = 0; corrupt(17) = 0; corrupt(18) = 0; corrupt(19) = 0
     assert(Mp4Util.mp4Meta(corrupt) == null)
+    // 32-bit size wrap (0xFFFFFFF8: .toInt would walk BACKWARDS): null,
+    // never a hang or negative index.
+    val wrap = mp4.clone()
+    wrap(16) = 0xFF.toByte; wrap(17) = 0xFF.toByte
+    wrap(18) = 0xFF.toByte; wrap(19) = 0xF8.toByte
+    assert(Mp4Util.mp4Meta(wrap) == null)
+    // Box size overshooting the buffer: corrupt metadata, null.
+    val overshoot = mp4.clone(); overshoot(16) = 0x7F.toByte
+    assert(Mp4Util.mp4Meta(overshoot) == null)
     // Non-MP4 bytes.
     assert(Mp4Util.mp4Meta("RIFFxxxxWAVE".getBytes("UTF-8")) == null)
   }
