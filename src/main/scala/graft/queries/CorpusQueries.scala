@@ -880,6 +880,40 @@ FROM j""") { (s, d) =>
         .select(col("doc_id"), col("pos").as("frame_idx"), col("col").as("frame_hex"))
     },
 
+    // Data-quality constraint report (the Deequ-shaped gate a training
+    // pipeline schedules before ingest): k row-predicate constraints
+    // counted in ONE aggregate pass (never k scans), plus the
+    // uniqueness check a row predicate cannot express (count vs
+    // distinct count, riding the same pass). One row per constraint —
+    // the shape a scheduler gates on. The oracle recomputes every
+    // count independently.
+    Q("dq_constraints", {
+      val rules = Seq(
+        "doc_id_not_null" -> "doc_id IS NOT NULL",
+        "text_not_empty" -> "length(trim(text)) > 0",
+        "lang_not_null" -> "lang IS NOT NULL",
+        "source_not_null" -> "source IS NOT NULL")
+      val ruleSelects = rules.map { case (n, p) =>
+        s"SELECT '$n' AS check_name, " +
+          s"CAST(sum(CASE WHEN $p THEN 0 ELSE 1 END) AS BIGINT) AS violations, " +
+          "CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"sum(CASE WHEN $p THEN 0 ELSE 1 END) = 0 AS pass FROM documents"
+      }
+      val uniq = "SELECT 'unique_doc_id', " +
+        "CAST(count(*) - count(DISTINCT doc_id) AS BIGINT), " +
+        "CAST(count(*) AS BIGINT), " +
+        "count(*) = count(DISTINCT doc_id) FROM documents"
+      (ruleSelects :+ uniq).mkString(" UNION ALL ")
+    }) { (s, d) =>
+      graft.ops.DataQuality.report(Tables.documents(s, d),
+        Seq(
+          "doc_id_not_null" -> col("doc_id").isNotNull,
+          "text_not_empty" -> (length(trim(col("text"))) > 0),
+          "lang_not_null" -> col("lang").isNotNull,
+          "source_not_null" -> col("source").isNotNull),
+        uniqueKey = Seq("doc_id"))
+    },
+
     // Audio/video container metadata, REAL box/chunk walks end to end:
     // fakeAv embeds every value in genuine ISO-BMFF / RIFF structure
     // (variable-length free/junk boxes, so neither walk can cheat with
