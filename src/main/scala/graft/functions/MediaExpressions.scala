@@ -158,7 +158,10 @@ object WavUtil {
     var i = 12
     while (i + 8 <= n) {
       val size = u32le(b, i + 4)
-      if (is4cc(b, i, "fmt ") && i + 24 <= n) {
+      // A valid PCM fmt chunk declares >= 16 bytes; a shorter declared
+      // size means the fields below would be read from the NEXT chunk's
+      // bytes — treat as corrupt and skip rather than parse garbage.
+      if (is4cc(b, i, "fmt ") && size >= 16 && i + 24 <= n) {
         channels = u16le(b, i + 10)
         rate = u32le(b, i + 12)
         byteRate = u32le(b, i + 16)

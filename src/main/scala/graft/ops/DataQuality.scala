@@ -21,8 +21,11 @@ object DataQuality {
   def report(df: DataFrame, rules: Seq[(String, Column)],
              uniqueKey: Seq[String] = Nil): DataFrame = {
     require(rules.nonEmpty || uniqueKey.nonEmpty, "no constraints given")
-    val ruleAggs = rules.map { case (name, pred) =>
-      sum(when(pred, 0L).otherwise(1L)).as(s"v_$name")
+    // Aggregate columns are POSITIONAL (_v_0, _v_1, …): rule names never
+    // become identifiers or SQL text, so any string — quotes, commas,
+    // backticks — is a legal constraint name.
+    val ruleAggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 0L).otherwise(1L)).as(s"_v_$i")
     }
     val uniqueAggs =
       if (uniqueKey.isEmpty) Nil
@@ -32,17 +35,17 @@ object DataQuality {
           .as("_uk_distinct"))
     val aggs = (ruleAggs ++ uniqueAggs) :+ count(lit(1)).as("_n")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    // Unpivot the single summary row to one row per constraint.
-    val stackArgs = (rules.map { case (name, _) =>
-      s"'$name', v_$name"
+    // Unpivot the single summary row to one row per constraint via a
+    // typed explode(array(struct(...))) — order-preserving, no string SQL.
+    val pairs = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check_name"), col(s"_v_$i").cast("long").as("violations"))
     } ++ (if (uniqueKey.isEmpty) Nil
-          else Seq(s"'unique_${uniqueKey.mkString("_")}', _uk_total - _uk_distinct")))
-    val k = rules.size + (if (uniqueKey.isEmpty) 0 else 1)
-    one.selectExpr(
-        s"stack($k, ${stackArgs.mkString(", ")}) AS (check_name, violations)",
-        "_n AS n_rows")
-      .select(col("check_name"), col("violations").cast("long").as("violations"),
-        col("n_rows").cast("long").as("n_rows"),
-        (col("violations") === 0).as("pass"))
+          else Seq(struct(lit(s"unique_${uniqueKey.mkString("_")}").as("check_name"),
+            (col("_uk_total") - col("_uk_distinct")).cast("long").as("violations"))))
+    one.select(explode(array(pairs: _*)).as("c"), col("_n"))
+      .select(col("c.check_name").as("check_name"),
+        col("c.violations").as("violations"),
+        col("_n").cast("long").as("n_rows"),
+        (col("c.violations") === 0).as("pass"))
   }
 }

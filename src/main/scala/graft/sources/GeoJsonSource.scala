@@ -338,6 +338,14 @@ class GeoJsonPartitionReader(file: String, required: StructType)
   private var current: InternalRow = _
   private val needsGeometry =
     required.fields.exists(f => GeoJsonTable.geomFields.exists(_.name == f.name))
+  // Inference rejects properties named like geometry-derived columns;
+  // a USER-supplied schema skips inference, so the same collision is
+  // re-checked per feature here — otherwise a property named e.g.
+  // lon_min would be silently shadowed by the geometry value.
+  private val requestedReserved: Array[String] = {
+    val reserved = GeoJsonTable.geomFields.map(_.name).toSet
+    required.fields.map(_.name).filter(reserved)
+  }
 
   /** One coordinate array [lon, lat, ...] as a pair; anything else must
     * FAIL, not silently parse nested arrays as 0.0 (Jackson's asDouble
@@ -420,6 +428,16 @@ class GeoJsonPartitionReader(file: String, required: StructType)
     if (parser.nextToken() == JsonToken.END_ARRAY) false
     else {
       val feat = mapper.readTree[JsonNode](parser)
+      if (requestedReserved.nonEmpty) {
+        val props = feat.get("properties")
+        if (props != null && !props.isNull) requestedReserved.foreach { name =>
+          if (props.has(name)) throw new IllegalArgumentException(
+            s"graft-geojson: $file: property '$name' collides with the " +
+              "reserved geometry column of the same name — the reader would " +
+              "silently return the geometry-derived value; rename the " +
+              "property or omit the column from the schema")
+        }
+      }
       val geom = feat.get("geometry")
       if (needsGeometry && (geom == null || geom.isNull))
         throw new IllegalArgumentException(

@@ -45,6 +45,9 @@ class AnnScaleSpec extends SparkSpec {
     // Empty partition 0 falls back without crashing.
     val sparse = spark.range(0, 10, 1, 2).filter($"id" >= 5)
     assert(Similarity.estimateCount(sparse.toDF()) >= 1L)
+    // A ZERO-partition DataFrame (emptyDataFrame) must not probe
+    // nonexistent partitions 0 and -1 — degrade to 1, no runJob.
+    assert(Similarity.estimateCount(spark.emptyDataFrame) == 1L)
   }
 
   test("partition skew: a front-loaded filter still sizes planes within one step") {

@@ -163,6 +163,14 @@ class MultimodalSpec extends SparkSpec {
         "64617461 88580100")                             // data size 88200
     assert(WavUtil.wavMeta(wav).toSeq == Seq(2L, 22050L, 16L, 1000L))
     assert(WavUtil.wavMeta("not a wav at all".getBytes("UTF-8")) == null)
+    // fmt chunk declaring size < 16: its fields would be read from the
+    // NEXT chunk's bytes — must be treated as corrupt (skipped, -> null
+    // when no other fmt exists), never parsed as garbage.
+    val shortFmt = hexBytes(
+      "52494646 24000000 57415645" +
+        "666d7420 08000000 0100 0200 22560000" + // fmt declares 8 bytes
+        "64617461 04000000 01020304")
+    assert(WavUtil.wavMeta(shortFmt) == null)
   }
 
   test("fakeAv -> mp4Meta/wavMeta round trip recovers the embedded values") {

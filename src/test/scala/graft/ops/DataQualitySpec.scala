@@ -34,4 +34,11 @@ class DataQualitySpec extends SparkSpec {
       Seq("id_not_null", 0L, 2L, true),
       Seq("unique_id", 0L, 2L, true)))
   }
+
+  test("rule names are data, not SQL: quotes, commas, backticks all legal") {
+    val d = df("id INT")(Seq(Row(1), Row(null.asInstanceOf[Integer])))
+    val hostile = "id IS NOT NULL', x), ('pwn`d, --"
+    val got = rows(DataQuality.report(d, Seq(hostile -> col("id").isNotNull)))
+    assert(got == Seq(Seq(hostile, 1L, 2L, false)))
+  }
 }

@@ -177,6 +177,22 @@ class GeoJsonSourceSpec extends SparkSpec {
       spark.read.format("graft-geojson").load(dir).schema
     }
     assert(e.getMessage.contains("lon_min") && e.getMessage.contains("collides"))
+    // An EXPLICIT user schema skips inference; the partition reader must
+    // re-detect the collision instead of silently returning the
+    // geometry-derived value for the shadowed property.
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-geojson")
+        .schema("site STRING, lon_min DOUBLE").load(dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e2).exists(m => m.contains("lon_min") && m.contains("collides")),
+      s"expected reader-side collision failure, got: ${msgs(e2)}")
+    // A user schema naming ONLY non-colliding reserved columns still reads.
+    val ok = spark.read.format("graft-geojson")
+      .schema("site STRING, lat_min DOUBLE").load(dir)
+      .as[(String, Double)].collect().toSeq
+    assert(ok == Seq(("x", 0.0)))
   }
 
   test("a directory of feature files reads as one table, one partition per file") {
