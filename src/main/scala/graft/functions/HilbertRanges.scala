@@ -1,0 +1,117 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** BIGMIN-style query decomposition for the Hilbert-clustered layout:
+  * a 2-D window [xlo,xhi]×[ylo,yhi] becomes a small set of CONTIGUOUS
+  * Hilbert-index intervals, so a table sorted by `hilbert2(x, y)` can
+  * be range-predicated on the sort key ITSELF. That is the scale-safe
+  * plan: per-dimension footer stats happen to be tight on a
+  * Hilbert-clustered table today, but with more dimensions, wider row
+  * groups, or a store that only keeps stats for the cluster key, the
+  * dimension columns' [min,max] stop pruning — the cluster key's own
+  * stats always do, because the layout is sorted by it (cf. Lawder &
+  * King's Hilbert range-query decomposition; the BIGMIN/LITMAX walk
+  * published for UB-trees is the Morton analog).
+  *
+  * The cover is computed by quadrant recursion mirroring
+  * [[HilbertUtil.hilbert2]]'s own rotate-and-accumulate frames: a
+  * quadrant fully inside the window contributes its whole contiguous
+  * index block without descending; a partial quadrant recurses with
+  * the window mapped through that quadrant's coordinate transform; a
+  * disjoint quadrant is skipped. The exact cover is then coarsened to
+  * at most `maxRanges` intervals by closing the SMALLEST inter-range
+  * gaps first — coarsening only ever OVER-covers, so callers keep the
+  * exact per-dimension predicates as the residual row filter and the
+  * key ranges stay a safe pre-filter (false positives re-filtered,
+  * never false negatives).
+  */
+object HilbertRanges {
+
+  /** Hilbert-index intervals (inclusive, sorted, disjoint) covering
+    * every cell of [xlo,xhi]×[ylo,yhi] on the 2^order grid. The window
+    * is clipped to the grid; an empty window yields no ranges. At most
+    * `maxRanges` intervals are returned (over-covering when coarsened).
+    */
+  def ranges(xlo: Long, xhi: Long, ylo: Long, yhi: Long, order: Int,
+             maxRanges: Int = 32): Seq[(Long, Long)] = {
+    require(order >= 1 && order <= 31, "hilbert ranges: order must be in [1, 31]")
+    require(maxRanges >= 1, "hilbert ranges: maxRanges must be >= 1")
+    val side = 1L << order
+    val cxlo = math.max(xlo, 0L); val cxhi = math.min(xhi, side - 1)
+    val cylo = math.max(ylo, 0L); val cyhi = math.min(yhi, side - 1)
+    if (cxlo > cxhi || cylo > cyhi) return Nil
+    val out = ArrayBuffer.empty[(Long, Long)]
+    cover(order, cxlo, cxhi, cylo, cyhi, 0L, out)
+    coarsen(merge(out), maxRanges)
+  }
+
+  /** Recursive quadrant walk. The window is non-empty and clipped to
+    * the current frame's [0, 2^k)² grid; the frame's curve spans
+    * indices [d0, d0 + 4^k). Quadrants are visited in curve order
+    * (rx,ry) = (0,0),(0,1),(1,1),(1,0) — quadrant q's sub-curve starts
+    * at d0 + q·s² — and the window is mapped into each sub-curve's
+    * canonical frame by the same transform hilbert2 applies to points:
+    * lower-left reflects across the main diagonal, lower-right across
+    * the anti-diagonal, the upper half passes through untouched.
+    * Interval boxes stay interval boxes under all three. */
+  private def cover(k: Int, xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+                    d0: Long, out: ArrayBuffer[(Long, Long)]): Unit = {
+    val side = 1L << k
+    if (xlo == 0 && ylo == 0 && xhi == side - 1 && yhi == side - 1) {
+      out += ((d0, d0 + side * side - 1)); return
+    }
+    val s = side >> 1
+    var q = 0
+    while (q < 4) {
+      val rx = if (q == 2 || q == 3) 1L else 0L
+      val ry = if (q == 1 || q == 2) 1L else 0L
+      val qxlo = math.max(xlo, rx * s); val qxhi = math.min(xhi, rx * s + s - 1)
+      val qylo = math.max(ylo, ry * s); val qyhi = math.min(yhi, ry * s + s - 1)
+      if (qxlo <= qxhi && qylo <= qyhi) {
+        val lxlo = qxlo - rx * s; val lxhi = qxhi - rx * s
+        val lylo = qylo - ry * s; val lyhi = qyhi - ry * s
+        val base = d0 + q * s * s
+        if (ry == 1L) cover(k - 1, lxlo, lxhi, lylo, lyhi, base, out)
+        else if (rx == 0L) cover(k - 1, lylo, lyhi, lxlo, lxhi, base, out)
+        else cover(k - 1, s - 1 - lyhi, s - 1 - lylo, s - 1 - lxhi, s - 1 - lxlo,
+          base, out)
+      }
+      q += 1
+    }
+  }
+
+  /** Sort + merge adjacent/overlapping intervals. */
+  private def merge(rs: ArrayBuffer[(Long, Long)]): Vector[(Long, Long)] = {
+    val sorted = rs.sortBy(_._1)
+    val acc = ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { case (lo, hi) =>
+      if (acc.nonEmpty && lo <= acc.last._2 + 1)
+        acc(acc.size - 1) = (acc.last._1, math.max(acc.last._2, hi))
+      else acc += ((lo, hi))
+    }
+    acc.toVector
+  }
+
+  /** Close the smallest gaps until at most `max` intervals remain —
+    * each closed gap admits false positives (re-filtered by the exact
+    * dimension predicates) but never drops a covered index. */
+  private def coarsen(rs: Vector[(Long, Long)], max: Int): Vector[(Long, Long)] = {
+    if (rs.size <= max) return rs
+    // Gap i sits between rs(i) and rs(i+1); keep the (max-1) LARGEST
+    // gaps as separators, close the rest.
+    val gaps = rs.indices.dropRight(1)
+      .map(i => (rs(i + 1)._1 - rs(i)._2, i))
+      .sortBy(-_._1)
+    val keep = gaps.take(max - 1).map(_._2).toSet
+    val acc = ArrayBuffer.empty[(Long, Long)]
+    var curLo = rs.head._1
+    var curHi = rs.head._2
+    rs.indices.dropRight(1).foreach { i =>
+      if (keep(i)) { acc += ((curLo, curHi)); curLo = rs(i + 1)._1 }
+      curHi = rs(i + 1)._2
+    }
+    acc += ((curLo, curHi))
+    acc.toVector
+  }
+}

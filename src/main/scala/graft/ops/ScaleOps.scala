@@ -157,13 +157,21 @@ object ScaleOps {
     * pruning, and the poor man's Z-order for a single key). Idempotent
     * via the same fingerprint marker as [[ensurePartitioned]]. */
   def ensureSortedBy(df: DataFrame, path: String, key: String, numFiles: Int,
-                     srcFingerprint: String = ""): Unit =
-    if (!layoutFresh(df.sparkSession, path, srcFingerprint)) {
+                     srcFingerprint: String = "",
+                     writeOptions: Map[String, String] = Map.empty): Unit = {
+    // Options participate in the freshness fingerprint: changing e.g.
+    // parquet.block.size must rewrite the layout, not serve the old one.
+    val fp =
+      if (srcFingerprint.isEmpty || writeOptions.isEmpty) srcFingerprint
+      else srcFingerprint + "|" +
+        writeOptions.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    if (!layoutFresh(df.sparkSession, path, fp)) {
       df.repartitionByRange(numFiles, col(key))
         .sortWithinPartitions(key)
-        .write.mode("overwrite").parquet(path)
-      writeMarker(df.sparkSession, path, srcFingerprint)
+        .write.mode("overwrite").options(writeOptions).parquet(path)
+      writeMarker(df.sparkSession, path, fp)
     }
+  }
 
   /** Row-group [min, max] statistics of an INT64 column across every
     * part file under `path`, straight from the parquet footers — the

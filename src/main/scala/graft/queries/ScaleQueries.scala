@@ -300,26 +300,69 @@ GROUP BY 1""") { (s, d) =>
     Q("sc7_hilbert_scan",
       "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM (" +
         "SELECT event_type, user_id, date_part('doy', CAST(ts AS TIMESTAMP)) AS doy " +
-        "FROM events) WHERE user_id BETWEEN 100 AND 139 AND doy BETWEEN 190 AND 196 " +
+        "FROM events) WHERE user_id BETWEEN 100 AND 139 AND doy BETWEEN 20 AND 26 " +
         "GROUP BY 1") { (s, d) =>
       prepare(s, d)
       val path = hilbertEventsPath(s, d)
       val uRanges = ScaleOps.rowGroupRanges(path, "user_id")
       val dRanges = ScaleOps.rowGroupRanges(path, "doy")
       val overlap2d = uRanges.zip(dRanges).count { case ((ul, uh), (dl, dh)) =>
-        uh >= 100L && ul <= 139L && dh >= 190L && dl <= 196L
+        uh >= 100L && ul <= 139L && dh >= 20L && dl <= 26L
       }
       require(uRanges.nonEmpty && overlap2d * 2 <= uRanges.size,
         s"hilbert not clustering: $overlap2d of ${uRanges.size} row groups " +
           "overlap a 2-D window — multi-key skipping regressed")
       val q = s.read.parquet(path)
-        .filter(col("user_id").between(100, 139) && col("doy").between(190, 196))
+        .filter(col("user_id").between(100, 139) && col("doy").between(20, 26))
         .groupBy("event_type").agg(count(lit(1)).as("n"))
       val scans = q.queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
       require(scans.nonEmpty && scans.forall(_.dataFilters.nonEmpty),
         "2-D predicate did not reach the scan — pushdown regressed")
+      q
+    },
+
+    // HILBERT RANGE PUSHDOWN (sc9): sc6/sc7 skip row groups via the
+    // DIMENSION columns' footer [min,max] — stats the clustered layout
+    // happens to keep tight. The scale-safe plan predicates the SORT
+    // KEY ITSELF: decompose the 2-D window into contiguous Hilbert
+    // intervals (the BIGMIN-style quadrant walk in HilbertRanges) and
+    // filter on the stored hv column, whose stats are tight BY
+    // CONSTRUCTION on any hv-sorted layout — no per-dimension stats
+    // needed, which is what survives more dimensions, wider row
+    // groups, or a store that only keeps cluster-key stats. The query
+    // REQUIREs (a) row-group pruning via hv's OWN stats and (b) the hv
+    // interval predicate reaching the scan's PushedFilters; the exact
+    // dimension predicates stay as the residual filter, so coarsened
+    // intervals can only over-read, never lose rows.
+    Q("sc9_hilbert_range_scan",
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM (" +
+        "SELECT event_type, user_id, date_part('doy', CAST(ts AS TIMESTAMP)) AS doy " +
+        "FROM events) WHERE user_id BETWEEN 60 AND 99 AND doy BETWEEN 10 AND 16 " +
+        "GROUP BY 1") { (s, d) =>
+      prepare(s, d)
+      val path = hilbertEventsPath(s, d)
+      val rs = graft.functions.HilbertRanges.ranges(
+        60, 99, 10, 16, order = 16, maxRanges = 32)
+      val hvStats = ScaleOps.rowGroupRanges(path, "hv")
+      val overlap = hvStats.count { case (lo, hi) =>
+        rs.exists { case (rlo, rhi) => hi >= rlo && lo <= rhi } }
+      require(hvStats.nonEmpty && overlap * 2 <= hvStats.size,
+        s"hilbert range pushdown not pruning: $overlap of ${hvStats.size} " +
+          "row groups intersect the decomposed intervals on hv's own stats")
+      val hvPred = rs.map { case (lo, hi) => col("hv").between(lo, hi) }
+        .reduce(_ || _)
+      val q = s.read.parquet(path)
+        .filter(hvPred &&
+          col("user_id").between(60, 99) && col("doy").between(10, 16))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val scans = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty && scans.forall(
+        _.metadata.get("PushedFilters").exists(_.contains("hv"))),
+        "hv interval predicate did not reach the scan's PushedFilters")
       q
     },
 
@@ -481,7 +524,12 @@ GROUP BY 1""") { (s, d) =>
         col("event_type"), col("value"))
         .withColumn("hv", graft.functions.HilbertFunctions.hilbert2(col("user_id"), col("doy"))),
       hilbertEventsPath(spark, sfDir), "hv", numFiles = 8,
-      srcFingerprint = eventsFp)
+      srcFingerprint = eventsFp,
+      // Small parquet block size so the sf-sized fixture has
+      // production-like row-group MULTIPLICITY (a 100 TB table has
+      // thousands of 128 MB groups; 8 one-group files would make every
+      // skipping claim granularity-bound rather than layout-bound).
+      writeOptions = Map("parquet.block.size" -> "16384"))
     ScaleOps.ensureFragmented(
       Tables.events(spark, sfDir).select("event_id", "event_type", "value"),
       fragmentedEventsPath(spark, sfDir), 64, eventsFp)

@@ -54,6 +54,66 @@ class HilbertSpec extends SparkSpec {
     }
   }
 
+  test("range decomposition covers a window EXACTLY (exhaustive at order 3)") {
+    // Every possible window on the 8x8 grid: the union of the returned
+    // intervals must equal the brute-force index set — no false
+    // negatives (lost rows) and, uncoarsened, no false positives.
+    val order = 3; val n = 1 << order
+    for (xlo <- 0 until n; xhi <- xlo until n;
+         ylo <- 0 until n; yhi <- ylo until n) {
+      val want = (for (x <- xlo to xhi; y <- ylo to yhi)
+        yield HilbertUtil.hilbert2(x, y, order)).toSet
+      val rs = HilbertRanges.ranges(xlo, xhi, ylo, yhi, order,
+        maxRanges = Int.MaxValue)
+      val got = rs.flatMap { case (lo, hi) => lo to hi }.toSet
+      assert(got == want, s"window [$xlo,$xhi]x[$ylo,$yhi]: $rs")
+      // Disjoint, sorted, non-mergeable.
+      rs.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1, s"unmerged: $rs")
+        case _ =>
+      }
+    }
+  }
+
+  test("range decomposition: random windows at order 16, coarsening over-covers") {
+    val rng = new scala.util.Random(31)
+    (0 until 100).foreach { _ =>
+      val xlo = rng.nextInt(60000); val xhi = xlo + rng.nextInt(300)
+      val ylo = rng.nextInt(60000); val yhi = ylo + rng.nextInt(300)
+      val exact = HilbertRanges.ranges(xlo, xhi, ylo, yhi, 16,
+        maxRanges = Int.MaxValue)
+      // Exact cover: spot-check membership both ways (full enumeration
+      // is the order-3 test's job; 2^32 cells is not enumerable here).
+      (0 until 20).foreach { _ =>
+        val x = xlo + rng.nextInt(xhi - xlo + 1).toLong
+        val y = ylo + rng.nextInt(yhi - ylo + 1).toLong
+        val d = HilbertUtil.hilbert2(x, y, 16)
+        assert(exact.exists { case (lo, hi) => d >= lo && d <= hi },
+          s"cell ($x,$y) d=$d escaped the cover")
+      }
+      exact.foreach { case (lo, hi) =>
+        Seq(lo, hi).foreach { d =>
+          val (x, y) = HilbertUtil.hilbertInverse(d, 16)
+          assert(x >= xlo && x <= xhi && y >= ylo && y <= yhi,
+            s"range endpoint $d -> ($x,$y) outside the window")
+        }
+      }
+      // Coarsened: never more than the cap, and a SUPERSET of exact.
+      val coarse = HilbertRanges.ranges(xlo, xhi, ylo, yhi, 16, maxRanges = 8)
+      assert(coarse.size <= 8)
+      exact.foreach { case (lo, hi) =>
+        assert(coarse.exists { case (clo, chi) => clo <= lo && hi <= chi },
+          s"coarsening dropped [$lo,$hi]")
+      }
+    }
+    // Degenerate inputs: empty and out-of-grid windows yield nothing.
+    assert(HilbertRanges.ranges(5, 4, 0, 10, 16) == Nil)
+    assert(HilbertRanges.ranges(70000, 80000, 0, 10, 16) == Nil)
+    // Full grid collapses to ONE interval.
+    assert(HilbertRanges.ranges(0, 65535, 0, 65535, 16) ==
+      Seq((0L, (1L << 32) - 1)))
+  }
+
   test("locality beats Morton on window straddling (the sc7 claim in miniature)") {
     // Sort a 128x128 grid by each curve, cut into 64 equal "row groups",
     // and count groups whose [min,max] on BOTH axes overlap a fixed
