@@ -129,14 +129,14 @@ object Mp4Util {
 }
 
 object WavUtil {
-  private def u16le(b: Array[Byte], i: Int): Long =
+  private[functions] def u16le(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8)
 
-  private def u32le(b: Array[Byte], i: Int): Long =
+  private[functions] def u32le(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
 
-  private def is4cc(b: Array[Byte], i: Int, cc: String): Boolean =
+  private[functions] def is4cc(b: Array[Byte], i: Int, cc: String): Boolean =
     b(i) == cc.charAt(0).toByte && b(i + 1) == cc.charAt(1).toByte &&
       b(i + 2) == cc.charAt(2).toByte && b(i + 3) == cc.charAt(3).toByte
 
@@ -273,6 +273,118 @@ object WavMeta {
   }
 }
 
+object WavPcmUtil {
+  import WavUtil.{is4cc, u16le, u32le}
+
+  /** Decodes the PCM payload of a RIFF/WAVE buffer and returns one
+    * [channel, n_frames, sum, peak] row per channel, or null when the
+    * bytes are not a PCM WAV (no RIFF/WAVE leader, no valid fmt chunk,
+    * non-PCM format tag, or bits outside 8/16/24/32). Samples are
+    * little-endian signed (8-bit: unsigned, centered by -128, per the
+    * WAV convention); `sum` is the exact integer sample sum and `peak`
+    * the max absolute sample — the two stats that pin a decode
+    * byte-exactly without any float accumulation order to disagree
+    * over. Only COMPLETE frames are decoded (a truncated tail frame is
+    * ignored); the data chunk is bounded by both its declared size and
+    * the physical buffer, so a lying header cannot over-read. */
+  def pcmStats(b: Array[Byte]): Array[Array[Long]] = {
+    val n = b.length
+    if (n < 12 || !is4cc(b, 0, "RIFF") || !is4cc(b, 8, "WAVE")) return null
+    var channels = -1; var bits = -1; var fmtTag = -1
+    var dataOff = -1; var dataLen = -1L
+    var i = 12
+    while (i + 8 <= n) {
+      val size = u32le(b, i + 4)
+      if (is4cc(b, i, "fmt ") && size >= 16 && i + 24 <= n) {
+        fmtTag = u16le(b, i + 8).toInt
+        channels = u16le(b, i + 10).toInt
+        bits = u16le(b, i + 22).toInt
+      } else if (is4cc(b, i, "data") && dataOff < 0) {
+        dataOff = i + 8
+        dataLen = size
+      }
+      val step = 8 + size + (size & 1L)
+      if (i + step > Int.MaxValue) return stats(b, channels, bits, fmtTag, dataOff, dataLen)
+      i += step.toInt
+    }
+    stats(b, channels, bits, fmtTag, dataOff, dataLen)
+  }
+
+  private def stats(b: Array[Byte], channels: Int, bits: Int, fmtTag: Int,
+                    dataOff: Int, dataLen: Long): Array[Array[Long]] = {
+    if (fmtTag != 1 || channels < 1 || channels > 64 ||
+      !(bits == 8 || bits == 16 || bits == 24 || bits == 32) ||
+      dataOff < 0) return null
+    val bytesPer = bits / 8
+    val blockAlign = channels * bytesPer
+    val avail = math.min(dataLen, (b.length - dataOff).toLong)
+    val frames = (avail / blockAlign).toInt
+    val sums = new Array[Long](channels)
+    val peaks = new Array[Long](channels)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + f * blockAlign + c * bytesPer
+        val v: Long = bytesPer match {
+          case 1 => (b(o) & 0xFF) - 128L
+          case 2 => ((b(o) & 0xFF) | (b(o + 1) << 8)).toShort.toLong
+          case 3 =>
+            val u = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16)
+            if (u >= 0x800000) u - 0x1000000 else u.toLong
+          case _ =>
+            ((b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+              ((b(o + 2) & 0xFF) << 16) | (b(o + 3) << 24)).toLong
+        }
+        sums(c) += v
+        val a = math.abs(v)
+        if (a > peaks(c)) peaks(c) = a
+        c += 1
+      }
+      f += 1
+    }
+    Array.tabulate(channels)(c => Array(c.toLong, frames.toLong, sums(c), peaks(c)))
+  }
+}
+
+/** Per-channel PCM sample statistics of a WAV binary column:
+  * array<struct<channel, n_frames, sum_raw, peak_raw>>, null for
+  * non-PCM-WAV bytes — the REAL sample-decode step (the metadata walk
+  * is [[WavMeta]]); same scan → decode → project shape, no codec
+  * library, no shuffle. */
+case class WavPcmStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WavPcmStats.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(bin: Any): Any =
+    WavPcmStats.eval(bin.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WavPcmStats.eval($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WavPcmStats {
+  val schema: DataType = org.apache.spark.sql.types.ArrayType(StructType(Seq(
+    StructField("channel", LongType), StructField("n_frames", LongType),
+    StructField("sum_raw", LongType), StructField("peak_raw", LongType))))
+
+  /** Called from generated code — returns ArrayData of InternalRow
+    * (null = row-level null). */
+  def eval(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = WavPcmUtil.pcmStats(b)
+    if (m == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      m.map(r => new GenericInternalRow(Array[Any](r(0), r(1), r(2), r(3)))
+        : Any))
+  }
+}
+
 object MediaFunctions {
   def jpegDimsPacked(bin: Column): Column =
     GraftShim.column(JpegDimsPacked(GraftShim.expression(bin)))
@@ -282,4 +394,7 @@ object MediaFunctions {
 
   def wavMeta(bin: Column): Column =
     GraftShim.column(WavMeta(GraftShim.expression(bin)))
+
+  def wavPcmStats(bin: Column): Column =
+    GraftShim.column(WavPcmStats(GraftShim.expression(bin)))
 }

@@ -206,6 +206,13 @@ object Multimodal {
   def mp4Meta(bin: Column): Column = graft.functions.MediaFunctions.mp4Meta(bin)
   def wavMeta(bin: Column): Column = graft.functions.MediaFunctions.wavMeta(bin)
 
+  /** REAL PCM sample decode from the data chunk
+    * ([[graft.functions.WavPcmStats]]): per-channel exact sample sum
+    * and absolute peak over complete frames — the audio sibling of
+    * [[decodeResize]]'s pixel path. Null for non-PCM-WAV bytes. */
+  def wavPcmStats(bin: Column): Column =
+    graft.functions.MediaFunctions.wavPcmStats(bin)
+
   /** REAL pixel decode + downsample via the JDK's ImageIO codecs
     * ([[graft.functions.DecodeResizeStats]]): decoded dims, resized
     * dims (fit `maxDim`, aspect-preserving integer arithmetic), and

@@ -955,6 +955,53 @@ FROM documents""") { (s, d) =>
         a.getField("duration_ms").as("a_duration_ms"))
     },
 
+    // Audio PCM SAMPLE decode, real and byte-exact end to end — the
+    // audio sibling of mm_resize's pixel path: WavPcmStats walks the
+    // RIFF chunks, locates the data chunk, and decodes every complete
+    // frame's little-endian signed samples (16- and 24-bit here; the
+    // expression also handles 8/32), folding them to per-channel EXACT
+    // integer sums and absolute peaks — deliberately integer-only, so
+    // no float accumulation order can diverge between engines. The
+    // oracle re-decodes the SAME bytes in SQL: hex-string byte
+    // arithmetic over the payload (the data chunk is the document
+    // text's UTF-8 bytes by construction), one row per (doc, channel),
+    // sign-corrected per width. A stub that only read the header
+    // cannot produce these sums.
+    Q("mm_wav_pcm", {
+      def byteAt(pos: String) = OracleSqlGen.hexAt("hx", pos, 2)
+      val off = "((g2.i * ch + channel) * bp)"
+      val b0 = byteAt(s"$off*2+1")
+      val b1 = byteAt(s"$off*2+3")
+      val b2 = byteAt(s"$off*2+5")
+      val vu = s"(CASE WHEN bp = 2 THEN $b0 + 256*$b1 " +
+        s"ELSE $b0 + 256*$b1 + 65536*$b2 END)"
+      val v = s"(CASE WHEN bp = 2 AND $vu >= 32768 THEN $vu - 65536 " +
+        s"WHEN bp = 3 AND $vu >= 8388608 THEN $vu - 16777216 ELSE $vu END)"
+      s"""WITH w AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         doc_id % 2 + 1 AS ch, doc_id % 2 + 2 AS bp,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE doc_id % 3 = 1),
+f AS (SELECT *, nb // (ch * bp) AS n_frames FROM w),
+c AS (SELECT f.*, g.c AS channel FROM f, generate_series(0, 1) g(c) WHERE g.c < ch),
+s AS (SELECT c.doc_id, c.channel, c.n_frames, $v AS v
+      FROM c, generate_series(0, 4095) g2(i) WHERE g2.i < n_frames)
+SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+  CAST(n_frames AS BIGINT) AS n_frames,
+  CAST(sum(v) AS BIGINT) AS sum_raw,
+  CAST(max(abs(v)) AS BIGINT) AS peak_raw
+FROM s GROUP BY doc_id, channel, n_frames"""
+    }) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bin", Multimodal.fakeAv(col("text"), col("doc_id")))
+        .select(col("doc_id"), explode(Multimodal.wavPcmStats(col("bin"))).as("c"))
+        .select(col("doc_id"),
+          col("c.channel").as("channel"),
+          col("c.n_frames").as("n_frames"),
+          col("c.sum_raw").as("sum_raw"),
+          col("c.peak_raw").as("peak_raw"))
+    },
+
     // Multimodal PIXEL decode, real codec end to end: solid-color PNGs
     // are ENCODED per row with the JDK's ImageIO (executor-side — the
     // fixture generation is itself distributed, no driver loop), then

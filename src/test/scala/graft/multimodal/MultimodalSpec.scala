@@ -173,6 +173,82 @@ class MultimodalSpec extends SparkSpec {
     assert(WavUtil.wavMeta(shortFmt) == null)
   }
 
+  test("wavPcmStats: hand-written PCM decodes byte-exactly per width and channel") {
+    import graft.functions.WavPcmUtil
+    // 16-bit stereo, 2 frames: L = [1, -2], R = [256, -32768].
+    val wav16 = hexBytes(
+      "52494646 24000000 57415645" +
+        "666d7420 10000000 0100 0200 22560000 88580100 0400 1000" +
+        "64617461 08000000" +
+        "0100" + "0001" +      // frame 0: L=1, R=256
+        "feff" + "0080")       // frame 1: L=-2, R=-32768
+    val s16 = WavPcmUtil.pcmStats(wav16)
+    assert(s16.map(_.toSeq).toSeq == Seq(
+      Seq(0L, 2L, -1L, 2L),           // L: sum 1+(-2), peak 2
+      Seq(1L, 2L, 256L - 32768L, 32768L)))
+    // 24-bit mono: samples [0x000001, 0x800000(min=-8388608)], plus a
+    // TRUNCATED third frame (2 of 3 bytes) that must be ignored.
+    val wav24 = hexBytes(
+      "52494646 20000000 57415645" +
+        "666d7420 10000000 0100 0100 22560000 88580100 0300 1800" +
+        "64617461 08000000" +
+        "010000" + "000080" + "ffff")
+    val s24 = WavPcmUtil.pcmStats(wav24)
+    assert(s24.map(_.toSeq).toSeq == Seq(Seq(0L, 2L, 1L - 8388608L, 8388608L)))
+    // 8-bit mono: unsigned bytes centered at 128 -> [0, 127, -128].
+    val wav8 = hexBytes(
+      "52494646 1f000000 57415645" +
+        "666d7420 10000000 0100 0100 22560000 88580100 0100 0800" +
+        "64617461 03000000" + "80" + "ff" + "00")
+    assert(WavPcmUtil.pcmStats(wav8).map(_.toSeq).toSeq ==
+      Seq(Seq(0L, 3L, -1L, 128L)))
+    // Non-PCM format tag (0x0003 = IEEE float): null, not garbage.
+    val wavF = hexBytes(
+      "52494646 14000000 57415645" +
+        "666d7420 10000000 0300 0100 22560000 88580100 0400 2000" +
+        "64617461 04000000 00000000")
+    assert(WavPcmUtil.pcmStats(wavF) == null)
+    // Data chunk declaring MORE bytes than the buffer holds: bounded by
+    // the physical tail, not the lying header.
+    val wavLie = hexBytes(
+      "52494646 18000000 57415645" +
+        "666d7420 10000000 0100 0100 22560000 88580100 0200 1000" +
+        "64617461 ffff0000" + "0500" + "0700")
+    assert(WavPcmUtil.pcmStats(wavLie).map(_.toSeq).toSeq ==
+      Seq(Seq(0L, 2L, 12L, 7L)))
+    assert(WavPcmUtil.pcmStats("not a wav".getBytes("UTF-8")) == null)
+  }
+
+  test("wavPcmStats expression matches the util through codegen and explode") {
+    val d = Seq((1L, "stereo payload text!"), (4L, "mono 24-bit sample payload"))
+      .toDF("id", "payload")
+      .withColumn("bin", Multimodal.fakeAv($"payload", $"id"))
+    val got = d.select($"id", explode(Multimodal.wavPcmStats($"bin")).as("c"))
+      .select($"id", $"c.channel", $"c.n_frames", $"c.sum_raw", $"c.peak_raw")
+      .orderBy("id", "channel").collect()
+    got.foreach { r =>
+      val payload = if (r.getLong(0) == 1L) "stereo payload text!"
+        else "mono 24-bit sample payload"
+      val b = payload.getBytes("UTF-8")
+      val id = r.getLong(0)
+      val ch = (id % 2 + 1).toInt; val bp = (id % 2 + 2).toInt
+      val nf = b.length / (ch * bp)
+      val c = r.getLong(1).toInt
+      val vals = (0 until nf).map { f =>
+        val o = f * ch * bp + c * bp
+        if (bp == 2) (((b(o) & 0xFF) | (b(o + 1) << 8)).toShort).toLong
+        else {
+          val u = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16)
+          if (u >= 0x800000) u - 0x1000000 else u.toLong
+        }
+      }
+      assert(r.getLong(2) == nf.toLong)
+      assert(r.getLong(3) == vals.sum)
+      assert(r.getLong(4) == vals.map(math.abs).max)
+    }
+    assert(got.length == 3) // id 1: 2 channels, id 4: 1 channel
+  }
+
   test("fakeAv -> mp4Meta/wavMeta round trip recovers the embedded values") {
     val d = Seq((0L, "video payload"), (1L, "audio payload bytes"),
       (2L, "plain"), (3L, "more video"), (4L, "more audio"))
