@@ -140,6 +140,19 @@ object SparkEntry {
           "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
             "round(sum(value), 2) AS total_value FROM events GROUP BY 1") { (s, d) =>
           graft.streaming.FileSinkIngest.landOnce(s, d)
+        },
+        // §2.11 compaction of a LIVE file sink: phase-1 events land,
+        // the committed set is folded into a generation (through the
+        // sink log, never a directory listing), phase-2 events then
+        // land through the same sink/checkpoint, and the composed
+        // read (generation ∪ uncovered tail) aggregates. The oracle
+        // over ALL raw events pins no row lost or duplicated across
+        // the pass; the in-query require pins that a live tail really
+        // landed after the generation snapshot.
+        Q("st_compact_live",
+          "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+            "round(sum(value), 2) AS total_value FROM events GROUP BY 1") { (s, d) =>
+          graft.streaming.CompactedLanding.landCompactLandOnce(s, d)
         })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
