@@ -43,6 +43,24 @@ object Sources {
       case None => spark.read.jdbc(url, table, props)
     }
 
+  /** S3 on the DSv2 path: registers (idempotently) a JDBC catalog and
+    * returns the table through it. Unlike the V1 `spark.read.jdbc`
+    * scan — which pushes only filters — the V2 catalog scan pushes
+    * AGGREGATES, LIMITs, and sorts into the database, so a tally over
+    * a remote table ships back one row per group instead of the table:
+    * at a 100 TB-warehouse's dimension store that is the difference
+    * between a metadata query and an export job. */
+  def jdbcCatalogTable(spark: SparkSession, catalog: String, url: String,
+                       driver: String, table: String): DataFrame = {
+    spark.conf.set(s"spark.sql.catalog.$catalog",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catalog.url", url)
+    spark.conf.set(s"spark.sql.catalog.$catalog.driver", driver)
+    spark.conf.set(s"spark.sql.catalog.$catalog.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$catalog.pushDownLimit", "true")
+    spark.table(s"$catalog.$table")
+  }
+
   /** S2: snapshot staging — unzip a fetched archive into a staging dir
     * (ningaloo-etl.Rmd:47-53's download+unzip, minus the HTTP fetch which
     * is environment I/O). Returns the extracted file paths. */

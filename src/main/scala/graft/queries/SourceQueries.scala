@@ -31,6 +31,28 @@ object SourceQueries {
           col("N_REGIONKEY").as("n_regionkey"))
     },
 
+    // S3 on the DSv2 catalog path: the V1 jdbc scan above pushes only
+    // the WHERE; the V2 catalog scan pushes the whole AGGREGATE — the
+    // database computes one row per group and ships THAT, not the
+    // table (at a remote warehouse dimension store, a metadata query
+    // instead of an export). The require fails the query — not just a
+    // spec — if the pushed aggregate/group-by leave the plan.
+    Q("src_jdbc_agg_pushdown",
+      "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n, " +
+        "max(n_nationkey) AS max_key FROM nation GROUP BY 1") { (s, d) =>
+      val url = JdbcFixture.loadNation(s, d)
+      val agg = Sources.jdbcCatalogTable(s, "graftjdbc", url,
+        JdbcFixture.driver, "APP.NATION")
+        .groupBy(col("N_REGIONKEY"))
+        .agg(count(lit(1)).as("n"), max(col("N_NATIONKEY")).as("max_key"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates:") &&
+        plan.contains("PushedGroupByExpressions:"),
+        "JDBC aggregate pushdown regressed — the group-by would ship the table")
+      agg.select(col("N_REGIONKEY").cast("int").as("n_regionkey"),
+        col("n"), col("max_key").cast("int").as("max_key"))
+    },
+
     // K1 + S6/S7 closed as an oracle round trip: the header-CSV sink's
     // product read back through the CSV source (explicit schema — no
     // inference pass) must equal the original dimension table.

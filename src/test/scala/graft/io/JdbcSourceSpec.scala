@@ -39,4 +39,34 @@ class JdbcSourceSpec extends SparkSpec {
     // Boundary rows are NOT lost: first/last partitions are unbounded.
     assert(df.count() == graft.Tables.nation(spark, sfDir).count())
   }
+
+  test("DSv2 catalog scan pushes AGGREGATES and LIMIT into the database") {
+    val url = JdbcFixture.loadNation(spark, sfDir)
+    val t = Sources.jdbcCatalogTable(spark, "graftjdbc", url,
+      JdbcFixture.driver, "APP.NATION")
+    val agg = t.groupBy(col("N_REGIONKEY"))
+      .agg(count(lit(1)).as("n"), max(col("N_NATIONKEY")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates:") && plan.contains("COUNT"),
+      s"aggregate not pushed to the JDBC scan:\n$plan")
+    assert(plan.contains("PushedGroupByExpressions:"),
+      s"group-by not pushed to the JDBC scan:\n$plan")
+    // And the pushed answer is the right answer.
+    val got = agg.orderBy("N_REGIONKEY").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = graft.Tables.nation(spark, sfDir)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)), max(col("n_nationkey")))
+      .orderBy("n_regionkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want)
+
+    // Derby's dialect does not advertise LIMIT pushdown (no LIMIT
+    // clause; FETCH FIRST is unsupported by the generic pushdown), so
+    // the limit stays a Spark-side CollectLimit over the V2 scan —
+    // pinned so a dialect upgrade that starts pushing shows up here.
+    val lim = t.select(col("N_NAME")).limit(3)
+    val limPlan = lim.queryExecution.executedPlan.toString
+    assert(limPlan.contains("CollectLimit") && !limPlan.contains("PushedLimit:"))
+    assert(lim.collect().length == 3)
+  }
 }
