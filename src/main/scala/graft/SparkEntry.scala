@@ -153,6 +153,23 @@ object SparkEntry {
           "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
             "round(sum(value), 2) AS total_value FROM events GROUP BY 1") { (s, d) =>
           graft.streaming.CompactedLanding.landCompactLandOnce(s, d)
+        },
+        // §2.11 stream-STATIC broadcast join (the enrichment shape the
+        // other st_* queries skip): a static event-type dimension
+        // decorates the stream per micro-batch — stateless join, state
+        // only in the downstream tally. The oracle re-joins the same
+        // in-code dimension as a VALUES list.
+        Q("st_static_enrich", {
+          val values = graft.streaming.StaticEnrich.dim.map { case (t, c, w) =>
+            s"('$t', '$c', CAST($w AS DOUBLE))"
+          }.mkString(", ")
+          s"SELECT category, event_type, CAST(count(*) AS BIGINT) AS n, " +
+            "round(sum(value * weight), 2) AS weighted_value " +
+            s"FROM events LEFT JOIN (VALUES $values) " +
+            "dim(event_type, category, weight) USING (event_type) " +
+            "GROUP BY 1, 2"
+        }) { (s, d) =>
+          graft.streaming.StaticEnrich.enrichedTallyOnce(s, d)
         })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
