@@ -118,6 +118,49 @@ class GeoJsonFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: sink -> source composition round-trips arbitrary MultiPolygons") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("geojson_fuzz_sink").toString
+    val path = s"$dir/mp.geojson"
+    val polysType = ArrayType(ArrayType(ArrayType(StructType(Seq(
+      StructField("lon", DoubleType), StructField("lat", DoubleType))))))
+    val base = (0 until 40).map { fid =>
+      (fid, sample(multiGen, 20000L + fid))
+    }
+    val rows = base.map { case (fid, polys) =>
+      Row(fid.toLong, polys.map(p => p.map(r => r.map { case (x, y) => Row(x, y) })))
+    }
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("fid", LongType), StructField("polys", polysType))))
+    graft.io.Sinks.writeGeoJsonMulti(d, "polys", Seq("fid"), path)
+    val back = spark.read.format("graft-geojson").load(path)
+      .select("fid", "rings", "lon_min", "lat_min", "lon_max", "lat_max")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(back.size == base.size)
+    base.foreach { case (fid, polys) =>
+      val row = back(fid.toLong)
+      // Source contract: empty rings are dropped, everything else —
+      // including degenerate 1-2-point rings — survives byte-exactly.
+      val expected = polys.flatten.filter(_.nonEmpty).map(_.toSeq)
+      assert(rowRings(row, 1) == expected, s"fid=$fid sink round trip")
+      val pts = expected.flatten
+      if (pts.nonEmpty) {
+        assert(row.getDouble(2) == pts.map(_._1).min &&
+          row.getDouble(5) == pts.map(_._2).max, s"fid=$fid bbox")
+      } else assert(row.isNullAt(2), s"fid=$fid null bbox")
+    }
+    // The header bbox spans every surviving point of every feature —
+    // the file-skipping contract under fuzz.
+    val all = base.flatMap(_._2.flatten.flatten)
+    if (all.nonEmpty) {
+      val hdr = GeoJsonTable.fileBbox(path)
+      assert(hdr.contains((all.map(_._1).min, all.map(_._2).min,
+        all.map(_._1).max, all.map(_._2).max)), s"header bbox $hdr")
+    }
+  }
+
   test("fuzz: JSON-level ring rotation + winding reversal never changes the read") {
     val dir1 = Files.createTempDirectory("geojson_fuzz_a").toString
     val dir2 = Files.createTempDirectory("geojson_fuzz_b").toString
