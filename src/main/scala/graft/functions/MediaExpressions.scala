@@ -126,6 +126,18 @@ object Mp4Util {
     }
     null
   }
+
+  /** Row-shaped wrapper called from generated code. Lives HERE (an
+    * object with no companion class) so scalac emits a true static
+    * forwarder — a method named `eval` on the [[Mp4Meta]] companion
+    * gets NO forwarder because it collides with `Expression.eval`,
+    * and Janino then fails to resolve the call, silently dropping the
+    * stage to interpreted execution. */
+  def evalRow(b: Array[Byte]): InternalRow = {
+    val m = mp4Meta(b)
+    if (m == null) null
+    else new GenericInternalRow(Array[Any](m(0), m(1), m(2), m(3)))
+  }
 }
 
 object WavUtil {
@@ -182,6 +194,17 @@ object WavUtil {
     if (channels < 0) null
     else Array(channels, rate, bits,
       if (byteRate > 0 && dataBytes >= 0) dataBytes * 1000L / byteRate else -1L)
+
+  /** Row-shaped wrapper called from generated code — see
+    * [[Mp4Util.evalRow]] for why it must NOT live on the [[WavMeta]]
+    * companion (no static forwarder for a name colliding with
+    * `Expression.eval`). */
+  def evalRow(b: Array[Byte]): InternalRow = {
+    val m = wavMeta(b)
+    if (m == null) null
+    else new GenericInternalRow(Array[Any](
+      m(0), m(1), m(2), if (m(3) < 0) null else m(3)))
+  }
 }
 
 /** `(height << 16) | width` of a JPEG binary column, null when no SOF
@@ -214,11 +237,11 @@ case class Mp4Meta(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override def nullSafeEval(bin: Any): Any =
-    Mp4Meta.eval(bin.asInstanceOf[Array[Byte]])
+    Mp4Util.evalRow(bin.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.Mp4Meta.eval($c);
+      ${ev.value} = graft.functions.Mp4Util.evalRow($c);
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
 
@@ -230,14 +253,6 @@ object Mp4Meta {
   val schema: StructType = StructType(Seq(
     StructField("width", LongType), StructField("height", LongType),
     StructField("duration_ms", LongType), StructField("n_tracks", LongType)))
-
-  /** Called from generated code — must stay a plain static-shaped JVM
-    * method returning InternalRow (null = row-level null). */
-  def eval(b: Array[Byte]): InternalRow = {
-    val m = Mp4Util.mp4Meta(b)
-    if (m == null) null
-    else new GenericInternalRow(Array[Any](m(0), m(1), m(2), m(3)))
-  }
 }
 
 /** RIFF/WAVE metadata: struct<channels, sample_rate, bits,
@@ -248,11 +263,11 @@ case class WavMeta(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override def nullSafeEval(bin: Any): Any =
-    WavMeta.eval(bin.asInstanceOf[Array[Byte]])
+    WavUtil.evalRow(bin.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.WavMeta.eval($c);
+      ${ev.value} = graft.functions.WavUtil.evalRow($c);
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
 
@@ -264,13 +279,6 @@ object WavMeta {
   val schema: StructType = StructType(Seq(
     StructField("channels", LongType), StructField("sample_rate", LongType),
     StructField("bits", LongType), StructField("duration_ms", LongType)))
-
-  def eval(b: Array[Byte]): InternalRow = {
-    val m = WavUtil.wavMeta(b)
-    if (m == null) null
-    else new GenericInternalRow(Array[Any](
-      m(0), m(1), m(2), if (m(3) < 0) null else m(3)))
-  }
 }
 
 object WavPcmUtil {
@@ -345,6 +353,16 @@ object WavPcmUtil {
     }
     Array.tabulate(channels)(c => Array(c.toLong, frames.toLong, sums(c), peaks(c)))
   }
+
+  /** ArrayData-shaped wrapper called from generated code — see
+    * [[Mp4Util.evalRow]] for the static-forwarder constraint. */
+  def evalStats(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = pcmStats(b)
+    if (m == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      m.map(r => new GenericInternalRow(Array[Any](r(0), r(1), r(2), r(3)))
+        : Any))
+  }
 }
 
 /** Per-channel PCM sample statistics of a WAV binary column:
@@ -357,11 +375,11 @@ case class WavPcmStats(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override def nullSafeEval(bin: Any): Any =
-    WavPcmStats.eval(bin.asInstanceOf[Array[Byte]])
+    WavPcmUtil.evalStats(bin.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.WavPcmStats.eval($c);
+      ${ev.value} = graft.functions.WavPcmUtil.evalStats($c);
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
 
@@ -373,16 +391,6 @@ object WavPcmStats {
   val schema: DataType = org.apache.spark.sql.types.ArrayType(StructType(Seq(
     StructField("channel", LongType), StructField("n_frames", LongType),
     StructField("sum_raw", LongType), StructField("peak_raw", LongType))))
-
-  /** Called from generated code — returns ArrayData of InternalRow
-    * (null = row-level null). */
-  def eval(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val m = WavPcmUtil.pcmStats(b)
-    if (m == null) null
-    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      m.map(r => new GenericInternalRow(Array[Any](r(0), r(1), r(2), r(3)))
-        : Any))
-  }
 }
 
 object MediaFunctions {
