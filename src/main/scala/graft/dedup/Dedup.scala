@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
 
@@ -398,10 +399,20 @@ object Dedup {
     * that follows; false negatives are impossible, so the result is
     * EXACTLY the unfiltered exact join (the oracle) at a fraction of
     * the shuffled bytes. Output: (train_id, test_id, n_shared) with at
-    * least `minShared` shared distinct shingles. */
+    * least `minShared` shared distinct shingles.
+    *
+    * `topNPerTest` keeps, per test doc, only the N train docs with the
+    * most shared shingles (ties by train id) — WITHOUT it the report is
+    * per-pair, so its size grows with train-side duplicate density
+    * (quadratic at web-crawl density: every duplicated contaminated
+    * train doc is another row for the same test doc), and a 100 TB
+    * report job would be sized by its own output. Capped, the output is
+    * linear in TEST size — the side that is small by construction —
+    * while the uncapped variant stays available for forensic dumps. */
   def bloomContamination(train: DataFrame, test: DataFrame, idCol: String,
                          textCol: String, shingleN: Int = 3,
-                         minShared: Int = 3, fpp: Double = 0.01): DataFrame = {
+                         minShared: Int = 3, fpp: Double = 0.01,
+                         topNPerTest: Option[Int] = None): DataFrame = {
     val testSh = graft.ops.CacheOnce.swap("bloom-test-shingles",
       test.select(col(idCol).as("test_id"),
         explode(distinctShingles(col(textCol), shingleN)).as("shingle")))
@@ -412,9 +423,17 @@ object Dedup {
     val trainSh = train.select(col(idCol).as("train_id"),
       explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
       .filter(graft.functions.BloomFunctions.mightContainString(bloom, col("shingle")))
-    trainSh.join(testSh, Seq("shingle"))
+    val pairs = trainSh.join(testSh, Seq("shingle"))
       .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    topNPerTest.fold(pairs) { n =>
+      // Partitioned by test_id — the window shuffles test-cardinality
+      // rows, never anything train-sized.
+      val w = Window.partitionBy(col("test_id"))
+        .orderBy(desc("n_shared"), col("train_id"))
+      pairs.withColumn("_r", row_number().over(w)).filter(col("_r") <= n)
+        .drop("_r")
+    }
   }
 
   /** [[minhashNearDups]]' md5 twin — same pipeline (shared shingle set,

@@ -42,7 +42,15 @@ object HilbertRanges {
     val cylo = math.max(ylo, 0L); val cyhi = math.min(yhi, side - 1)
     if (cxlo > cxhi || cylo > cyhi) return Nil
     val out = ArrayBuffer.empty[(Long, Long)]
-    cover(order, cxlo, cxhi, cylo, cyhi, 0L, out)
+    // The EXACT cover is O(window perimeter) intervals — at order 31 an
+    // adversarial grid-wide window would allocate billions of tuples
+    // before coarsening ever ran. The walk therefore carries an
+    // interval budget (a small multiple of maxRanges: enough slack for
+    // the gap-ranked coarsening to pick good separators); once spent,
+    // partial quadrants emit their WHOLE contiguous block instead of
+    // descending. That only ever over-covers — exactly the coarsening
+    // contract callers already re-filter behind.
+    cover(order, cxlo, cxhi, cylo, cyhi, 0L, out, maxRanges.toLong * 64L)
     coarsen(merge(out), maxRanges)
   }
 
@@ -56,9 +64,11 @@ object HilbertRanges {
     * the anti-diagonal, the upper half passes through untouched.
     * Interval boxes stay interval boxes under all three. */
   private def cover(k: Int, xlo: Long, xhi: Long, ylo: Long, yhi: Long,
-                    d0: Long, out: ArrayBuffer[(Long, Long)]): Unit = {
+                    d0: Long, out: ArrayBuffer[(Long, Long)],
+                    budget: Long): Unit = {
     val side = 1L << k
-    if (xlo == 0 && ylo == 0 && xhi == side - 1 && yhi == side - 1) {
+    if (xlo == 0 && ylo == 0 && xhi == side - 1 && yhi == side - 1
+      || out.size >= budget) {
       out += ((d0, d0 + side * side - 1)); return
     }
     val s = side >> 1
@@ -72,10 +82,10 @@ object HilbertRanges {
         val lxlo = qxlo - rx * s; val lxhi = qxhi - rx * s
         val lylo = qylo - ry * s; val lyhi = qyhi - ry * s
         val base = d0 + q * s * s
-        if (ry == 1L) cover(k - 1, lxlo, lxhi, lylo, lyhi, base, out)
-        else if (rx == 0L) cover(k - 1, lylo, lyhi, lxlo, lxhi, base, out)
+        if (ry == 1L) cover(k - 1, lxlo, lxhi, lylo, lyhi, base, out, budget)
+        else if (rx == 0L) cover(k - 1, lylo, lyhi, lxlo, lxhi, base, out, budget)
         else cover(k - 1, s - 1 - lyhi, s - 1 - lylo, s - 1 - lxhi, s - 1 - lxlo,
-          base, out)
+          base, out, budget)
       }
       q += 1
     }

@@ -159,10 +159,12 @@ object ScaleOps {
   def ensureSortedBy(df: DataFrame, path: String, key: String, numFiles: Int,
                      srcFingerprint: String = "",
                      writeOptions: Map[String, String] = Map.empty): Unit = {
-    // Options participate in the freshness fingerprint: changing e.g.
-    // parquet.block.size must rewrite the layout, not serve the old one.
+    // Options participate in the freshness fingerprint UNCONDITIONALLY:
+    // changing e.g. parquet.block.size must rewrite the layout, not
+    // serve the old one — including when no source fingerprint was
+    // given (an empty fp would let layoutFresh pass on _SUCCESS alone).
     val fp =
-      if (srcFingerprint.isEmpty || writeOptions.isEmpty) srcFingerprint
+      if (writeOptions.isEmpty) srcFingerprint
       else srcFingerprint + "|" +
         writeOptions.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
     if (!layoutFresh(df.sparkSession, path, fp)) {

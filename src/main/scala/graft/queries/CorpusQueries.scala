@@ -305,6 +305,13 @@ $out"""
     * with a Bloom of the test shingles — false-negative-free, false
     * positives killed by the exact join — so its result is literally
     * this SQL; the bloom only changes how many bytes shuffle. */
+  // Per-test-doc cap on reported train matches: without it the report
+  // is per-PAIR, quadratic in train-side duplicate density (the sf1
+  // sweep measured 100x more output at 10x data — SCALE.md); capped,
+  // output is linear in test size. 20 matches is plenty to act on a
+  // contaminated benchmark item.
+  private val contaminationTopN = 20
+
   private val bloomContaminationSql: String = {
     val tri = "list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) " +
       "THEN x || ' ' || ts[i + 1] || ' ' || ts[i + 2] END)"
@@ -317,10 +324,12 @@ trsh AS (SELECT DISTINCT doc_id, shingle FROM (
 tetk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM tec),
 tesh AS (SELECT DISTINCT doc_id, shingle FROM (
   SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-    ELSE $tri END) AS shingle FROM tetk) WHERE shingle IS NOT NULL)
-SELECT tr.doc_id AS train_id, te.doc_id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
-FROM trsh tr JOIN tesh te USING (shingle)
-GROUP BY 1, 2 HAVING count(*) >= 3"""
+    ELSE $tri END) AS shingle FROM tetk) WHERE shingle IS NOT NULL),
+pairs AS (SELECT tr.doc_id AS train_id, te.doc_id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM trsh tr JOIN tesh te USING (shingle)
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT train_id, test_id, n_shared FROM pairs
+QUALIFY row_number() OVER (PARTITION BY test_id ORDER BY n_shared DESC, train_id) <= $contaminationTopN"""
   }
 
   /** Oracle for dd_verbatim_spans (k=3, minSpan=6, docFreq cap 20):
@@ -367,15 +376,25 @@ FROM r GROUP BY train_id, test_id, diag, isl HAVING count(*) + 2 >= 6"""
   private val annPlanes = 6
   private val annTables = 12
   private val annCap = 100
+  // Per-(table, bucket) member cap: the sf1-fixture sweep measured the
+  // UNCAPPED bucket-pair fanout as the 22x-slope driver at 10-copy
+  // near-dup density (SCALE.md). 128 is a no-op at the correctness SFs
+  // (sf0.01 buckets average ~8 members) and bounds any bucket's pair
+  // contribution to cap^2/2 at web-crawl density.
+  private val annBucketCap = 128
 
-  /** CTEs nv/pl/dp/bk/co/sym/cnd/sc: norm-filtered corpus, buckets,
-    * collision-counted pairs, per-query candidate cap, exact rescoring —
-    * mirrors [[Similarity.annScored]]. */
-  private def annScoredCtes(numPlanes: Int, numTables: Int, cap: Int): String =
+  /** CTEs nv/pl/dp/bk/bks/co/sym/cnd/sc: norm-filtered corpus, buckets,
+    * per-bucket member sampling, collision-counted pairs, per-query
+    * candidate cap, exact rescoring — mirrors [[Similarity.annScored]]. */
+  private def annScoredCtes(numPlanes: Int, numTables: Int, cap: Int,
+                            bucketCap: Int): String =
     s"""${OracleSqlGen.nvCte(64)},
 ${OracleSqlGen.lshBucketCtes(numPlanes, numTables, 64, 42L)},
+bks AS (SELECT vec_id, t, bucket FROM (SELECT bk.*,
+  row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS br FROM bk)
+  WHERE br <= $bucketCap),
 co AS (SELECT l.vec_id AS id1, r.vec_id AS id2, CAST(count(*) AS BIGINT) AS n_tbl
-  FROM bk l JOIN bk r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+  FROM bks l JOIN bks r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
   GROUP BY 1, 2),
 sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, n_tbl FROM co
   UNION ALL SELECT id2, id1, n_tbl FROM co),
@@ -969,7 +988,7 @@ FROM documents""") { (s, d) =>
     // cannot produce these sums.
     Q("mm_wav_pcm", {
       def byteAt(pos: String) = OracleSqlGen.hexAt("hx", pos, 2)
-      val off = "((g2.i * ch + channel) * bp)"
+      val off = "((i * ch + channel) * bp)"
       val b0 = byteAt(s"$off*2+1")
       val b1 = byteAt(s"$off*2+3")
       val b2 = byteAt(s"$off*2+5")
@@ -984,8 +1003,8 @@ FROM documents""") { (s, d) =>
   FROM documents WHERE doc_id % 3 = 1),
 f AS (SELECT *, nb // (ch * bp) AS n_frames FROM w),
 c AS (SELECT f.*, g.c AS channel FROM f, generate_series(0, 1) g(c) WHERE g.c < ch),
-s AS (SELECT c.doc_id, c.channel, c.n_frames, $v AS v
-      FROM c, generate_series(0, 4095) g2(i) WHERE g2.i < n_frames)
+i0 AS (SELECT c.*, unnest(generate_series(0, n_frames - 1)) AS i FROM c),
+s AS (SELECT doc_id, channel, n_frames, $v AS v FROM i0)
 SELECT doc_id, CAST(channel AS BIGINT) AS channel,
   CAST(n_frames AS BIGINT) AS n_frames,
   CAST(sum(v) AS BIGINT) AS sum_raw,
@@ -1047,10 +1066,10 @@ FROM m""") { (s, d) =>
     // rescore itself. numPlanes is pinned (not the auto log2(N) default)
     // so the oracle's plane literal is valid at any SF.
     Q("s_ann_topk",
-      s"WITH ${annScoredCtes(annPlanes, annTables, annCap)} ${topKSql(5)}") { (s, d) =>
+      s"WITH ${annScoredCtes(annPlanes, annTables, annCap, annBucketCap)} ${topKSql(5)}") { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding", 5,
         numPlanes = Some(annPlanes), numTables = annTables,
-        candidateCap = Some(annCap))
+        bucketCap = Some(annBucketCap), candidateCap = Some(annCap))
     },
 
     // Embedding cosine near-dup pairs via multi-table LSH (8 planes x 4
@@ -1076,11 +1095,11 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
     // corpora the same machinery reaches recall >= 0.6 under 5%
     // (spec-proven in AnnScaleSpec).
     Q("s_ann_recall",
-      s"WITH ${annScoredCtes(annPlanes, annTables, annCap)}$recallReportSql") { (s, d) =>
+      s"WITH ${annScoredCtes(annPlanes, annTables, annCap, annBucketCap)}$recallReportSql") { (s, d) =>
       recallReport(s, d)(
         Similarity.annScored(Tables.embeddings(s, d), "vec_id", "embedding",
           numPlanes = Some(annPlanes), numTables = annTables,
-          candidateCap = Some(annCap)))
+          bucketCap = Some(annBucketCap), candidateCap = Some(annCap)))
     },
 
     // IVF ANN top-k (deterministic smallest-id centroids; the oracle
@@ -1265,13 +1284,16 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
     // into a Bloom riding the plan; the train scan drops non-members
     // before any exchange, the exact join kills false positives — the
     // oracle is the plain exact join (bloom is false-negative-free, so
-    // the results are identical by construction).
+    // the results are identical by construction). Report capped to the
+    // strongest contaminationTopN train matches per test doc so output
+    // rides test size, not train duplicate density.
     Q("dd_bloom_contamination", bloomContaminationSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       Dedup.bloomContamination(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", shingleN = 3, minShared = 3)
+        "doc_id", "text", shingleN = 3, minShared = 3,
+        topNPerTest = Some(contaminationTopN))
     },
 
     // Verbatim-span contamination: the maximal copied token runs

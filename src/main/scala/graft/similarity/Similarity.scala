@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *    candidate-pair aggregate.
   *  - Corpus-size discipline: `numPlanes` defaults to [[planesFor]] (grows
   *    with log2 of the corpus so expected bucket population stays fixed as
-  *    N grows), `bucketCap` drops degenerate hot buckets (a near-constant
-  *    embedding region must not turn the bucket join quadratic), and
+  *    N grows), `bucketCap` samples hot buckets down to a fixed member
+  *    count (a near-constant embedding region must not turn the bucket
+  *    join quadratic), and
   *    `candidateCap` bounds the exact-rescore cost per query by keeping
   *    only the candidates with the strongest cross-table collision
   *    evidence. All three are the knobs that hold the candidate fraction
@@ -221,19 +222,24 @@ object Similarity {
   /** Candidate id pairs (id1 < id2) with their cross-table collision
     * count `n_tbl` (how many of the `numTables` tables bucketed them
     * together — the ranking signal for [[annScored]]'s candidateCap).
-    * `bucketCap` drops any (table, bucket) with more members than the
-    * cap BEFORE the self-join: a degenerate hot bucket (all-similar
-    * embedding region, adversarial constant vectors) would otherwise
-    * contribute population² candidate pairs on its own. */
+    * `bucketCap` SAMPLES each (table, bucket) down to its cap
+    * lowest-id members BEFORE the self-join, a hard per-bucket bound on
+    * pair fanout: a hot bucket (a dense near-dup region, adversarial
+    * constant vectors, or a 10×-denser corpus at the same plane count)
+    * would otherwise contribute population² candidate pairs on its own.
+    * Sampling — not dropping the bucket — keeps recall degradation
+    * graceful: the bucket still contributes cap²/2 representative pairs,
+    * and the deterministic id order makes the cut oracle-reproducible
+    * (`row_number() OVER (PARTITION BY t, bucket ORDER BY id)`). The
+    * window shuffles on the same (tbl, bucket) key the collision join
+    * shuffles on, so the cap adds no extra exchange shape at scale. */
   private[graft] def lshCollisions(df: DataFrame, idCol: String, vecCol: String,
                                    numPlanes: Int, numTables: Int, dim: Int,
                                    seed: Long, bucketCap: Option[Int] = None): DataFrame = {
     val b0 = bucketTables(df, idCol, vecCol, numPlanes, numTables, dim, seed)
     val b = bucketCap.fold(b0) { cap =>
-      // Keyed by the same (tbl, bucket) the join shuffles on; the size
-      // table is bucket-cardinality-sized, never corpus-sized.
-      val sizes = b0.groupBy("tbl", "bucket").agg(count(lit(1)).as("_bsz"))
-      b0.join(sizes.filter(col("_bsz") <= cap), Seq("tbl", "bucket"))
+      val w = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
+      b0.withColumn("_br", row_number().over(w)).filter(col("_br") <= cap)
         .select(col(idCol), col("tbl"), col("bucket"))
     }
     val l = b.select(col(idCol).as("id1"), col("tbl"), col("bucket"))

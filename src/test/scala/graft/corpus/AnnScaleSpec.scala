@@ -81,15 +81,20 @@ class AnnScaleSpec extends SparkSpec {
     assert(ann.forall { case Seq(a: Long, b: Long) => a != 3L && b != 3L })
   }
 
-  test("bucketCap drops a degenerate hot bucket; candidateCap bounds per-query rescore") {
+  test("bucketCap samples a degenerate hot bucket; candidateCap bounds per-query rescore") {
     // 40 identical vectors: every table has ONE bucket holding all of
-    // them -> 780 pairs uncapped; a bucketCap below 40 kills them all.
+    // them -> 780 pairs uncapped; bucketCap=10 keeps the 10 lowest ids
+    // per (table, bucket) — the SAME 10 in each table here — so the
+    // bucket still contributes its 45 representative pairs instead of
+    // vanishing (graceful degradation, not a recall cliff).
     val same = (0 until 40).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f)))
       .toDF("id", "v")
     val uncapped = Similarity.lshCandidates(same, "id", "v", 4, 3, 4, 1L)
     assert(uncapped.count() == 780L)
     val capped = Similarity.lshCandidates(same, "id", "v", 4, 3, 4, 1L, bucketCap = Some(10))
-    assert(capped.count() == 0L)
+    val cappedRows = capped.collect()
+    assert(cappedRows.length == 45L)
+    assert(cappedRows.forall(r => r.getLong(0) < 10L && r.getLong(1) < 10L))
     // candidateCap: no query rescores more than cap neighbors
     val scored = Similarity.annScored(same, "id", "v", numPlanes = Some(4),
       numTables = 3, dim = 4, seed = 1L, candidateCap = Some(5))

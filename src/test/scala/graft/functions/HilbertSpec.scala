@@ -114,6 +114,23 @@ class HilbertSpec extends SparkSpec {
       Seq((0L, (1L << 32) - 1)))
   }
 
+  test("adversarial wide window at order 31 stays budget-bounded (no perimeter blow-up)") {
+    // A grid-wide 3-row band at order 31: the EXACT cover would be
+    // O(2^31) intervals — the budgeted walk must return within the cap,
+    // quickly, and still cover the window (over-cover only).
+    val side = 1L << 31
+    val t0 = System.nanoTime()
+    val rs = HilbertRanges.ranges(0, side - 1, 1000, 1002, 31, maxRanges = 32)
+    assert((System.nanoTime() - t0) < 10e9, "budgeted cover took >10s")
+    assert(rs.nonEmpty && rs.size <= 32)
+    // Sampled window cells must be covered.
+    Seq(0L, side / 3, side / 2, side - 1).foreach { x =>
+      val d = HilbertUtil.hilbert2(x, 1001L, 31)
+      assert(rs.exists { case (lo, hi) => lo <= d && d <= hi },
+        s"cell ($x,1001) -> $d not covered")
+    }
+  }
+
   test("locality beats Morton on window straddling (the sc7 claim in miniature)") {
     // Sort a 128x128 grid by each curve, cut into 64 equal "row groups",
     // and count groups whose [min,max] on BOTH axes overlap a fixed
