@@ -68,29 +68,42 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       }
+    // Millisecond precision: sub-ms digits are pure noise at these
+    // scales and triple the line's footprint in tail-truncated logs.
+    def fmt(sec: Double): String = BigDecimal(sec)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.toSeq.sortBy(_._1).map {
-      case (k, Right(sec)) => s""""${esc(k)}":$sec"""
+      case (k, Right(sec)) => s""""${esc(k)}":${fmt(sec)}"""
       case (k, Left(err)) => s""""${esc(k)}":{"err":"${esc(err)}"}"""
     }.mkString("{", ",", "}")
     val ok = results.values.collect { case Right(s) => s }
     val nFailed = results.values.count(_.isLeft)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
-    println(line)
-    // The stdout line gets tail-truncated by log capture in practice, so
-    // the FULL per-query record is also written to a file — the durable
-    // machine-readable copy (commit it as BENCH_LOCAL_r{N}.json).
-    try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
-      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full per-query record written to $out")
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+    // Log capture tail-truncates stdout in practice, so the full record
+    // is ALSO written durably — to the env-pointed path AND to
+    // BENCH_FULL.json in the working directory, where a repo checkout
+    // keeps the latest full per-query map under version control even
+    // when the captured stdout window cuts the line.
+    val targets = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"),
+      "BENCH_FULL.json")
+    targets.foreach { t =>
+      try {
+        val out = java.nio.file.Paths.get(t)
+        if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] full per-query record written to $out")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not write $t: ${e.getMessage}")
+      }
     }
+    // The JSON line goes LAST: nothing this process prints may follow
+    // it, so a last-line / tail-window parser has the best chance of
+    // seeing the complete record.
+    println(line)
     spark.stop()
   }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Sinks (SURVEY.md §2.2): header CSV products, timestamped snapshots,
-  * GeoJSON feature collections, parquet checkpoints, CKAN upload stub.
+  * GeoJSON feature collections, parquet checkpoints, CKAN
+  * resource_update upload.
   *
   * Scale note: the CSV products in the reference are small analytic
   * outputs (summaries, QA frames), so `coalesce(1)` mirrors R's
@@ -112,9 +113,50 @@ object Sinks {
       StandardOpenOption.WRITE)
   }
 
-  /** K4: CKAN `resource_update` (ningaloo-etl.Rmd:429-438) — a driver-side
-    * HTTP POST in production. STUB: this environment has no egress, so the
-    * request is described, never sent. */
-  def ckanUploadStub(path: String, resourceId: String, apiUrl: String): String =
-    s"POST $apiUrl/api/3/action/resource_update id=$resourceId upload=@$path (stubbed, not sent)"
+  /** K4: CKAN `resource_update` (ningaloo-etl.Rmd:429-438;
+    * upload_workbooks.R:2-4) — the out-of-engine LOAD step: POST a
+    * written product file to CKAN's action API as a multipart/form-data
+    * upload, mirroring `ckanr::resource_update(id, path)` (form field
+    * `id`, file part `upload`, the API key as the `Authorization`
+    * header). Driver-side I/O over a small analytic output — never
+    * executor work; plain JDK HttpURLConnection, no HTTP library.
+    * Returns the response body (CKAN's action JSON). Unit-covered
+    * against a loopback server (egress is blocked in this
+    * environment); any reachable CKAN endpoint works the same way. */
+  def ckanResourceUpdate(path: String, resourceId: String, apiUrl: String,
+                         apiKey: String = ""): String = {
+    val boundary = "----graft" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val target = java.net.URI.create(
+      s"${apiUrl.stripSuffix("/")}/api/3/action/resource_update").toURL
+    val conn = target.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    if (apiKey.nonEmpty) conn.setRequestProperty("Authorization", apiKey)
+    conn.setRequestProperty("Content-Type",
+      s"multipart/form-data; boundary=$boundary")
+    val p = Paths.get(path)
+    val crlf = "\r\n"
+    val head =
+      (s"--$boundary$crlf" +
+        s"""Content-Disposition: form-data; name="id"$crlf$crlf""" +
+        s"$resourceId$crlf" +
+        s"--$boundary$crlf" +
+        s"""Content-Disposition: form-data; name="upload"; filename="${p.getFileName}"$crlf""" +
+        s"Content-Type: application/octet-stream$crlf$crlf").getBytes("UTF-8")
+    val tail = s"$crlf--$boundary--$crlf".getBytes("UTF-8")
+    val out = conn.getOutputStream
+    try {
+      out.write(head)
+      Files.copy(p, out)
+      out.write(tail)
+    } finally out.close()
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body =
+      if (in == null) ""
+      else try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    if (code >= 400)
+      throw new java.io.IOException(s"resource_update $resourceId -> HTTP $code: $body")
+    body
+  }
 }

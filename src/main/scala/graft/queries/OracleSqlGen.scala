@@ -28,20 +28,23 @@ object OracleSqlGen {
     * -> a BIGINT in [0, 2^32). */
   def hex8(x: String, pos: Int): String = hexAt(x, pos.toString, 8)
 
-  /** Index-ordered dot product of two array columns (elements cast to
-    * DOUBLE; same left-to-right IEEE accumulation as the codegen'd
-    * DotProduct expression). */
+  /** Index-ordered dot product of two array columns, cast to DOUBLE[]
+    * so accumulation is double-precision left-to-right — measured
+    * BIT-EXACT against the former per-element
+    * `sum() FROM generate_series` form (and against the codegen'd
+    * DotProduct expression), but orders of magnitude faster in DuckDB:
+    * the correlated scalar subquery per pair was the oracle-side cost
+    * that made brute-force twins die at the 10x fixture. `dim` is kept
+    * for call-site documentation (arrays are schema-fixed at dim). */
   def dot(a: String, b: String, dim: Int): String =
-    s"(SELECT sum(CAST($a[g.i] AS DOUBLE) * CAST($b[g.i] AS DOUBLE)) " +
-      s"FROM generate_series(1, $dim) g(i))"
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
   def norm(a: String, dim: Int): String = s"sqrt(${dot(a, a, dim)})"
 
   /** Dot of an array column against table `t`/plane `p` of the inlined
     * hyperplane literal `tabs` (already DOUBLE). */
   def planeDot(vec: String, dim: Int): String =
-    s"(SELECT sum(CAST($vec[g.i] AS DOUBLE) * tabs[t.t][p.p][g.i]) " +
-      s"FROM generate_series(1, $dim) g(i))"
+    s"list_dot_product(CAST($vec AS DOUBLE[]), tabs[t.t][p.p])"
 
   /** The full numTables x numPlanes x dim hyperplane set as one nested
     * DuckDB list literal — the same values `Similarity.tableData` bakes

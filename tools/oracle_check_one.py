@@ -1,11 +1,18 @@
 #!/usr/bin/env python3
-"""Single-query slice of oracle_check.py with a DuckDB memory cap —
+"""Single-query slice of oracle_check.py with a DuckDB resource budget —
 run per query from a driver loop so one exploding oracle SQL is an
 isolated, attributable failure (timeout/OOM) instead of taking the
 whole sweep down.
 
 Usage: oracle_check_one.py <sfDir> <verifyOutDir> <queryName> [memLimit]
+Env:   GRAFT_DUCKDB_TMP   spill directory (default: <verifyOutDir>/duckdb_tmp
+                          — out-of-core operators spill there instead of
+                          failing at the memory cap)
+       GRAFT_DUCKDB_THREADS  worker threads (default: duckdb's own default)
 Prints one line: "<name>\t<STATUS>[\t<detail>]"
+
+Note the comparison itself is DuckDB-native hashing-free sort+diff over
+pandas; the RESOURCE knobs only bound the oracle SQL evaluation.
 """
 import glob
 import json
@@ -18,6 +25,12 @@ sfdir, outdir, name = sys.argv[1], sys.argv[2], sys.argv[3]
 mem = sys.argv[4] if len(sys.argv) > 4 else "24GB"
 con = duckdb.connect()
 con.sql(f"SET memory_limit='{mem}'")
+tmp = os.environ.get("GRAFT_DUCKDB_TMP", os.path.join(outdir, "duckdb_tmp"))
+os.makedirs(tmp, exist_ok=True)
+con.sql(f"SET temp_directory='{tmp}'")
+threads = os.environ.get("GRAFT_DUCKDB_THREADS")
+if threads:
+    con.sql(f"SET threads={int(threads)}")
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
     con.sql(f"create view {t} as select * from '{sfdir}/{t}.parquet'")
