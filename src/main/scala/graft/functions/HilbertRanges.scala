@@ -54,6 +54,76 @@ object HilbertRanges {
     coarsen(merge(out), maxRanges)
   }
 
+  /** 3-D analog of [[ranges]]: Hilbert-index intervals (inclusive,
+    * sorted, disjoint) covering every cell of
+    * [xlo,xhi]×[ylo,yhi]×[zlo,zhi] on the 2^order cube, against
+    * [[HilbertUtil.hilbert3]]. At most `maxRanges` intervals are
+    * returned (over-covering when coarsened) — the (user, day, hour)
+    * layout predicate for a table sorted by `hilbert3`.
+    *
+    * Unlike the 2-D walk, the cover does NOT mirror the curve's
+    * per-octant coordinate transforms (Skilling's construction makes
+    * those state-dependent and fiddly). It exploits the one property
+    * any Hilbert curve has BY CONSTRUCTION: every axis-aligned
+    * sub-cube of side 2^k maps to one contiguous index block of
+    * length 8^k, aligned to a multiple of 8^k (the curve fills each
+    * octant completely before leaving it, at every level — pinned
+    * exhaustively in HilbertSpec). So the walk recurses over GLOBAL
+    * octant cubes, and a cube that is fully inside the window (or hit
+    * by the budget) emits its whole block as
+    * `d − (d mod 8^k)` where d is the full-order index of ANY of its
+    * cells — no inverse orientation state machine needed.
+    */
+  def ranges3(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+              zlo: Long, zhi: Long, order: Int,
+              maxRanges: Int = 32): Seq[(Long, Long)] = {
+    require(order >= 1 && order <= 20, "hilbert ranges3: order must be in [1, 20]")
+    require(maxRanges >= 1, "hilbert ranges3: maxRanges must be >= 1")
+    val side = 1L << order
+    val cxlo = math.max(xlo, 0L); val cxhi = math.min(xhi, side - 1)
+    val cylo = math.max(ylo, 0L); val cyhi = math.min(yhi, side - 1)
+    val czlo = math.max(zlo, 0L); val czhi = math.min(zhi, side - 1)
+    if (cxlo > cxhi || cylo > cyhi || czlo > czhi) return Nil
+    val out = ArrayBuffer.empty[(Long, Long)]
+    // Same budget contract as the 2-D walk: the exact 3-D cover is
+    // O(window surface) intervals; once the budget is spent, partial
+    // octants emit their whole aligned block (over-cover only).
+    cover3(order, 0L, 0L, 0L, cxlo, cxhi, cylo, cyhi, czlo, czhi, order,
+      out, maxRanges.toLong * 64L)
+    coarsen(merge(out), maxRanges)
+  }
+
+  /** Recursive global-octant walk for [[ranges3]]. The cube has corner
+    * (cx, cy, cz) and side 2^k; the window is clipped to the grid and
+    * known to intersect the cube. */
+  private def cover3(k: Int, cx: Long, cy: Long, cz: Long,
+                     xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+                     zlo: Long, zhi: Long, order: Int,
+                     out: ArrayBuffer[(Long, Long)], budget: Long): Unit = {
+    val s = 1L << k
+    if ((xlo <= cx && cx + s - 1 <= xhi &&
+         ylo <= cy && cy + s - 1 <= yhi &&
+         zlo <= cz && cz + s - 1 <= zhi) || out.size >= budget) {
+      val block = 1L << (3 * k)
+      val d = HilbertUtil.hilbert3(cx, cy, cz, order)
+      val start = d - (d & (block - 1))
+      out += ((start, start + block - 1)); return
+    }
+    val h = s >> 1
+    var oct = 0
+    while (oct < 8) {
+      val ox = cx + (if ((oct & 1) != 0) h else 0L)
+      val oy = cy + (if ((oct & 2) != 0) h else 0L)
+      val oz = cz + (if ((oct & 4) != 0) h else 0L)
+      if (xlo <= ox + h - 1 && ox <= xhi &&
+          ylo <= oy + h - 1 && oy <= yhi &&
+          zlo <= oz + h - 1 && oz <= zhi)
+        cover3(k - 1, ox, oy, oz, xlo, xhi, ylo, yhi, zlo, zhi, order,
+          out, budget)
+      oct += 1
+    }
+  }
+
   /** Recursive quadrant walk. The window is non-empty and clipped to
     * the current frame's [0, 2^k)² grid; the frame's curve spans
     * indices [d0, d0 + 4^k). Quadrants are visited in curve order

@@ -103,6 +103,13 @@ object GraftSqlFunctions {
         intLit("graft_hilbert2", "order")(args(2)))
     },
 
+    fd("graft_hilbert3", classOf[Hilbert3],
+      "graft_hilbert3(a, b, c, order) - Hilbert-curve index of three non-negative keys on the 2^order cube") { args =>
+      arity("graft_hilbert3", 4, args)
+      Hilbert3(Cast(args.head, LongType), Cast(args(1), LongType),
+        Cast(args(2), LongType), intLit("graft_hilbert3", "order")(args(3)))
+    },
+
     fd("graft_jpeg_dims_packed", classOf[JpegDimsPacked],
       "graft_jpeg_dims_packed(bin) - (height << 16) | width from the JPEG SOF header, null if none") { args =>
       arity("graft_jpeg_dims_packed", 1, args)

@@ -366,6 +366,46 @@ GROUP BY 1""") { (s, d) =>
       q
     },
 
+    // 3-D HILBERT RANGE PUSHDOWN (sc10): sc9's thesis one dimension
+    // up — the natural 100 TB events layout clusters (user, day,
+    // HOUR) so time-of-day windows prune too, which no 2-D curve
+    // gives you. Same contract: decompose the 3-D window into
+    // contiguous hilbert3 intervals (octant walk + aligned-block
+    // trick in HilbertRanges.ranges3), predicate the SORT KEY ITSELF,
+    // keep the exact per-dimension filters as the residual. REQUIREs
+    // (a) row-group pruning via hv3's OWN footer stats and (b) the
+    // interval predicate in the scan's PushedFilters.
+    Q("sc10_hilbert3_range_scan",
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM (" +
+        "SELECT event_type, user_id, date_part('doy', CAST(ts AS TIMESTAMP)) AS doy, " +
+        "date_part('hour', CAST(ts AS TIMESTAMP)) AS hod " +
+        "FROM events) WHERE user_id BETWEEN 30 AND 69 AND doy BETWEEN 12 AND 18 " +
+        "AND hod BETWEEN 6 AND 17 GROUP BY 1") { (s, d) =>
+      prepare(s, d)
+      val path = hilbert3EventsPath(s, d)
+      val rs = graft.functions.HilbertRanges.ranges3(
+        30, 69, 12, 18, 6, 17, order = 14, maxRanges = 32)
+      val hvStats = ScaleOps.rowGroupRanges(path, "hv3")
+      val overlap = hvStats.count { case (lo, hi) =>
+        rs.exists { case (rlo, rhi) => hi >= rlo && lo <= rhi } }
+      require(hvStats.nonEmpty && overlap * 2 <= hvStats.size,
+        s"hilbert3 range pushdown not pruning: $overlap of ${hvStats.size} " +
+          "row groups intersect the decomposed intervals on hv3's own stats")
+      val hvPred = rs.map { case (lo, hi) => col("hv3").between(lo, hi) }
+        .reduce(_ || _)
+      val q = s.read.parquet(path)
+        .filter(hvPred && col("user_id").between(30, 69) &&
+          col("doy").between(12, 18) && col("hod").between(6, 17))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val scans = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty && scans.forall(
+        _.metadata.get("PushedFilters").exists(_.contains("hv3"))),
+        "hv3 interval predicate did not reach the scan's PushedFilters")
+      q
+    },
+
     // SMALL-FILE COMPACTION (sc8): the operational 100 TB problem the
     // other layout queries assume away — streaming ingest lands
     // thousands of per-micro-batch files, and every query pays
@@ -530,6 +570,16 @@ GROUP BY 1""") { (s, d) =>
       // thousands of 128 MB groups; 8 one-group files would make every
       // skipping claim granularity-bound rather than layout-bound).
       writeOptions = Map("parquet.block.size" -> "16384"))
+    ScaleOps.ensureSortedBy(
+      Tables.events(spark, sfDir).select(
+        col("user_id"), dayofyear(col("ts")).cast("long").as("doy"),
+        hour(col("ts")).cast("long").as("hod"),
+        col("event_type"), col("value"))
+        .withColumn("hv3", graft.functions.HilbertFunctions.hilbert3(
+          col("user_id"), col("doy"), col("hod"))),
+      hilbert3EventsPath(spark, sfDir), "hv3", numFiles = 8,
+      srcFingerprint = eventsFp,
+      writeOptions = Map("parquet.block.size" -> "16384"))
     ScaleOps.ensureFragmented(
       Tables.events(spark, sfDir).select("event_id", "event_type", "value"),
       fragmentedEventsPath(spark, sfDir), 64, eventsFp)
@@ -541,6 +591,11 @@ GROUP BY 1""") { (s, d) =>
   private def hilbertEventsPath(spark: org.apache.spark.sql.SparkSession,
                                 sfDir: String): String =
     warehousePath(spark, sfDir, "h")
+
+  /** 3-D Hilbert-ordered events layout path for `sfDir`. */
+  private def hilbert3EventsPath(spark: org.apache.spark.sql.SparkSession,
+                                 sfDir: String): String =
+    warehousePath(spark, sfDir, "h3")
 
   /** Deliberately-fragmented events copy (the sc8 "before"). */
   private def fragmentedEventsPath(spark: org.apache.spark.sql.SparkSession,

@@ -136,6 +136,12 @@ class CodegenGateSpec extends SparkSpec {
       HilbertFunctions.hilbert2(col("x"), col("y"), 16))
   }
 
+  test("codegen gate: Hilbert3") {
+    val v = gate(rddDf("x bigint, y bigint, z bigint")(Row(3L, 5L, 7L)),
+      HilbertFunctions.hilbert3(col("x"), col("y"), col("z"), 14))
+    assert(v == HilbertUtil.hilbert3(3L, 5L, 7L, 14))
+  }
+
   test("codegen gate: Morton2") {
     gate(rddDf("x bigint, y bigint")(Row(3L, 5L)),
       ZOrderFunctions.morton2(col("x"), col("y")))

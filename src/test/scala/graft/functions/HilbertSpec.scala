@@ -131,6 +131,127 @@ class HilbertSpec extends SparkSpec {
     }
   }
 
+  test("hilbert3 bijection: the 8x8x8 cube maps exactly onto 0..511") {
+    val order = 3
+    val ds = for (x <- 0 until 8; y <- 0 until 8; z <- 0 until 8)
+      yield HilbertUtil.hilbert3(x, y, z, order)
+    assert(ds.toSet == (0 until 512).map(_.toLong).toSet)
+  }
+
+  test("hilbert3 unit-step locality: consecutive indices are adjacent cells") {
+    val order = 3
+    val inv = (0 until 512).map(d => HilbertUtil.hilbert3Inverse(d, order))
+    inv.sliding(2).foreach { case Seq((x1, y1, z1), (x2, y2, z2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"non-adjacent step ($x1,$y1,$z1) -> ($x2,$y2,$z2)")
+    }
+  }
+
+  test("hilbert3 round trip at order 14") {
+    val rng = new scala.util.Random(17)
+    (0 until 500).foreach { _ =>
+      val x = rng.nextInt(1 << 14).toLong
+      val y = rng.nextInt(1 << 14).toLong
+      val z = rng.nextInt(1 << 14).toLong
+      val d = HilbertUtil.hilbert3(x, y, z, 14)
+      assert(d >= 0 && d < (1L << 42))
+      assert(HilbertUtil.hilbert3Inverse(d, 14) == ((x, y, z)), s"($x,$y,$z) via $d")
+    }
+  }
+
+  test("hilbert3 aligned-block property: every sub-cube is one aligned contiguous block") {
+    // The property ranges3's aligned-block trick rests on: each
+    // axis-aligned sub-cube of side 2^k maps to a CONTIGUOUS index
+    // block of length 8^k ALIGNED to a multiple of 8^k. Exhaustive at
+    // order 4 over every level and every sub-cube.
+    val order = 4; val side = 1 << order
+    for (k <- 1 until order) {
+      val s = 1 << k; val block = 1L << (3 * k)
+      for (cx <- 0 until side by s; cy <- 0 until side by s; cz <- 0 until side by s) {
+        val ds = for (x <- cx until cx + s; y <- cy until cy + s; z <- cz until cz + s)
+          yield HilbertUtil.hilbert3(x, y, z, order)
+        val lo = ds.min; val hi = ds.max
+        assert(hi - lo + 1 == block && lo % block == 0 && ds.toSet.size == block.toInt,
+          s"sub-cube ($cx,$cy,$cz) side $s: [$lo,$hi] not an aligned 8^$k block")
+      }
+    }
+  }
+
+  test("hilbert3 expression matches the util through the DataFrame path") {
+    val rows = (0 until 200).map(i =>
+      Row(i.toLong * 7 % 1500, i.toLong * 13 % 366, i.toLong * 5 % 24))
+    val d = df("x bigint, y bigint, z bigint")(rows)
+    val got = d.select(col("x"), col("y"), col("z"),
+        HilbertFunctions.hilbert3(col("x"), col("y"), col("z")).as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) ==
+        HilbertUtil.hilbert3(r.getLong(0), r.getLong(1), r.getLong(2), 14))
+    }
+  }
+
+  test("ranges3 covers a window EXACTLY (exhaustive at order 2)") {
+    val order = 2; val n = 1 << order
+    for (xlo <- 0 until n; xhi <- xlo until n;
+         ylo <- 0 until n; yhi <- ylo until n;
+         zlo <- 0 until n; zhi <- zlo until n) {
+      val want = (for (x <- xlo to xhi; y <- ylo to yhi; z <- zlo to zhi)
+        yield HilbertUtil.hilbert3(x, y, z, order)).toSet
+      val rs = HilbertRanges.ranges3(xlo, xhi, ylo, yhi, zlo, zhi, order,
+        maxRanges = Int.MaxValue)
+      val got = rs.flatMap { case (lo, hi) => lo to hi }.toSet
+      assert(got == want, s"window [$xlo,$xhi]x[$ylo,$yhi]x[$zlo,$zhi]: $rs")
+      rs.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1, s"unmerged: $rs")
+        case _ =>
+      }
+    }
+  }
+
+  test("ranges3: random windows at order 14, coarsening over-covers") {
+    val rng = new scala.util.Random(43)
+    (0 until 50).foreach { _ =>
+      val xlo = rng.nextInt(15000); val xhi = xlo + rng.nextInt(200)
+      val ylo = rng.nextInt(300); val yhi = ylo + rng.nextInt(30)
+      val zlo = rng.nextInt(20); val zhi = zlo + rng.nextInt(10)
+      val exact = HilbertRanges.ranges3(xlo, xhi, ylo, yhi, zlo, zhi, 14,
+        maxRanges = Int.MaxValue)
+      (0 until 20).foreach { _ =>
+        val x = xlo + rng.nextInt(xhi - xlo + 1).toLong
+        val y = ylo + rng.nextInt(yhi - ylo + 1).toLong
+        val z = zlo + rng.nextInt(zhi - zlo + 1).toLong
+        val d = HilbertUtil.hilbert3(x, y, z, 14)
+        assert(exact.exists { case (lo, hi) => d >= lo && d <= hi },
+          s"cell ($x,$y,$z) d=$d escaped the cover")
+      }
+      val coarse = HilbertRanges.ranges3(xlo, xhi, ylo, yhi, zlo, zhi, 14,
+        maxRanges = 8)
+      assert(coarse.size <= 8)
+      exact.foreach { case (lo, hi) =>
+        assert(coarse.exists { case (clo, chi) => clo <= lo && hi <= chi },
+          s"coarsening dropped [$lo,$hi]")
+      }
+    }
+    assert(HilbertRanges.ranges3(5, 4, 0, 10, 0, 10, 14) == Nil)
+    assert(HilbertRanges.ranges3(20000, 30000, 0, 10, 0, 10, 14) == Nil)
+    assert(HilbertRanges.ranges3(0, 16383, 0, 16383, 0, 16383, 14) ==
+      Seq((0L, (1L << 42) - 1)))
+  }
+
+  test("ranges3: adversarial wide window at order 20 stays budget-bounded") {
+    val side = 1L << 20
+    val t0 = System.nanoTime()
+    val rs = HilbertRanges.ranges3(0, side - 1, 1000, 1002, 0, side - 1, 20,
+      maxRanges = 32)
+    assert((System.nanoTime() - t0) < 10e9, "budgeted 3-D cover took >10s")
+    assert(rs.nonEmpty && rs.size <= 32)
+    Seq(0L, side / 3, side / 2, side - 1).foreach { x =>
+      val d = HilbertUtil.hilbert3(x, 1001L, side / 2, 20)
+      assert(rs.exists { case (lo, hi) => lo <= d && d <= hi },
+        s"cell ($x,1001,${side / 2}) -> $d not covered")
+    }
+  }
+
   test("locality beats Morton on window straddling (the sc7 claim in miniature)") {
     // Sort a 128x128 grid by each curve, cut into 64 equal "row groups",
     // and count groups whose [min,max] on BOTH axes overlap a fixed
