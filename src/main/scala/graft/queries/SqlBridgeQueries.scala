@@ -105,6 +105,67 @@ FROM tk JOIN d2 ON tk.doc_id = d2.doc_id""") { (s, d) =>
         FROM graft_sql_events_h""")
     },
 
+    // The 3-D curve through SQL: the oracle re-derives Skilling's
+    // transpose construction (inverse-undo bit-plane walk, Gray
+    // encode, MSB-first interleave) with plain BIGINT arithmetic —
+    // an INDEPENDENT second implementation of hilbert3, so a
+    // transcription error in either side mismatches. Order 8 keeps
+    // the unrolled CTE chain readable; coordinates are masked to the
+    // grid on BOTH sides.
+    Q("sql_hilbert3", {
+      val order = 8
+      val init = "h_init AS (SELECT event_id, " +
+        "CAST(user_id & 255 AS BIGINT) AS x0, " +
+        "CAST((event_id % 97) & 255 AS BIGINT) AS x1, " +
+        "CAST((event_id % 23) & 255 AS BIGINT) AS x2 FROM events)"
+      // Inverse undo: for q = 2^(order-1)..2, axis 0 inverts-if-set;
+      // axes 1 and 2 invert x0's low bits when set, else exchange low
+      // bits with x0. Each axis is one CTE (updates are sequential).
+      val undo = (0 until order - 1).flatMap { i =>
+        val q = 1L << (order - 1 - i)
+        val p = q - 1
+        val prev = if (i == 0) "h_init" else s"u${i - 1}c"
+        Seq(
+          s"u${i}a AS (SELECT event_id, " +
+            s"CASE WHEN (x0 & $q) > 0 THEN xor(x0, $p) ELSE x0 END AS x0, " +
+            s"x1, x2 FROM $prev)",
+          s"u${i}b AS (SELECT event_id, " +
+            s"CASE WHEN (x1 & $q) > 0 THEN xor(x0, $p) " +
+            s"ELSE xor(x0, xor(x0, x1) & $p) END AS x0, " +
+            s"CASE WHEN (x1 & $q) > 0 THEN x1 " +
+            s"ELSE xor(x1, xor(x0, x1) & $p) END AS x1, x2 FROM u${i}a)",
+          s"u${i}c AS (SELECT event_id, " +
+            s"CASE WHEN (x2 & $q) > 0 THEN xor(x0, $p) " +
+            s"ELSE xor(x0, xor(x0, x2) & $p) END AS x0, x1, " +
+            s"CASE WHEN (x2 & $q) > 0 THEN x2 " +
+            s"ELSE xor(x2, xor(x0, x2) & $p) END AS x2 FROM u${i}b)")
+      }.mkString(", ")
+      // Gray encode (x1 ^= x0; x2 ^= new x1), then xor all three with
+      // t = fold of (q-1) over x2's set bit-planes.
+      val gray = s"g0 AS (SELECT event_id, x0, xor(x1, x0) AS x1, " +
+        s"xor(x2, xor(x1, x0)) AS x2 FROM u${order - 2}c)"
+      val tExpr = (0 until order - 1).map { i =>
+        val q = 1L << (order - 1 - i)
+        s"CASE WHEN (x2 & $q) > 0 THEN ${q - 1} ELSE 0 END"
+      }.reduce((a, b) => s"xor($a, $b)")
+      val tfix = s"g1 AS (SELECT event_id, xor(x0, t) AS x0, " +
+        s"xor(x1, t) AS x1, xor(x2, t) AS x2 FROM " +
+        s"(SELECT *, CAST($tExpr AS BIGINT) AS t FROM g0))"
+      // Interleave MSB-first: bit b of x0,x1,x2 -> index bits 3b+2..3b.
+      val dExpr = (0 until order).map { b =>
+        s"((x0 >> $b) & 1) * ${1L << (3 * b + 2)} + " +
+          s"((x1 >> $b) & 1) * ${1L << (3 * b + 1)} + " +
+          s"((x2 >> $b) & 1) * ${1L << (3 * b)}"
+      }.mkString(" + ")
+      s"WITH $init, $undo, $gray, $tfix " +
+        s"SELECT event_id, CAST($dExpr AS BIGINT) AS hval FROM g1"
+    }) { (s, d) =>
+      GraftSqlFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("graft_sql_events_h3")
+      s.sql("""SELECT event_id, graft_hilbert3(user_id & 255, event_id % 97,
+        event_id % 23, 8) AS hval FROM graft_sql_events_h3""")
+    },
+
     // JPEG segment-walk decode through SQL, over the fakeMedia binary
     // column: JPEG rows (doc_id % 3 = 1) recover (height << 16) | width
     // from the SOF0 header the bytes embed; PNG/plain rows are null.
