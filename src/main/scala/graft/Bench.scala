@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional query-name regex (scale experiments: time a subset at a
+    // fixture the full set would take hours on). Default: everything.
+    val nameFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+        case Some(re) => re.r.pattern.asPredicate.test(_)
+        case None     => _ => true
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +33,7 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
       var warmFailed = 0
-      SparkEntry.queries.foreach { case (name, fn) =>
+      SparkEntry.queries.filter(q => nameFilter(q._1)).foreach { case (name, fn) =>
         try fn(spark, warmDir).count() catch {
           case e: Throwable =>
             warmFailed += 1
@@ -50,7 +57,7 @@ object Bench {
     // Failures are recorded explicitly (never timed as if they ran —
     // a broken query must not look like a fast query).
     val results: Map[String, Either[String, Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
+      SparkEntry.queries.filter(q => nameFilter(q._1)).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val r = try {
           fn(spark, sfDir).count()
