@@ -85,14 +85,22 @@ object ScaleQueries {
         "FROM events GROUP BY 1") { (s, d) =>
       val check = Tables.events(s, d).groupBy("event_type").agg(
         expr("percentile(value, array(0.5, 0.9, 0.99))").as("ex"),
-        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("ap"))
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("ap"),
+        count(lit(1)).as("n"))
         .collect()
       check.foreach { r =>
         val ex = r.getSeq[Double](1); val ap = r.getSeq[Double](2)
-        ex.zip(ap).zip(Seq("p50", "p90", "p99")).foreach { case ((e, a), p) =>
-          require(math.abs(a - e) <= math.max(0.05 * math.abs(e), 1e-6),
-            s"approx_percentile drifted: ${r.getString(0)} $p exact=$e approx=$a")
-        }
+        // The guard pins SKETCH drift, so it only fires on groups dense
+        // enough that discreteness can't dominate: approx_percentile
+        // returns an order statistic while percentile() interpolates,
+        // and in a sparse tail (warmup-SF groups of ~200 rows) the
+        // nearest ELEMENT to rank .99 legitimately sits far from the
+        // interpolated value — that gap is not sketch error.
+        if (r.getLong(3) >= 1000)
+          ex.zip(ap).zip(Seq("p50", "p90", "p99")).foreach { case ((e, a), p) =>
+            require(math.abs(a - e) <= math.max(0.05 * math.abs(e), 1e-6),
+              s"approx_percentile drifted: ${r.getString(0)} $p exact=$e approx=$a")
+          }
       }
       import s.implicits._
       check.toSeq.map { r =>
