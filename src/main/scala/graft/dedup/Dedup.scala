@@ -408,11 +408,31 @@ object Dedup {
     * train doc is another row for the same test doc), and a 100 TB
     * report job would be sized by its own output. Capped, the output is
     * linear in TEST size — the side that is small by construction —
-    * while the uncapped variant stays available for forensic dumps. */
+    * while the uncapped variant stays available for forensic dumps.
+    *
+    * `maxTrainPerShingle` caps the COMPUTE the same way `topNPerTest`
+    * caps the output: per surviving (post-bloom) shingle, only the K
+    * lowest train ids enter the join, so join fanout is bounded by
+    * K x |test shingles| — linear in test size no matter how dense the
+    * train side's duplicates are. Without it the exact join itself is
+    * quadratic at web-crawl density (the sf1 sweep measured ~100x pair
+    * growth at 10x data; SCALE.md) even though the capped report only
+    * ever keeps N of those rows per test doc. The capped report
+    * diverges from the uncapped one only when more than K train docs
+    * share a shingle — and those docs are interchangeable duplicates
+    * for triage purposes (n_shared may undercount for the dropped,
+    * higher-id members of the duplicate group). Deterministic (min-id
+    * keep rule), so an oracle reproduces the cut exactly (QUALIFY
+    * row_number() OVER (PARTITION BY shingle ORDER BY doc_id) <= K).
+    * Use it when hot shingles reach df >> K (boilerplate-heavy crawls);
+    * when per-shingle df sits near or below K the cap's window sort
+    * costs more than it prunes (measured: 55s capped vs 37s uncapped at
+    * the 10-copy-density sf1 fixture — SCALE.md). */
   def bloomContamination(train: DataFrame, test: DataFrame, idCol: String,
                          textCol: String, shingleN: Int = 3,
                          minShared: Int = 3, fpp: Double = 0.01,
-                         topNPerTest: Option[Int] = None): DataFrame = {
+                         topNPerTest: Option[Int] = None,
+                         maxTrainPerShingle: Option[Int] = None): DataFrame = {
     val testSh = graft.ops.CacheOnce.swap("bloom-test-shingles",
       test.select(col(idCol).as("test_id"),
         explode(distinctShingles(col(textCol), shingleN)).as("shingle")))
@@ -420,9 +440,17 @@ object Dedup {
     // slightly over-sized filter, never an under-sized (leaky) one.
     val expected = math.max(testSh.count(), 1L)
     val bloom = testSh.stat.bloomFilter("shingle", expected, fpp)
-    val trainSh = train.select(col(idCol).as("train_id"),
+    val trainShAll = train.select(col(idCol).as("train_id"),
       explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
       .filter(graft.functions.BloomFunctions.mightContainString(bloom, col("shingle")))
+    val trainSh = maxTrainPerShingle.fold(trainShAll) { k =>
+      // The window shuffles only POST-BLOOM train shingles (the ~1%
+      // that might touch the test set), already hash-partitioned by
+      // the join key — the join below reuses that exchange.
+      val w = Window.partitionBy(col("shingle")).orderBy(col("train_id"))
+      trainShAll.withColumn("_tr", row_number().over(w)).filter(col("_tr") <= k)
+        .drop("_tr")
+    }
     val pairs = trainSh.join(testSh, Seq("shingle"))
       .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -333,6 +333,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(kept < 500, s"bloom kept $kept of 10000 foreign shingles")
   }
 
+  test("bloomContamination maxTrainPerShingle: min-id cut, fanout bounded") {
+    import graft.dedup.Dedup
+    // One boilerplate text duplicated across many train docs (hot
+    // shingles, df = 6) plus one unique contaminated doc; the test side
+    // carries the same two texts. K = 2 must keep, per shingle, only
+    // the two LOWEST train ids — so the boilerplate group reports train
+    // ids 100, 101 only, with full n_shared for those survivors.
+    val boiler = "click here to subscribe to our newsletter for updates"
+    val uniq = "the migrating turtle nested on the remote beach at dawn"
+    val train = df("doc_id bigint, text string")(
+      (100L to 105L).map(i => Row(i, boiler)) :+ Row(200L, uniq))
+    val test_ = df("doc_id bigint, text string")(Seq(
+      Row(1L, boiler), Row(3L, uniq)))
+    val capped = Dedup.bloomContamination(train, test_, "doc_id", "text",
+      shingleN = 3, minShared = 3, maxTrainPerShingle = Some(2))
+    val uncapped = Dedup.bloomContamination(train, test_, "doc_id", "text",
+      shingleN = 3, minShared = 3)
+    val cap = capped.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val unc = uncapped.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Uncapped: all 6 boilerplate train docs pair with test doc 1.
+    assert(unc.keySet.count(_._2 == 1L) == 6)
+    // Capped: only the two lowest train ids survive per (identical)
+    // shingle set — interchangeable-duplicate exemplars...
+    assert(cap.keySet == Set((100L, 1L), (101L, 1L), (200L, 3L)))
+    // ...with UNDIMINISHED n_shared (every shingle kept them both),
+    // and the unique doc's pair untouched by the cap.
+    assert(cap((100L, 1L)) == unc((100L, 1L)))
+    assert(cap((101L, 1L)) == unc((101L, 1L)))
+    assert(cap((200L, 3L)) == unc((200L, 3L)))
+  }
+
   test("cleanCorpus pipeline: gates, exact dedup, near-dup removal compose") {
     import graft.text.CorpusPipeline
     val good = "the quick brown fox jumps over a lazy dog and keeps " +
