@@ -311,6 +311,12 @@ $out"""
   // output is linear in test size. 20 matches is plenty to act on a
   // contaminated benchmark item.
   private val contaminationTopN = 20
+  // Deliberately NOT capping train docs per shingle here
+  // (Dedup.bloomContamination's maxTrainPerShingle): at this fixture's
+  // ~10-copy density the per-shingle df sits below any useful K, so the
+  // cap's window sort costs more than it prunes (measured 55s vs 37s at
+  // the sf1 fixture — SCALE.md). The cap pays off on boilerplate-heavy
+  // real crawls where hot shingles reach df in the thousands.
 
   private val bloomContaminationSql: String = {
     val tri = "list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) " +
@@ -410,7 +416,15 @@ sc AS (SELECT c.query_id, c.neighbor_id,
     * with smallest-id centroids. */
   private def ivfScoredCtes(numCells: Int, nprobe: Int, dim: Int,
                             queryPredSql: String = ""): String =
-    s"""ce AS (SELECT vec_id AS cell, embedding AS cv, nrm AS cn FROM nv ORDER BY vec_id LIMIT $numCells),
+    ivfScoredCtesSql(numCells.toString, nprobe, dim, queryPredSql)
+
+  /** As [[ivfScoredCtes]] but with the cell count as raw SQL — lets
+    * s_ivf_topk derive nlist from the corpus itself
+    * (`(SELECT CAST(ceil(2*sqrt(count(*))) AS INT) FROM nv)`), matching
+    * [[Similarity.autoNumCells]]. */
+  private def ivfScoredCtesSql(numCellsSql: String, nprobe: Int, dim: Int,
+                               queryPredSql: String = ""): String =
+    s"""ce AS (SELECT vec_id AS cell, embedding AS cv, nrm AS cn FROM nv ORDER BY vec_id LIMIT $numCellsSql),
 scc AS (SELECT v.vec_id, v.embedding, v.nrm, c.cell,
   ${OracleSqlGen.dot("v.embedding", "c.cv", dim)} / (v.nrm * c.cn) AS sim FROM nv v, ce c),
 rk AS (SELECT * FROM (SELECT scc.*,
@@ -1104,9 +1118,17 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
 
     // IVF ANN top-k (deterministic smallest-id centroids; the oracle
     // recomputes assignment, probing and rescoring windows itself).
+    // Every corpus row is a query here, so a FIXED nlist would make the
+    // probe volume quadratic in N (r9 sweep: 7.8x time at 10x data from
+    // ~100x candidate growth); nlist = ceil(2*sqrt(N)) bounds it at
+    // ~nprobe/2 * N^1.5, and the oracle derives the same count from the
+    // corpus itself via the LIMIT subquery.
     Q("s_ivf_topk",
-      s"WITH ${OracleSqlGen.nvCte(64)},\n${ivfScoredCtes(64, 8, 64)}\n${topKSql(5)}") { (s, d) =>
-      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", 5)
+      s"WITH ${OracleSqlGen.nvCte(64)},\n${ivfScoredCtesSql(
+        "(SELECT CAST(ceil(2*sqrt(count(*))) AS INT) FROM nv)", 8, 64)}\n${topKSql(5)}") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", 5,
+        numCells = Similarity.autoNumCells(emb, "embedding"))
     },
 
     // IVF quality report vs exact top-5 over the 200-query sample — the

@@ -494,6 +494,20 @@ object Similarity {
     df.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Data-adaptive IVF cell count: nlist = max(1, ceil(mult * sqrt(N)))
+    * over the norm-filtered corpus (the same N the centroid LIMIT sees).
+    * A FIXED nlist makes IVF quadratic — candidates per query grow as
+    * N/nlist, so total probe volume is N * nprobe * N/nlist; pinning
+    * nlist to ~sqrt(N) (standard IVF practice is sqrt(N)..4*sqrt(N))
+    * bounds probe volume at nprobe * mult-1 * N^1.5. The count() this
+    * costs is one metadata-only parquet job; at cluster scale nlist is
+    * sized once per index build, not per query. Oracle-reproducible:
+    * `LIMIT (SELECT CAST(ceil(mult * sqrt(count(*))) AS INT) FROM nv)`. */
+  def autoNumCells(df: DataFrame, vecCol: String, mult: Double = 2.0): Int = {
+    val n = df.filter(l2norm(col(vecCol)) > 0).count()
+    math.max(1, math.ceil(mult * math.sqrt(n.toDouble)).toInt)
+  }
+
   /** IVF ANN top-k — see [[ivfScored]] for the shape and knobs. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               numCells: Int = 64, nprobe: Int = 8,
