@@ -94,6 +94,14 @@ object TextFunctions {
     round(hits.cast("double") / greatest(tokenCount(c), lit(1)), 4)
   }
 
+  /** Raw stopword occurrence count (the numerator of
+    * [[stopwordRatioFast]]) — Gopher's "at least 2 stop words" rule
+    * wants the count, not the ratio. */
+  def stopwordHitsFast(c: Column): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    sumElems(occurrencesAll(padded, stops.map(s => s" $s ")), stops.length).cast("long")
+  }
+
   def qualityScoreFast(c: Column): Column = {
     val lenOk = when(length(c).between(50, 10000), 1.0).otherwise(0.0)
     val punctOk = when(punctRatioFast(c) < 0.2, 1.0).otherwise(0.0)
