@@ -41,13 +41,13 @@ object StreamingTallies {
 
     // The file stream source requires a directory; glob-filter the events
     // file out of the shared sf directory. The explicit raw schema
-    // (ts BIGINT) reads the TIMESTAMP(NANOS) column without any legacy
+    // (ts BIGINT) reads the raw INT64 timestamp column without any legacy
     // session conf — same per-read fix as Tables.events.
     val stream = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(Tables.eventsRawSchema))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(Tables.eventsTsExpr(ss, sfDir)))
       .withColumn("ts_local", from_utc_timestamp(col("ts"), tz))
       .withWatermark("ts_local", "2 days")
       .dropDuplicates("event_id")
@@ -82,7 +82,7 @@ object StreamingTallies {
       .schema(org.apache.spark.sql.types.StructType.fromDDL(Tables.eventsRawSchema))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(Tables.eventsTsExpr(ss, sfDir)))
       .withColumn("ts_local", from_utc_timestamp(col("ts"), tz))
       .groupBy(window(col("ts_local"), "1 day", "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))

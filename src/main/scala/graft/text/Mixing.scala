@@ -125,41 +125,54 @@ object Mixing {
     * row_number, plus a driver-side cumulative offset of the partition
     * counts (numShufflePartitions values). The persisted intermediate
     * carries only (id, tok, pid) — never the document payload — so the
-    * two passes over it stay narrow at any corpus size. Returns one row
-    * per shard: (shard, n_docs, n_tokens, balance) where balance =
-    * n_tokens * N / total_tokens (1.0 = perfectly even). */
+    * two passes over it stay narrow at any corpus size. The numShards-row
+    * result is materialized to the driver before the pinned intermediate
+    * is unpersisted (the collected offsets are only valid for the pinned
+    * partitioning, so unpersisting any earlier would be unsafe — and NOT
+    * unpersisting leaks a cached frame into the session CacheManager per
+    * call). Returns one row per shard: (shard, n_docs, n_tokens, balance)
+    * where balance = n_tokens * N / total_tokens (1.0 = perfectly even). */
   def serpentineShards(docs: DataFrame, idCol: String, tok: Column,
                        numShards: Int): DataFrame = {
     require(numShards > 0, "serpentineShards: numShards must be positive")
+    val spark = docs.sparkSession
     val sorted = docs.select(col(idCol), tok.as("_tok"))
       .orderBy(desc("_tok"), col(idCol))
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Partition counts -> starting offset per pid (shuffle-partition
-    // cardinality: tiny). The persist pins the sampled range boundaries
-    // so the count pass and the rank pass see the same partitioning.
-    val counts = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.map(_._1).zip(
-      counts.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(acc)
-    }
-    val w = Window.partitionBy(col("_pid")).orderBy(desc("_tok"), col(idCol))
-    val period = 2L * numShards
-    val ranked = sorted
-      .withColumn("_rk", row_number().over(w).cast("long") - 1L + offCol)
-      .withColumn("_pos", col("_rk") % period)
-      .withColumn("shard",
-        when(col("_pos") < numShards, col("_pos"))
-          .otherwise(lit(period - 1) - col("_pos")))
-    val totW = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"))
-      .select(col("shard"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens").cast("double") * numShards /
-          sum(col("n_tokens")).over(totW), 4).as("balance"))
+    try {
+      // Partition counts -> starting offset per pid (shuffle-partition
+      // cardinality: tiny). The persist pins the sampled range boundaries
+      // so the count pass and the rank pass see the same partitioning.
+      // The offsets ride back in as a broadcast join, not a when-chain:
+      // a fold of `when`s grows the plan linearly in partition count and
+      // at thousands of partitions pushes codegen past the JVM method
+      // limit into the interpreted path.
+      val counts = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      val offDf = spark.createDataFrame(
+        java.util.Arrays.asList(offsets.map { case (pid, off) =>
+          org.apache.spark.sql.Row(pid, off) }: _*),
+        org.apache.spark.sql.types.StructType.fromDDL("_pid INT, _off BIGINT"))
+      val w = Window.partitionBy(col("_pid")).orderBy(desc("_tok"), col(idCol))
+      val period = 2L * numShards
+      val ranked = sorted.join(broadcast(offDf), Seq("_pid"))
+        .withColumn("_rk", row_number().over(w).cast("long") - 1L + col("_off"))
+        .withColumn("_pos", col("_rk") % period)
+        .withColumn("shard",
+          when(col("_pos") < numShards, col("_pos"))
+            .otherwise(lit(period - 1) - col("_pos")))
+      val totW = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val result = ranked.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") * numShards /
+            sum(col("n_tokens")).over(totW), 4).as("balance"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(result.collect(): _*), result.schema)
+    } finally sorted.unpersist()
   }
 
   /** Per-source doc/token totals, token share, and alpha=0.5 sampling

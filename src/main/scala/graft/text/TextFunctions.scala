@@ -94,11 +94,17 @@ object TextFunctions {
     round(hits.cast("double") / greatest(tokenCount(c), lit(1)), 4)
   }
 
-  /** Raw stopword occurrence count (the numerator of
-    * [[stopwordRatioFast]]) — Gopher's "at least 2 stop words" rule
-    * wants the count, not the ratio. */
+  /** Raw stopword occurrence count — Gopher's "at least 2 stop words"
+    * rule wants the count, not the ratio, and at that threshold an
+    * off-by-one matters. Unlike [[stopwordRatioFast]] (whose shared-space
+    * non-overlapping semantics are pinned by its SQL oracle twin), this
+    * counts on a lowercased copy with every whitespace char doubled, so
+    * adjacent repeats (" the the " = 2, not 1 — the single separator
+    * would otherwise be consumed by the first match) and capitalized
+    * forms ("The") both count. */
   def stopwordHitsFast(c: Column): Column = {
-    val padded = concat(lit(" "), c, lit(" "))
+    val spaced = regexp_replace(lower(c), "\\s", "  ")
+    val padded = concat(lit(" "), spaced, lit(" "))
     sumElems(occurrencesAll(padded, stops.map(s => s" $s ")), stops.length).cast("long")
   }
 

@@ -112,6 +112,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("stopwordHitsFast: adjacent repeats and capitalized forms count") {
+    val d = Seq(
+      (0L, "the the the", 3L),      // adjacent repeats each count
+      (1L, "The cat, THE dog", 2L), // case-insensitive
+      (2L, "a\tthe\nof", 3L),       // any whitespace separates
+      (3L, "theory of nothing", 1L),// no substring matches ("theory")
+      (4L, "", 0L)
+    ).toDF("id", "t", "expect")
+    d.select($"id", $"expect", TextFunctions.stopwordHitsFast($"t").as("got"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == r.getLong(2), s"row ${r.getLong(0)}")
+      }
+  }
+
   test("text functions: tokens, occurrences, ratios, langId") {
     val d = Seq(Tuple1("the cat and the dog, the end.")).toDF("t")
     val got = rows(d.select(
