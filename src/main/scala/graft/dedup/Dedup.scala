@@ -366,6 +366,28 @@ object Dedup {
       .select(col("id1").as("train_id"), col("id2").as("test_id"), col("jaccard"))
   }
 
+  /** Density-capped contamination report. The full pair report's output
+    * cardinality rides duplicate density — a test doc contaminated by
+    * thousands of train docs emits thousands of rows, and at 100 TB a
+    * boilerplate-heavy corpus turns the report itself into the bottleneck.
+    * Decontamination only needs a few WITNESSES per test doc to justify
+    * dropping it, so this keeps the top-k train pairs per test doc
+    * (jaccard desc, train_id tiebreak — deterministic), bounding output
+    * by k * |test| at ANY dup density. The window shuffle keys on
+    * test_id, so the cap itself stays a narrow keyed aggregate. */
+  def crossCorpusNearDupsTopK(train: DataFrame, test: DataFrame, idCol: String,
+                              textCol: String, numHashes: Int = 32,
+                              rowsPerBand: Int = 4, shingleN: Int = 3,
+                              threshold: Double = 0.8, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = crossCorpusNearDupsMd5(train, test, idCol, textCol,
+      numHashes, rowsPerBand, shingleN, threshold)
+    val w = Window.partitionBy(col("test_id"))
+      .orderBy(desc("jaccard"), col("train_id"))
+    pairs.withColumn("witness_rank", row_number().over(w).cast("long"))
+      .filter(col("witness_rank") <= k)
+  }
+
   /** Incremental exact dedup — the OPERATIONAL shape: a corpus is not
     * deduped once, it grows by daily crawl increments, and re-deduping
     * the whole corpus per day is O(corpus) forever. Instead the

@@ -236,9 +236,11 @@ GROUP BY 1, 2 HAVING count(*) >= 3"""
 
   /** Cross-corpus contamination oracle: even doc_ids play the training
     * corpus, odd the test corpus; the band-bucket join runs BETWEEN the
-    * two sides. Mirrors [[Dedup.crossCorpusNearDupsMd5]]. */
-  private val contaminationSql: String =
-    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    * two sides. Mirrors [[Dedup.crossCorpusNearDupsMd5]]. Split into
+    * CTE chain + final select so the top-k witness variant can wrap the
+    * same pair report. */
+  private val contaminationCtes: String =
+    s"""tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
 te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
 ${minhashSideCtes("a", "tr")},
 ${minhashSideCtes("b", "te")},
@@ -248,11 +250,24 @@ szA AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ash GROUP BY 1),
 szB AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM bsh GROUP BY 1),
 intr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM cd c
   JOIN ash a ON a.doc_id = c.id1 JOIN bsh b ON b.doc_id = c.id2 AND a.shingle = b.shingle
-  GROUP BY 1, 2)
-SELECT id1 AS train_id, id2 AS test_id,
+  GROUP BY 1, 2)"""
+
+  private val contaminationSelect: String =
+    """SELECT id1 AS train_id, id2 AS test_id,
   round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
 FROM intr JOIN szA s1 ON s1.doc_id = id1 JOIN szB s2 ON s2.doc_id = id2
 WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5"""
+
+  private val contaminationSql: String =
+    s"WITH $contaminationCtes\n$contaminationSelect"
+
+  private val contaminationTopKSql: String =
+    s"""WITH $contaminationCtes,
+cbase AS ($contaminationSelect)
+SELECT train_id, test_id, jaccard, CAST(rk AS BIGINT) AS witness_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY test_id
+    ORDER BY jaccard DESC, train_id) AS rk FROM cbase)
+WHERE rk <= 3"""
 
   /** Unrolled BPE-training oracle: one CTE stage per merge. Stage i
     * extracts wrapped symbols, counts adjacent pairs weighted by word
@@ -1205,6 +1220,22 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
         docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", numHashes = 32, rowsPerBand = 4,
         shingleN = 2, threshold = 0.5)
+    },
+
+    // Density-capped contamination: top-3 witnesses per test doc. The
+    // full dd_contamination report is per-pair and rides dup density
+    // (the r8 scale sweep measured it growing faster than its output);
+    // decontamination only needs a few witnesses to drop a test doc, so
+    // this variant bounds output by 3 * |test| at ANY density — the
+    // 100 TB-safe shape. Same banded-LSH candidates; the cap is a
+    // test_id-keyed window, deterministic, so the oracle reproduces it.
+    Q("dd_contamination_topk", contaminationTopKSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.crossCorpusNearDupsTopK(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", numHashes = 32, rowsPerBand = 4,
+        shingleN = 2, threshold = 0.5, k = 3)
     },
 
     // Substring-level contamination: test docs sharing >= 3 winnowing

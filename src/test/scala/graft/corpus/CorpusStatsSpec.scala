@@ -243,6 +243,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Set((1L, 101L)))
   }
 
+  test("crossCorpusNearDupsTopK caps witnesses per test doc at dense dup sites") {
+    import graft.dedup.Dedup
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    // 10 near-identical train docs all contaminate the one test doc:
+    // the full report emits 10 pairs, the capped one exactly k, picked
+    // by (jaccard desc, train_id) — the highest-jaccard witnesses.
+    val train = df("doc_id bigint, text string")(
+      (1L to 10L).map(i => Row(i, if (i <= 2) base else base + s" pad$i")))
+    val test_ = df("doc_id bigint, text string")(Seq(Row(101L, base)))
+    val full = Dedup.crossCorpusNearDupsMd5(train, test_, "doc_id", "text",
+      shingleN = 2, threshold = 0.5)
+    assert(full.count() == 10L)
+    val capped = Dedup.crossCorpusNearDupsTopK(train, test_, "doc_id", "text",
+      shingleN = 2, threshold = 0.5, k = 3)
+      .orderBy("witness_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // exact-match train docs 1,2 (jaccard 1.0) outrank the padded ones;
+    // rank 3 goes to the smallest-id padded doc at the tied jaccard.
+    assert(capped == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
   test("fingerprintOverlap flags verbatim shared substrings, honors doc-freq cap") {
     val quote = "the forty-two secret words of the hidden benchmark passage"
     val train = df("doc_id bigint, text string")(Seq(
