@@ -191,5 +191,6 @@ object SparkEntry {
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     ScaleQueries.prepare(spark, sfDir)
     CorpusQueries.prepareDedupState(spark, sfDir)
+    CorpusQueries.prepareLshState(spark, sfDir)
   }
 }

@@ -366,6 +366,53 @@ object Dedup {
       .select(col("id1").as("train_id"), col("id2").as("test_id"), col("jaccard"))
   }
 
+  /** Incremental NEAR-dup dedup against persisted LSH state — the
+    * [[incrementalDedup]] shape for near-duplicates: a corpus grows by
+    * crawl increments, and re-sketching + self-joining the whole corpus
+    * per day is O(corpus) forever. Instead the accepted set's LSH band
+    * buckets persist as STATE (one row per (doc, band), keyed by
+    * `band_key` = bandIdx ':' bandHash — a single composite column so
+    * the state table buckets on exactly the probe-join key); each
+    * increment sketches only ITSELF, probes the state by band_key
+    * (state side rides its bucketing, never re-shuffles), then exact
+    * Jaccard verifies the collisions — candidates are bucket-keyed,
+    * never |state| x |increment|. State shingle sets are recomputed only
+    * for docs that COLLIDED (left-semi on candidate ids → the corpus
+    * scan is pruned to true suspects). Returns one verdict row per
+    * increment doc: (idCol, accepted, best_state_id, best_jaccard) with
+    * the best witness chosen deterministically (jaccard desc, state id
+    * asc); accepted docs carry nulls. */
+  def incrementalNearDups(incDocs: DataFrame, stateDocs: DataFrame,
+                          stateBands: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 32, rowsPerBand: Int = 4,
+                          shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val incSets = incDocs.select(col(idCol),
+      explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
+    val incBands = bandBucketsMd5(
+      minhashSignaturesFromSetsMd5(incSets, idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+      .select(col(idCol).as("id2"),
+        concat(col("band_idx").cast("string"), lit(":"), col("band_hash"))
+          .as("band_key"))
+    val cands = stateBands.select(col(idCol).as("id1"), col("band_key"))
+      .join(incBands, Seq("band_key"))
+      .select("id1", "id2").distinct()
+    val stateSets = stateDocs
+      .join(cands.select(col("id1").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol), explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
+    val verified = verifyJaccardCross(cands, stateSets, incSets, idCol, threshold)
+    val w = Window.partitionBy(col("id2")).orderBy(desc("jaccard"), col("id1"))
+    val best = verified.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("id2").as(idCol), col("id1").as("best_state_id"),
+        col("jaccard").as("best_jaccard"))
+    incDocs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("best_state_id").isNull.as("accepted"),
+        col("best_state_id"), col("best_jaccard"))
+  }
+
   /** Density-capped contamination report. The full pair report's output
     * cardinality rides duplicate density — a test doc contaminated by
     * thousands of train docs emits thousands of rows, and at 100 TB a

@@ -261,6 +261,34 @@ WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5"""
   private val contaminationSql: String =
     s"WITH $contaminationCtes\n$contaminationSelect"
 
+  /** dd_incremental_neardup oracle: state = doc_id % 3 != 2 (the day-1
+    * accepted set), increment = % 3 = 2 (mirrors dd_incremental's
+    * split); md5-minhash banding on both sides, band-bucket collision,
+    * exact bigram-shingle Jaccard >= 0.5, then a deterministic best
+    * witness per increment doc and a verdict row for EVERY increment
+    * doc. Mirrors [[graft.dedup.Dedup.incrementalNearDups]]. */
+  private val incrementalNearDupSql: String =
+    s"""WITH st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+${minhashSideCtes("a", "st")},
+${minhashSideCtes("b", "inc")},
+cd AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM abnd a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh),
+szA AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ash GROUP BY 1),
+szB AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM bsh GROUP BY 1),
+intr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM cd c
+  JOIN ash a ON a.doc_id = c.id1 JOIN bsh b ON b.doc_id = c.id2 AND a.shingle = b.shingle
+  GROUP BY 1, 2),
+vf AS (SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+  FROM intr JOIN szA s1 ON s1.doc_id = id1 JOIN szB s2 ON s2.doc_id = id2
+  WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5),
+best AS (SELECT id2, id1, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY id2 ORDER BY jaccard DESC, id1) AS rn
+  FROM vf) WHERE rn = 1)
+SELECT i.doc_id, best.id1 IS NULL AS accepted,
+  best.id1 AS best_state_id, best.jaccard AS best_jaccard
+FROM inc i LEFT JOIN best ON best.id2 = i.doc_id"""
+
   private val contaminationTopKSql: String =
     s"""WITH $contaminationCtes,
 cbase AS ($contaminationSelect)
@@ -1333,6 +1361,57 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
       out
     },
 
+    // Incremental NEAR-dup dedup against persisted LSH state:
+    // dd_incremental's operational shape for near-duplicates. The
+    // accepted set's band buckets persist bucketed on band_key (the
+    // probe-join key), each increment sketches only itself, probes the
+    // state exchange-free, and exact-verifies only the collisions —
+    // state shingles recompute only for docs that collided. One verdict
+    // row per increment doc with a deterministic best witness, so the
+    // oracle reproduces the whole pass.
+    Q("dd_incremental_neardup", incrementalNearDupSql) { (s, d) =>
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.conf.set("spark.sql.shuffle.partitions", "32")
+      val docs = Tables.documents(ss, d)
+      prepareLshState(ss, d)
+      val out = Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 3 === 2),
+        docs.filter(col("doc_id") % 3 =!= 2),
+        ss.table(lshStateTable(d)),
+        "doc_id", "text", numHashes = 32, rowsPerBand = 4,
+        shingleN = 2, threshold = 0.5)
+      val plan = out.queryExecution.executedPlan
+      // Downstream stages (pair distinct, Jaccard verify, witness
+      // window) shuffle legitimately ABOVE the probe join, so a blanket
+      // "no exchange over the scan" check would always fail. The layout
+      // claim is narrower: on the path from the root down to the
+      // bucketed scan, NO exchange may sit between the join that
+      // consumes the scan and the scan itself — the state side enters
+      // its join pre-partitioned by its bucketing.
+      import org.apache.spark.sql.execution.SparkPlan
+      def pathToBucketedScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.bucketSpec.isDefined && f.bucketedScan => Some(List(f))
+        case _ =>
+          p.children.iterator.map(pathToBucketedScan).collectFirst {
+            case Some(rest) => p :: rest
+          }
+      }
+      val path = pathToBucketedScan(plan).getOrElse(
+        throw new IllegalStateException(
+          "LSH state did not plan a bucketed scan — the persisted band layout regressed"))
+      val joinIdx = path.lastIndexWhere(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      require(joinIdx >= 0, "no join consumes the bucketed LSH state scan")
+      require(!path.drop(joinIdx + 1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+        "Exchange between the probe join and the bucketed LSH state scan — " +
+          "the state side re-shuffled despite its bucketing")
+      out
+    },
+
     // Bloom-prefiltered decontamination: test-split shingles collapse
     // into a Bloom riding the plan; the train scan drops non-members
     // before any exchange, the exact join kills false positives — the
@@ -1488,6 +1567,27 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
     * (same convention as the sc1 bucket tables). */
   private[queries] def dedupStateTable(sfDir: String): String =
     s"graft_dd_state_${sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
+
+  /** dd_incremental_neardup's persisted LSH band-bucket state table. */
+  private[queries] def lshStateTable(sfDir: String): String =
+    s"graft_dd_lshstate_${sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
+
+  /** One-time bucketed CTAS of the accepted set's LSH band buckets
+    * (doc_id, band_key), bucketed on band_key — the probe-join key — so
+    * every later increment probes it exchange-free. Same idempotent
+    * catalog-keyed convention as [[prepareDedupState]]. */
+  def prepareLshState(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val state = Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2)
+    val sets = state.select(col("doc_id"),
+      explode(graft.dedup.Dedup.distinctShingles(col("text"), 2)).as("shingle"))
+    val bands = graft.dedup.Dedup.bandBucketsMd5(
+      graft.dedup.Dedup.minhashSignaturesFromSetsMd5(sets, "doc_id", 32),
+      "doc_id", 32, 4)
+      .select(col("doc_id"),
+        concat(col("band_idx").cast("string"), lit(":"), col("band_hash"))
+          .as("band_key"))
+    graft.ops.ScaleOps.ensureBucketed(bands, lshStateTable(d), "band_key", 32)
+  }
 
   /** One-time bucketed CTAS of dd_incremental's digest state
     * (idempotent, catalog-keyed) — called from SparkEntry.prepare so

@@ -264,6 +264,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(capped == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("incrementalNearDups: verdict per increment doc, best witness, state-only sketching") {
+    import graft.dedup.Dedup
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val state = df("doc_id bigint, text string")(Seq(
+      Row(1L, base),                                      // exact text in state
+      Row(2L, base + " tail"),                            // near-dup in state
+      Row(3L, (1 to 30).map(i => s"z$i").mkString(" ")))) // unrelated
+    val inc = df("doc_id bigint, text string")(Seq(
+      Row(101L, base),                                    // collides with 1 and 2
+      Row(102L, (1 to 30).map(i => s"q$i").mkString(" ")))) // novel -> accepted
+    val stateBands = Dedup.bandBucketsMd5(
+      Dedup.minhashSignaturesFromSetsMd5(
+        state.select(col("doc_id"),
+          explode(Dedup.distinctShingles(col("text"), 2)).as("shingle")),
+        "doc_id", 32), "doc_id", 32, 4)
+      .select(col("doc_id"),
+        concat(col("band_idx").cast("string"), lit(":"), col("band_hash"))
+          .as("band_key"))
+    val got = Dedup.incrementalNearDups(inc, state, stateBands, "doc_id", "text",
+        numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    // 101 rejected with doc 1 as best witness (jaccard 1.0 beats 2's)
+    assert(got(101L)._1 == false && got(101L)._2.contains(1L))
+    // 102 accepted, nulls for witness columns
+    assert(got(102L) == ((true, None, None)))
+  }
+
   test("fingerprintOverlap flags verbatim shared substrings, honors doc-freq cap") {
     val quote = "the forty-two secret words of the hidden benchmark passage"
     val train = df("doc_id bigint, text string")(Seq(
