@@ -581,6 +581,29 @@ nv AS (SELECT * FROM (SELECT vec_id, embedding,
         TextFunctions.bpeishTokenCount(col("text")).as("n_bpe"))
     },
 
+    // Serpentine (boustrophedon) token-balanced shard placement — the
+    // dataloader-shard writer's policy: rank docs by token count desc
+    // (id tiebreak), deal rank r to shard r%2N<N ? r%2N : 2N-1-(r%2N).
+    // The Spark side computes the global rank DISTRIBUTED (range sort +
+    // per-partition row_number + broadcast offsets — no single-task
+    // window); the oracle uses the equivalent single-window rank.
+    Q("t_serpentine_shards",
+      s"""WITH toks AS (SELECT doc_id, $tokCountSql AS tok FROM documents),
+rk AS (SELECT doc_id, tok,
+  row_number() OVER (ORDER BY tok DESC, doc_id) - 1 AS r FROM toks),
+sh AS (SELECT tok,
+  CAST(CASE WHEN r % 16 < 8 THEN r % 16 ELSE 15 - (r % 16) END AS BIGINT) AS shard
+  FROM rk),
+agg AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS n_tokens FROM sh GROUP BY 1)
+SELECT shard, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) * 8 / sum(n_tokens) OVER (), 4) AS balance
+FROM agg""") { (s, d) =>
+      graft.text.Mixing.serpentineShards(
+        Tables.documents(s, d), "doc_id",
+        TextFunctions.tokenCount(col("text")), numShards = 8)
+    },
+
     // Concat-and-chunk sequence packing (the pretraining tokenizer
     // stage): docs laid end to end per language in doc_id order, cut
     // into 512-token context windows, each doc assigned to the chunk
