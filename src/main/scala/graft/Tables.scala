@@ -44,35 +44,76 @@ object Tables {
   private val tsUnitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** First parquet data file under `p` (lexicographic, recursing into
+    * partition subdirectories) — the file whose footer speaks for the
+    * tree. A mixed-unit tree would be a generator bug, not a reader
+    * concern. */
+  private def firstParquetFile(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path)
+      : Option[org.apache.hadoop.fs.Path] = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) Some(p)
+    else fs.listStatus(p).sortBy(_.getPath.getName).iterator
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .flatMap { c =>
+        if (c.isDirectory) firstParquetFile(fs, c.getPath)
+        else if (c.getPath.getName.endsWith(".parquet")) Some(c.getPath)
+        else None
+      }.nextOption()
+  }
+
   /** Footer-sniffed time unit of the raw `ts` column: "NANOS", "MICROS" or
-    * "MILLIS". Cached keyed by (path, size:mtime) so a regenerated source
-    * file re-sniffs instead of serving a stale unit. Accepts a single file
-    * or a directory of part files (first parquet wins — a mixed-unit tree
-    * would be a generator bug, not a reader concern). */
+    * "MILLIS". Works on a single file or a (possibly partitioned)
+    * directory tree — the unit comes from the first part file's footer,
+    * and the cache key is THAT FILE's (path, size:mtime), so an
+    * in-place regen of part files re-sniffs instead of serving a stale
+    * unit (a directory's own mtime does not change on content
+    * overwrite). A `ts` column with no timestamp annotation at all
+    * (legacy raw-int64 writers) is resolved from the footer's OWN
+    * column statistics by epoch magnitude — never assumed. */
   def eventsTsUnit(s: SparkSession, d: String): String = {
     val path = s"$d/events.parquet"
     val conf = s.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val st = fs.getFileStatus(p)
-    val key = s"$path:${st.getLen}:${st.getModificationTime}"
+    val file = firstParquetFile(fs, p).getOrElse(
+      throw new IllegalStateException(s"no parquet data file under $path"))
+    val fst = fs.getFileStatus(file)
+    val key = s"$file:${fst.getLen}:${fst.getModificationTime}"
     tsUnitCache.computeIfAbsent(key, _ => {
-      val file =
-        if (st.isDirectory)
-          fs.listStatus(p).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).minBy(_.getName).toString
-        else path
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+        .fromPath(file, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         import org.apache.parquet.schema.LogicalTypeAnnotation
-        val schema = reader.getFooter.getFileMetaData.getSchema
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
         schema.getType(schema.getFieldIndex("ts"))
           .asPrimitiveType().getLogicalTypeAnnotation match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
             t.getUnit.name()
-          case _ => "MICROS" // plain int64 epoch: treat as micros
+          case _ =>
+            // Unannotated INT64: decide by epoch magnitude from the
+            // first row group's ts column stats. For any instant in
+            // 1971..2100 the unit bands are three orders of magnitude
+            // apart (millis ~1e11..4.1e12, micros ~1e14..4.1e15, nanos
+            // ~1e17..4.1e18), so the max statistic is unambiguous.
+            import scala.jdk.CollectionConverters._
+            val stats = footer.getBlocks.asScala.headOption
+              .flatMap(_.getColumns.asScala.find(
+                _.getPath.toDotString == "ts"))
+              .map(_.getStatistics)
+              .filter(st0 => st0 != null && !st0.isEmpty)
+              .getOrElse(throw new IllegalStateException(
+                s"events ts column is unannotated INT64 and $file carries no " +
+                  "column statistics — cannot determine the time unit"))
+            val mx = stats.genericGetMax.asInstanceOf[Number].longValue()
+            if (mx >= 100000000000000000L) "NANOS"        // >= 1e17
+            else if (mx >= 100000000000000L) "MICROS"     // >= 1e14
+            else if (mx >= 100000000000L) "MILLIS"        // >= 1e11
+            else throw new IllegalStateException(
+              s"events ts max statistic $mx is below the millis epoch band — " +
+                "seconds-precision or corrupt data; refusing to guess")
         }
       } finally reader.close()
     })

@@ -302,6 +302,20 @@ object Dedup {
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
   }
 
+  /** (id, band_key) rows for LSH-state probing: the band identity
+    * collapsed to ONE composite string column (bandIdx ':' bandHash) so
+    * a persisted state table can bucket on exactly the probe-join key.
+    * The single source of the band_key format — the state writer, the
+    * increment prober and the specs must all agree or the probe finds
+    * zero collisions and silently accepts everything. */
+  def bandKeys(sets: DataFrame, idCol: String, numHashes: Int,
+               rowsPerBand: Int): DataFrame =
+    bandBucketsMd5(minhashSignaturesFromSetsMd5(sets, idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+      .select(col(idCol),
+        concat(col("band_idx").cast("string"), lit(":"), col("band_hash"))
+          .as("band_key"))
+
   /** [[lshCandidatePairs]]' md5 twin. */
   def lshCandidatePairsMd5(sigs: DataFrame, idCol: String, numHashes: Int,
                            rowsPerBand: Int): DataFrame = {
@@ -389,12 +403,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val incSets = incDocs.select(col(idCol),
       explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
-    val incBands = bandBucketsMd5(
-      minhashSignaturesFromSetsMd5(incSets, idCol, numHashes),
-      idCol, numHashes, rowsPerBand)
-      .select(col(idCol).as("id2"),
-        concat(col("band_idx").cast("string"), lit(":"), col("band_hash"))
-          .as("band_key"))
+    val incBands = bandKeys(incSets, idCol, numHashes, rowsPerBand)
+      .withColumnRenamed(idCol, "id2")
     val cands = stateBands.select(col(idCol).as("id1"), col("band_key"))
       .join(incBands, Seq("band_key"))
       .select("id1", "id2").distinct()

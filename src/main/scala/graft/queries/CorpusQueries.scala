@@ -239,24 +239,33 @@ GROUP BY 1, 2 HAVING count(*) >= 3"""
     * two sides. Mirrors [[Dedup.crossCorpusNearDupsMd5]]. Split into
     * CTE chain + final select so the top-k witness variant can wrap the
     * same pair report. */
-  private val contaminationCtes: String =
-    s"""tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
-${minhashSideCtes("a", "tr")},
-${minhashSideCtes("b", "te")},
-cd AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  /** Band-collision candidates + exact-Jaccard verification between
+    * sides `a` and `b`, ending in CTE `vf` (id1, id2, jaccard >=
+    * threshold). The ONE copy of the cross-corpus verify arithmetic —
+    * contamination, its top-k variant and the incremental near-dup
+    * oracle all compose it, so a rounding/threshold fix lands
+    * everywhere at once. */
+  private def crossVerifyCtes(threshold: Double): String =
+    s"""cd AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM abnd a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh),
 szA AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ash GROUP BY 1),
 szB AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM bsh GROUP BY 1),
 intr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM cd c
   JOIN ash a ON a.doc_id = c.id1 JOIN bsh b ON b.doc_id = c.id2 AND a.shingle = b.shingle
-  GROUP BY 1, 2)"""
+  GROUP BY 1, 2),
+vf AS (SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+  FROM intr JOIN szA s1 ON s1.doc_id = id1 JOIN szB s2 ON s2.doc_id = id2
+  WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= $threshold)"""
+
+  private val contaminationCtes: String =
+    s"""tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+${minhashSideCtes("a", "tr")},
+${minhashSideCtes("b", "te")},
+${crossVerifyCtes(0.5)}"""
 
   private val contaminationSelect: String =
-    """SELECT id1 AS train_id, id2 AS test_id,
-  round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
-FROM intr JOIN szA s1 ON s1.doc_id = id1 JOIN szB s2 ON s2.doc_id = id2
-WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5"""
+    "SELECT id1 AS train_id, id2 AS test_id, jaccard FROM vf"
 
   private val contaminationSql: String =
     s"WITH $contaminationCtes\n$contaminationSelect"
@@ -272,16 +281,7 @@ WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5"""
 inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
 ${minhashSideCtes("a", "st")},
 ${minhashSideCtes("b", "inc")},
-cd AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM abnd a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh),
-szA AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ash GROUP BY 1),
-szB AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM bsh GROUP BY 1),
-intr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM cd c
-  JOIN ash a ON a.doc_id = c.id1 JOIN bsh b ON b.doc_id = c.id2 AND a.shingle = b.shingle
-  GROUP BY 1, 2),
-vf AS (SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
-  FROM intr JOIN szA s1 ON s1.doc_id = id1 JOIN szB s2 ON s2.doc_id = id2
-  WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5),
+${crossVerifyCtes(0.5)},
 best AS (SELECT id2, id1, jaccard FROM (
   SELECT *, row_number() OVER (PARTITION BY id2 ORDER BY jaccard DESC, id1) AS rn
   FROM vf) WHERE rn = 1)
@@ -1603,13 +1603,9 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
     val state = Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2)
     val sets = state.select(col("doc_id"),
       explode(graft.dedup.Dedup.distinctShingles(col("text"), 2)).as("shingle"))
-    val bands = graft.dedup.Dedup.bandBucketsMd5(
-      graft.dedup.Dedup.minhashSignaturesFromSetsMd5(sets, "doc_id", 32),
-      "doc_id", 32, 4)
-      .select(col("doc_id"),
-        concat(col("band_idx").cast("string"), lit(":"), col("band_hash"))
-          .as("band_key"))
-    graft.ops.ScaleOps.ensureBucketed(bands, lshStateTable(d), "band_key", 32)
+    graft.ops.ScaleOps.ensureBucketed(
+      graft.dedup.Dedup.bandKeys(sets, "doc_id", 32, 4),
+      lshStateTable(d), "band_key", 32)
   }
 
   /** One-time bucketed CTAS of dd_incremental's digest state

@@ -274,14 +274,10 @@ class CorpusStatsSpec extends SparkSpec {
     val inc = df("doc_id bigint, text string")(Seq(
       Row(101L, base),                                    // collides with 1 and 2
       Row(102L, (1 to 30).map(i => s"q$i").mkString(" ")))) // novel -> accepted
-    val stateBands = Dedup.bandBucketsMd5(
-      Dedup.minhashSignaturesFromSetsMd5(
-        state.select(col("doc_id"),
-          explode(Dedup.distinctShingles(col("text"), 2)).as("shingle")),
-        "doc_id", 32), "doc_id", 32, 4)
-      .select(col("doc_id"),
-        concat(col("band_idx").cast("string"), lit(":"), col("band_hash"))
-          .as("band_key"))
+    val stateBands = Dedup.bandKeys(
+      state.select(col("doc_id"),
+        explode(Dedup.distinctShingles(col("text"), 2)).as("shingle")),
+      "doc_id", 32, 4)
     val got = Dedup.incrementalNearDups(inc, state, stateBands, "doc_id", "text",
         numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
       .collect().map(r => r.getLong(0) ->
