@@ -192,5 +192,6 @@ object SparkEntry {
     ScaleQueries.prepare(spark, sfDir)
     CorpusQueries.prepareDedupState(spark, sfDir)
     CorpusQueries.prepareLshState(spark, sfDir)
+    CorpusQueries.prepareCentroidState(spark, sfDir)
   }
 }

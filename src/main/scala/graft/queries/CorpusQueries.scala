@@ -514,14 +514,19 @@ SELECT n_exact, n_hit, round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall,
     * rounds' argmax), keep the previous centroid for empty cells. The
     * final table mirrors kmeansCentroids' float truncation, then one
     * cosine assignment pass produces per-cell membership counts. */
-  private def kmeansCellsOracleSql(k: Int, iters: Int, dim: Int): String = {
+  /** The training trajectory CTEs shared by both k-means oracles:
+    * c0 init (k smallest-id vectors of `src`), `iters` unrolled rounds
+    * over `src`, ending in `fc` — the final centroid table with
+    * kmeansCentroids' float truncation mirrored. */
+  private def kmeansTrainCtes(k: Int, iters: Int, dim: Int,
+                              src: String): String = {
     def dot(a: String, b: String) = OracleSqlGen.dot(a, b, dim)
     val stages = (0 until iters).map { i =>
       s"""u$i AS (SELECT cell, cv, CASE WHEN cn = 0 THEN cv
     ELSE list_transform(cv, x -> x / cn) END AS uv
   FROM (SELECT cell, cv, sqrt(${dot("cv", "cv")}) AS cn FROM c$i)),
 s$i AS (SELECT v.vec_id, v.embedding, u.cell, ${dot("v.embedding", "u.uv")} / v.nrm AS sim
-  FROM nv v, u$i u),
+  FROM $src v, u$i u),
 a$i AS (SELECT vec_id, embedding, cell FROM (SELECT s$i.*,
   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM s$i) WHERE rn = 1),
 m$i AS (SELECT cell, (s).p AS p, round(avg((s).v), 6) AS m
@@ -530,12 +535,17 @@ m$i AS (SELECT cell, (s).p AS p, round(avg((s).v), 6) AS m
 c${i + 1} AS MATERIALIZED (SELECT c.cell, coalesce(ml.l, c.cv) AS cv FROM c$i c
   LEFT JOIN (SELECT cell, list(m ORDER BY p) AS l FROM m$i GROUP BY 1) ml USING (cell))"""
     }.mkString(",\n")
-    s"""WITH ${OracleSqlGen.nvCte(dim)},
-c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+    s"""c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM (SELECT vec_id, embedding FROM nv ORDER BY vec_id LIMIT $k)),
+  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $k)),
 $stages,
-fc AS (SELECT cell, list_transform(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cv FROM c$iters),
+fc AS (SELECT cell, list_transform(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cv FROM c$iters)"""
+  }
+
+  private def kmeansCellsOracleSql(k: Int, iters: Int, dim: Int): String = {
+    def dot(a: String, b: String) = OracleSqlGen.dot(a, b, dim)
+    s"""WITH ${OracleSqlGen.nvCte(dim)},
+${kmeansTrainCtes(k, iters, dim, "nv")},
 fs AS (SELECT v.vec_id, c.cell,
   ${dot("v.embedding", "c.cv")} / (v.nrm * sqrt(${dot("c.cv", "c.cv")})) AS sim FROM nv v, fc c),
 fa AS (SELECT vec_id, cell FROM (SELECT fs.*,
@@ -543,6 +553,23 @@ fa AS (SELECT vec_id, cell FROM (SELECT fs.*,
 SELECT CAST(c.cell AS BIGINT) AS cell, CAST(coalesce(n.cnt, 0) AS BIGINT) AS n_members,
   round(sqrt(${dot("c.cv", "c.cv")}), 4) AS centroid_norm
 FROM fc c LEFT JOIN (SELECT cell, count(*) AS cnt FROM fa GROUP BY 1) n USING (cell)"""
+  }
+
+  /** s_incremental_assign oracle: centroids trained on the day-1
+    * vectors (vec_id % 3 != 2, same trajectory as s_kmeans_cells), then
+    * ONLY the increment (vec_id % 3 = 2) is assigned — one verdict row
+    * per increment vector with its cell and rounded cosine. */
+  private def kmeansAssignOracleSql(k: Int, iters: Int, dim: Int): String = {
+    def dot(a: String, b: String) = OracleSqlGen.dot(a, b, dim)
+    s"""WITH ${OracleSqlGen.nvCte(dim)},
+tnv AS (SELECT * FROM nv WHERE vec_id % 3 != 2),
+inv AS (SELECT * FROM nv WHERE vec_id % 3 = 2),
+${kmeansTrainCtes(k, iters, dim, "tnv")},
+fs AS (SELECT v.vec_id, c.cell,
+  ${dot("v.embedding", "c.cv")} / (v.nrm * sqrt(${dot("c.cv", "c.cv")})) AS sim FROM inv v, fc c)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(sim, 4) AS sim
+FROM (SELECT fs.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM fs)
+WHERE rn = 1"""
   }
 
   /** Hashed-BoW md5-twin embedding CTEs over documents -> `nv`
@@ -1234,6 +1261,34 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
         centroids = Some(cents))
     },
 
+    // Incremental centroid assignment against persisted k-means state —
+    // the embedding-side analog of dd_incremental_neardup: centroids
+    // train ONCE on the day-1 vectors and persist (k rows,
+    // fingerprint-marked so a source regen retrains); each increment is
+    // assigned by one broadcast-centroid pass — O(increment * k) narrow
+    // work, no retraining, no shuffle beyond the argmax window keyed by
+    // vec_id. The oracle re-derives the same training trajectory and
+    // assigns only the increment.
+    Q("s_incremental_assign", kmeansAssignOracleSql(8, 2, 64)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      prepareCentroidState(s, d)
+      val cents = s.read.parquet(centroidStatePath(s, d))
+      val cn = cents.select(col("vec_id").as("cell"),
+        col("embedding").as("cv"),
+        Similarity.l2norm(col("embedding")).as("_cn"))
+      val vecs = Tables.embeddings(s, d).filter(col("vec_id") % 3 === 2)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.l2norm(col("embedding")).as("_n"))
+        .filter(col("_n") > 0)
+      val sims = vecs.crossJoin(broadcast(cn))
+        .select(col("vec_id"), col("cell"),
+          (Similarity.dot(col("embedding"), col("cv")) /
+            (col("_n") * col("_cn"))).as("sim"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cell"))
+      sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), round(col("sim"), 4).as("sim"))
+    },
+
     // Spherical k-means IVF-centroid training, oracle-checked end to
     // end: 2 training rounds (init = 8 smallest-id vectors, means on
     // the round(_, 6) stabilization grid, empty cells keep their
@@ -1590,6 +1645,30 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
     * (same convention as the sc1 bucket tables). */
   private[queries] def dedupStateTable(sfDir: String): String =
     s"graft_dd_state_${sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
+
+  /** s_incremental_assign's persisted centroid-state path (tiny: k
+    * rows), fingerprint-marked via ScaleOps so a regenerated embeddings
+    * source RETRAINS instead of serving stale centroids. */
+  private[queries] def centroidStatePath(s: org.apache.spark.sql.SparkSession,
+                                         d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_km_state_$tag").toString
+  }
+
+  /** One-time k-means training on the day-1 vectors; persists the k
+    * centroids (train once, assign forever). Idempotent per (path,
+    * source fingerprint). */
+  def prepareCentroidState(s: org.apache.spark.sql.SparkSession,
+                           d: String): Unit =
+    graft.ops.ScaleOps.ensureSortedBy(
+      graft.similarity.Similarity.kmeansCentroids(
+        Tables.embeddings(s, d).filter(col("vec_id") % 3 =!= 2),
+        "vec_id", "embedding", k = 8, iters = 2, dim = 64,
+        roundMeans = Some(6)),
+      centroidStatePath(s, d), "vec_id", numFiles = 1,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(
+        s"$d/embeddings.parquet"))
 
   /** dd_incremental_neardup's persisted LSH band-bucket state table. */
   private[queries] def lshStateTable(sfDir: String): String =
