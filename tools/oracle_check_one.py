@@ -31,6 +31,12 @@ con.sql(f"SET temp_directory='{tmp}'")
 threads = os.environ.get("GRAFT_DUCKDB_THREADS")
 if threads:
     con.sql(f"SET threads={int(threads)}")
+# Row order is irrelevant (the compare sorts); dropping insertion-order
+# preservation lets DuckDB stream/spill large aggregations instead of
+# buffering them, which is the difference between finishing and OOM on
+# the heaviest composed twins at the 10x fixture.
+if os.environ.get("GRAFT_DUCKDB_NO_ORDER"):
+    con.sql("SET preserve_insertion_order=false")
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
     con.sql(f"create view {t} as select * from '{sfdir}/{t}.parquet'")
