@@ -219,9 +219,17 @@ ${p}fp AS (SELECT DISTINCT doc_id, wmin AS fingerprint FROM ${p}wins
   // fingerprint — exactly the quadratic hazard the cap removes.
   private val fpOverlapDfCap = 20
 
+  /** Density-derived boilerplate cap: a fingerprint present in > 8% of
+    * train docs is boilerplate at ANY corpus size. The earlier FIXED
+    * cap of 20 saturated at 10x dup density (every df multiplies with
+    * the copy count) and wiped the 10x report to 0 rows; the floor
+    * keeps the sf0.01 gate results identical. */
+  private val fpOverlapCapSql: String =
+    s"greatest($fpOverlapDfCap, CAST(ceil(0.08 * (SELECT count(*) FROM tr)) AS BIGINT))"
+
   private def cappedFpCte(p: String): String =
     s"""${p}fpc AS (SELECT doc_id, fingerprint FROM (SELECT doc_id, fingerprint,
-  count(*) OVER (PARTITION BY fingerprint) AS dfq FROM ${p}fp) WHERE dfq <= $fpOverlapDfCap)"""
+  count(*) OVER (PARTITION BY fingerprint) AS dfq FROM ${p}fp) WHERE dfq <= $fpOverlapCapSql)"""
 
   private val fingerprintOverlapSql: String =
     s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
@@ -1351,11 +1359,15 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
     // the join stays linear in true leakage, not (df_train x df_test).
     Q("dd_fingerprint_overlap", fingerprintOverlapSql) { (s, d) =>
       val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      // Density-derived cap (see fpOverlapCapSql): same arithmetic as
+      // the oracle, both engines ceil the same IEEE double.
+      val cap = math.max(20, math.ceil(0.08 * train.count()).toInt)
       graft.text.CorpusStats.fingerprintOverlap(
-        docs.filter(col("doc_id") % 2 === 0),
+        train,
         docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", n = 5, w = 8, minShared = 3,
-        maxDocFreq = Some(20))
+        maxDocFreq = Some(cap))
     },
 
     // Stratified EXACT-k sampling: the deterministic per-language eval
