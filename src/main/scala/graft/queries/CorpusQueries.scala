@@ -297,6 +297,18 @@ SELECT i.doc_id, best.id1 IS NULL AS accepted,
   best.id1 AS best_state_id, best.jaccard AS best_jaccard
 FROM inc i LEFT JOIN best ON best.id2 = i.doc_id"""
 
+  /** st_lsh_probe oracle: the CANDIDATE set of the incremental
+    * near-dup pass — band-equality collisions between the persisted
+    * state and the streamed increment, before Jaccard verification.
+    * Mirrors [[graft.streaming.LshProbe.candidatesOnce]]. */
+  private val lshProbeSql: String =
+    s"""WITH st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+${minhashSideCtes("a", "st")},
+${minhashSideCtes("b", "inc")}
+SELECT DISTINCT a.doc_id AS state_id, b.doc_id AS inc_id
+  FROM abnd a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh"""
+
   private val contaminationTopKSql: String =
     s"""WITH $contaminationCtes,
 cbase AS ($contaminationSelect)
@@ -1502,6 +1514,18 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
       out
     },
 
+    // Streaming LSH probe: the incremental near-dup pass's front gate
+    // as a Structured Streaming job — the increment streams through
+    // per-row narrow minhash banding (array_min over transform, NO
+    // streaming aggregation state) and probes the SAME persisted band
+    // state dd_incremental_neardup buckets on, via a stateless
+    // stream-static join; the settled distinct equals the batch
+    // candidate set at any arrival order.
+    Q("st_lsh_probe", lshProbeSql) { (s, d) =>
+      prepareLshState(s, d)
+      graft.streaming.LshProbe.candidatesOnce(s, d, lshStateTable(d))
+    },
+
     // Bloom-prefiltered decontamination: test-split shingles collapse
     // into a Bloom riding the plan; the train scan drops non-members
     // before any exchange, the exact join kills false positives — the
@@ -1683,7 +1707,7 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
         s"$d/embeddings.parquet"))
 
   /** dd_incremental_neardup's persisted LSH band-bucket state table. */
-  private[queries] def lshStateTable(sfDir: String): String =
+  private[graft] def lshStateTable(sfDir: String): String =
     s"graft_dd_lshstate_${sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
 
   /** One-time bucketed CTAS of the accepted set's LSH band buckets

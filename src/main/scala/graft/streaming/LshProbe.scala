@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming decontamination front gate (SURVEY §2.11 × the incremental
+  * LSH state of dd_incremental_neardup): the documents increment
+  * STREAMS through per-row minhash banding and probes the persisted
+  * band state with a stateless stream-static join.
+  *
+  * The sketch is computed NARROW — `array_min(transform(...))` over the
+  * row's own shingle array instead of the batch path's explode +
+  * groupBy — so the stream carries NO aggregation state at all: the
+  * only stateful thing in the pipeline is the append sink. The (w1,w2)
+  * hash words are materialized once per row and shared by all 32
+  * permutations (one md5 per shingle, not 32). Band keys are built with
+  * the same concat_ws rendering as [[graft.dedup.Dedup.bandKeys]], so
+  * the probe hits the SAME persisted buckets the batch path writes.
+  *
+  * Collisions land in an append sink; the batch `distinct()` of
+  * (state_id, inc_id) afterwards equals the batch candidate set (the
+  * oracle's band-equality join) regardless of arrival order or
+  * micro-batch boundaries. At scale the append sink is a file/Kafka
+  * sink and the distinct (plus exact-Jaccard verification) runs in the
+  * downstream batch job — the stream's job is only to surface
+  * collisions as documents arrive. */
+object LshProbe {
+
+  private val docSchema =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  /** One AvailableNow drain of the increment (doc_id % 3 = 2) against
+    * `stateTable` (written by prepareLshState: (doc_id, band_key)
+    * bucketed on band_key). Returns the settled DISTINCT candidate
+    * pairs (state_id, inc_id). */
+  def candidatesOnce(spark: SparkSession, sfDir: String,
+                     stateTable: String, numHashes: Int = 32,
+                     rowsPerBand: Int = 4): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+
+    val shingles = graft.dedup.Dedup.distinctShingles(col("text"), 2)
+    def w1(s: Column) = conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    def w2(s: Column) = conv(substring(md5(s), 9, 8), 16, 10).cast("long")
+    val ws = transform(shingles, s => struct(w1(s).as("w1"), w2(s).as("w2")))
+    def sig(i: Int): Column = array_min(transform(col("_ws"),
+      w => (w.getField("w1") + lit(i.toLong) * w.getField("w2")) %
+        lit(4294967296L)))
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      concat(lit(s"$b:"), concat_ws("|",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(sig): _*))
+    }
+
+    val stream = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(docSchema))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 3 === 2)
+      .withColumn("_ws", ws)
+      .select(col("doc_id"),
+        explode(array(bandCols: _*)).as("band_key"))
+      .join(ss.table(stateTable)
+        .select(col("doc_id").as("state_id"), col("band_key")),
+        Seq("band_key"))
+      .select(col("state_id"), col("doc_id").as("inc_id"))
+
+    val qname = "graft_stream_lsh_probe"
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    ss.table(qname).distinct()
+  }
+}
