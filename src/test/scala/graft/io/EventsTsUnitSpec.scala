@@ -68,6 +68,30 @@ class EventsTsUnitSpec extends SparkSpec {
     }
   }
 
+  test("directory-form events.parquet: unit sniffed from the first part file, " +
+    "cache keyed by that file") {
+    // events.parquet as a DIRECTORY tree (the cluster-scale layout):
+    // a partition subdirectory holds the part file, _SUCCESS and a
+    // _spark_metadata-style underscore entry must be skipped, and the
+    // unit must come from the nested footer.
+    val root = java.nio.file.Files.createTempDirectory("graft-tsunit-dir").toFile
+    try {
+      val tree = new java.io.File(root, "events.parquet/day=2024-01-15")
+      java.nio.file.Files.createDirectories(tree.toPath)
+      java.nio.file.Files.createFile(
+        new java.io.File(root, "events.parquet/_SUCCESS").toPath)
+      val micros = Seq(1705312800000000L)
+      // write the part file via the same writer, then move it into the tree
+      val scratch = java.nio.file.Files.createTempDirectory("graft-tsunit-scratch").toFile
+      writeEvents(scratch, LogicalTypeAnnotation.TimeUnit.MICROS, micros)
+      java.nio.file.Files.move(
+        new java.io.File(scratch, "events.parquet").toPath,
+        new java.io.File(tree, "part-00000.parquet").toPath)
+      graft.ops.ScaleOps.deleteLocal(scratch)
+      assert(graft.Tables.eventsTsUnit(spark, root.toString) == "MICROS")
+    } finally graft.ops.ScaleOps.deleteLocal(root)
+  }
+
   test("the live testdata unit is sniffed, not assumed") {
     // Whatever the driver generated THIS round, the loader must agree
     // with DuckDB-visible instants: 10k events spanning a month, not
