@@ -103,7 +103,10 @@ object Tables {
               .flatMap(_.getColumns.asScala.find(
                 _.getPath.toDotString == "ts"))
               .map(_.getStatistics)
-              .filter(st0 => st0 != null && !st0.isEmpty)
+              // hasNonNullValue: an all-null first row group has stats
+              // but no min/max; genericGetMax would be null — fall into
+              // the explicit diagnostic below instead of NPEing.
+              .filter(st0 => st0 != null && !st0.isEmpty && st0.hasNonNullValue)
               .getOrElse(throw new IllegalStateException(
                 s"events ts column is unannotated INT64 and $file carries no " +
                   "column statistics — cannot determine the time unit"))

@@ -68,11 +68,31 @@ object ScaleOps {
     * bucketing metadata lives in the catalog, so a table the catalog
     * doesn't know must be rewritten even if stale files exist). This is
     * the "write once, join forever" contract: layout prep runs once per
-    * (table, warehouse), every later call is a catalog lookup. */
+    * (table, warehouse), every later call is a catalog lookup.
+    *
+    * `srcFingerprint` extends the freshness test beyond mere existence —
+    * the bucketed-table analogue of [[ensureSortedBy]]'s layout marker:
+    * the fingerprint is recorded as table property `graft.src`, and a
+    * later call with a DIFFERENT fingerprint drops and rebuilds the
+    * table. Without it, an in-place regen of the source parquet would
+    * silently serve stale bucketed state (the regen-staleness failure
+    * mode the r9 ts-unit incident hit). Empty fingerprint keeps the
+    * existence-only contract for callers whose input is immutable. */
   def ensureBucketed(df: DataFrame, table: String, key: String,
-                     numBuckets: Int): Unit =
-    if (!df.sparkSession.catalog.tableExists(table))
+                     numBuckets: Int, srcFingerprint: String = ""): Unit = {
+    val spark = df.sparkSession
+    val fresh = spark.catalog.tableExists(table) && (srcFingerprint.isEmpty || {
+      // SHOW TBLPROPERTIES is public SQL (no private[sql] catalog access)
+      // and driver-tiny; ensureBucketed runs in prep paths, never hot.
+      spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+        .exists(r => r.getString(0) == "graft.src" && r.getString(1) == srcFingerprint)
+    })
+    if (!fresh) {
       writeBucketed(df, table, key, numBuckets)
+      if (srcFingerprint.nonEmpty)
+        spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('graft.src' = '$srcFingerprint')")
+    }
+  }
 
   // ---- Hadoop FS plumbing: layout prep must work on hdfs://, s3a://
   // and file:// alike, so every existence check, marker file and listing

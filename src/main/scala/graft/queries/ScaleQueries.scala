@@ -539,11 +539,13 @@ GROUP BY 1""") { (s, d) =>
     val (tOrders, tLineitem) = bucketTables(sfDir)
     ScaleOps.ensureBucketed(
       Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus"),
-      tOrders, "o_orderkey", 8)
+      tOrders, "o_orderkey", 8,
+      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/orders.parquet"))
     ScaleOps.ensureBucketed(
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
-      tLineitem, "o_orderkey", 8)
+      tLineitem, "o_orderkey", 8,
+      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/lineitem.parquet"))
     ScaleOps.ensurePartitioned(
       Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"), col("value"),

@@ -92,6 +92,51 @@ class EventsTsUnitSpec extends SparkSpec {
     } finally graft.ops.ScaleOps.deleteLocal(root)
   }
 
+  test("ts-conversion loader does not block column pruning: a props-only " +
+    "query's scan ReadSchema excludes ts") {
+    // Tables.events always layers `withColumn(ts, <unit conversion>)`
+    // over the raw scan; Catalyst's ColumnPruning must still collapse
+    // that project away for queries that never touch ts — otherwise
+    // every events query pays the timestamp column's IO forever.
+    import org.apache.spark.sql.functions._
+    val plan = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("ReadSchema: struct<props:string>"),
+      s"events scan must read ONLY props for a props-only query; got: $readSchema")
+  }
+
+  test("unannotated INT64 ts with an all-null first row group raises the " +
+    "explicit diagnostic, not an NPE") {
+    // No timestamp annotation forces the stats-magnitude fallback; an
+    // all-null row group has stats with hasNonNullValue=false, so
+    // genericGetMax is null — the sniffer must surface the 'cannot
+    // determine the time unit' IllegalStateException.
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsnull").toFile
+    try {
+      val schema = Types.buildMessage()
+        .addField(Types.optional(PrimitiveTypeName.INT64).named("event_id"))
+        .addField(Types.optional(PrimitiveTypeName.INT64).named("ts"))
+        .named("spark_schema")
+      val path = new org.apache.hadoop.fs.Path(
+        new java.io.File(dir, "events.parquet").toString)
+      val writer = ExampleParquetWriter.builder(path).withType(schema).build()
+      val gf = new SimpleGroupFactory(schema)
+      try (0 until 3).foreach { i =>
+        val g = gf.newGroup()
+        g.add("event_id", i.toLong) // ts never added -> all-null column
+        writer.write(g)
+      } finally writer.close()
+      val e = intercept[IllegalStateException] {
+        graft.Tables.eventsTsUnit(spark, dir.toString)
+      }
+      assert(e.getMessage.contains("cannot determine the time unit"))
+    } finally graft.ops.ScaleOps.deleteLocal(dir)
+  }
+
   test("the live testdata unit is sniffed, not assumed") {
     // Whatever the driver generated THIS round, the loader must agree
     // with DuckDB-visible instants: 10k events spanning a month, not

@@ -24,6 +24,31 @@ class ScaleOpsSpec extends SparkSpec {
       s"scan not pruned:\n$plan")
   }
 
+  test("ensureBucketed with srcFingerprint rebuilds on fingerprint change, " +
+    "skips on match") {
+    val t = "b_fp_state"
+    try {
+      val v1 = spark.range(5).selectExpr("id AS k", "id * 2 AS v")
+      ScaleOps.ensureBucketed(v1, t, "k", 2, srcFingerprint = "fp-A")
+      assert(spark.table(t).count() == 5)
+      // Same fingerprint: the (different) df must NOT be rewritten —
+      // "write once, join forever".
+      ScaleOps.ensureBucketed(
+        spark.range(9).selectExpr("id AS k", "id AS v"), t, "k", 2,
+        srcFingerprint = "fp-A")
+      assert(spark.table(t).count() == 5, "matching fingerprint must skip rewrite")
+      // Changed fingerprint (source regenerated): MUST drop and rebuild
+      // — stale bucketed state is the r9 regen-staleness failure mode.
+      val v2 = spark.range(7).selectExpr("id AS k", "id AS v")
+      ScaleOps.ensureBucketed(v2, t, "k", 2, srcFingerprint = "fp-B")
+      assert(spark.table(t).count() == 7, "changed fingerprint must rebuild")
+      // Legacy existence-only contract: empty fingerprint skips while
+      // the table exists, even one written WITH a fingerprint.
+      ScaleOps.ensureBucketed(v1, t, "k", 2)
+      assert(spark.table(t).count() == 7)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("bucketed join plans with zero exchanges") {
     // Tables land in the default ./spark-warehouse (warehouse.dir is a
     // static conf); dropped in finally, dir is gitignored.
