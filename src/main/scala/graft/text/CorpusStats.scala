@@ -135,19 +135,55 @@ object CorpusStats {
   def fingerprintOverlap(train: DataFrame, test: DataFrame, idCol: String,
                          textCol: String, n: Int = 5, w: Int = 8,
                          minShared: Int = 3,
-                         maxDocFreq: Option[Int] = None): DataFrame = {
+                         maxDocFreq: Option[Int] = None,
+                         derivedDocFreqCap: Option[(Int, Double)] = None): DataFrame = {
     def fps(df: DataFrame) =
       winnowFingerprintsNative(df, idCol, textCol, n, w, useMd5 = true)
-    def capped(f: DataFrame) = maxDocFreq.fold(f) { cap =>
-      val dfreq = f.groupBy("fingerprint").agg(count(lit(1)).as("_df"))
-      f.join(dfreq.filter(col("_df") <= cap), Seq("fingerprint"))
-        .select(col(idCol), col("fingerprint"))
+    // Density-derived cap (floor, fracOfTrain): greatest(floor,
+    // ceil(frac * |train|)) computed IN-PLAN as a 1-row broadcast — no
+    // separate count() action per run, and Long arithmetic end to end
+    // (the oracle's BIGINT cast; an Int cap would truncate past 2^31).
+    val derivedCapDf = derivedDocFreqCap.map { case (floor, frac) =>
+      train.agg(greatest(lit(floor.toLong),
+        ceil(lit(frac) * count(lit(1))).cast("long")).as("_cap"))
+    }
+    def capped(f: DataFrame) = {
+      def byFilter(capRows: DataFrame => DataFrame): DataFrame = {
+        val dfreq = f.groupBy("fingerprint").agg(count(lit(1)).as("_df"))
+        f.join(capRows(dfreq).select("fingerprint"), Seq("fingerprint"))
+          .select(col(idCol), col("fingerprint"))
+      }
+      derivedCapDf match {
+        case Some(capDf) =>
+          byFilter(_.crossJoin(broadcast(capDf)).filter(col("_df") <= col("_cap")))
+        case None =>
+          maxDocFreq.fold(f)(cap => byFilter(_.filter(col("_df") <= cap)))
+      }
     }
     capped(fps(train)).select(col(idCol).as("train_id"), col("fingerprint"))
       .join(capped(fps(test)).select(col(idCol).as("test_id"), col("fingerprint")),
         Seq("fingerprint"))
       .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Witness-capped [[fingerprintOverlap]]: top-k training witnesses per
+    * test doc (n_shared DESC, train_id — deterministic), so the report
+    * is bounded k * |test| at ANY duplication density. The full per-pair
+    * report is an audit artifact; THIS is the operational decontam shape
+    * at web-crawl density (the 10x fixture's full report is 72M rows).
+    * Window keyed by test_id — partition-parallel, never a global sort. */
+  def fingerprintOverlapTopK(train: DataFrame, test: DataFrame, idCol: String,
+                             textCol: String, n: Int = 5, w: Int = 8,
+                             minShared: Int = 3, k: Int = 3,
+                             maxDocFreq: Option[Int] = None,
+                             derivedDocFreqCap: Option[(Int, Double)] = None): DataFrame = {
+    val pairs = fingerprintOverlap(train, test, idCol, textCol, n, w,
+      minShared, maxDocFreq, derivedDocFreqCap)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("test_id").orderBy(desc("n_shared"), col("train_id"))
+    pairs.withColumn("witness_rank", row_number().over(win).cast("long"))
+      .filter(col("witness_rank") <= k)
   }
 
   /** Maximal VERBATIM token spans shared between a train and a test

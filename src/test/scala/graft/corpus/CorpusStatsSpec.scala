@@ -288,6 +288,67 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(102L) == ((true, None, None)))
   }
 
+  test("incrementalNearDups bandBucketCap skips degenerate state buckets") {
+    import graft.dedup.Dedup
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    // Five IDENTICAL state texts: every band bucket they occupy holds
+    // exactly 5 docs — the mass-duplication degenerate shape.
+    val state = df("doc_id bigint, text string")(
+      (1L to 5L).map(i => Row(i, base)))
+    val inc = df("doc_id bigint, text string")(Seq(Row(101L, base)))
+    val stateBands = Dedup.bandKeys(
+      state.select(col("doc_id"),
+        explode(Dedup.distinctShingles(col("text"), 2)).as("shingle")),
+      "doc_id", 32, 4)
+    def run(cap: Int) = Dedup.incrementalNearDups(inc, state, stateBands,
+        "doc_id", "text", numHashes = 32, rowsPerBand = 4, shingleN = 2,
+        threshold = 0.5, bandBucketCap = Some(cap))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // cap >= bucket size: collision found, 101 rejected
+    assert(run(5) == Map(101L -> false))
+    // cap below bucket size: every bucket skipped, 101 sails through —
+    // the budgeted behavior, bounded verify work at any density
+    assert(run(4) == Map(101L -> true))
+  }
+
+  test("fingerprintOverlap derivedDocFreqCap derives the cap from train size in-plan") {
+    val quote = "the forty-two secret words of the hidden benchmark passage"
+    val train = df("doc_id bigint, text string")(Seq(
+      Row(1L, "AAAA " + quote + " BBBB"),
+      Row(2L, "CCCC " + quote + " DDDD"))) // quote in BOTH train docs -> df 2
+    val test_ = df("doc_id bigint, text string")(Seq(
+      Row(101L, "XXXX " + quote + " YYYY")))
+    // cap = greatest(1, ceil(0 * 2)) = 1 < df 2 -> boilerplate dropped
+    val strict = CorpusStats.fingerprintOverlap(train, test_, "doc_id", "text",
+      derivedDocFreqCap = Some((1, 0.0)))
+    assert(strict.count() == 0)
+    // cap = greatest(20, ceil(0.08 * 2)) = 20 -> pairs survive
+    val loose = CorpusStats.fingerprintOverlap(train, test_, "doc_id", "text",
+      derivedDocFreqCap = Some((20, 0.08)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 101L), (2L, 101L)))
+  }
+
+  test("fingerprintOverlapTopK bounds witnesses per test doc, deterministic rank") {
+    val quote = "the forty-two secret words of the hidden benchmark passage"
+    val longQuote = quote + " plus quite a few additional shared tokens here"
+    val train = df("doc_id bigint, text string")(Seq(
+      Row(1L, "AAAA " + longQuote + " B1"),
+      Row(2L, "CCCC " + longQuote + " D2"),
+      Row(3L, "EEEE " + quote + " F3"),
+      Row(4L, "GGGG " + quote + " H4")))
+    val test_ = df("doc_id bigint, text string")(Seq(
+      Row(101L, "XXXX " + longQuote + " YYYY")))
+    val top2 = CorpusStats.fingerprintOverlapTopK(train, test_, "doc_id", "text",
+        k = 2, derivedDocFreqCap = Some((20, 0.08)))
+      .orderBy("witness_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // the two longQuote sharers outrank the short-quote ones; ties on
+    // n_shared break by train_id
+    assert(top2.map(_._2) == Seq(1L, 2L))
+    assert(top2.map(_._1) == Seq(1L, 2L))
+  }
+
   test("fingerprintOverlap flags verbatim shared substrings, honors doc-freq cap") {
     val quote = "the forty-two secret words of the hidden benchmark passage"
     val train = df("doc_id bigint, text string")(Seq(
