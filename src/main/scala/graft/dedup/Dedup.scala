@@ -399,13 +399,27 @@ object Dedup {
   def incrementalNearDups(incDocs: DataFrame, stateDocs: DataFrame,
                           stateBands: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 32, rowsPerBand: Int = 4,
-                          shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+                          shingleN: Int = 3, threshold: Double = 0.8,
+                          bandBucketCap: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val incSets = incDocs.select(col(idCol),
       explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
     val incBands = bandKeys(incSets, idCol, numHashes, rowsPerBand)
       .withColumnRenamed(idCol, "id2")
-    val cands = stateBands.select(col(idCol).as("id1"), col("band_key"))
+    // Collision-budget cap (the ANN bucketCap analogue): a state band
+    // bucket holding more than `cap` docs is degenerate — boilerplate
+    // or mass duplication — and every increment doc landing in it fans
+    // out `cap+`-fold before verification. Skipping oversized buckets
+    // bounds per-probe verify work at ANY duplication density (standard
+    // banded-LSH practice). The size is a windowed count keyed on
+    // band_key, so a state table bucketed on band_key computes it
+    // WITHOUT an exchange — the probe path stays shuffle-free.
+    val cappedState = bandBucketCap.fold(stateBands) { cap =>
+      val w = Window.partitionBy("band_key")
+      stateBands.withColumn("_bsz", count(lit(1)).over(w))
+        .filter(col("_bsz") <= cap).drop("_bsz")
+    }
+    val cands = cappedState.select(col(idCol).as("id1"), col("band_key"))
       .join(incBands, Seq("band_key"))
       .select("id1", "id2").distinct()
     val stateSets = stateDocs

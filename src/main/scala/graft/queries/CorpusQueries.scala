@@ -231,16 +231,31 @@ ${p}fp AS (SELECT DISTINCT doc_id, wmin AS fingerprint FROM ${p}wins
     s"""${p}fpc AS (SELECT doc_id, fingerprint FROM (SELECT doc_id, fingerprint,
   count(*) OVER (PARTITION BY fingerprint) AS dfq FROM ${p}fp) WHERE dfq <= $fpOverlapCapSql)"""
 
-  private val fingerprintOverlapSql: String =
-    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+  private val fingerprintOverlapCtes: String =
+    s"""tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
 te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
 ${winnowSideCtes("a", "tr")},
 ${winnowSideCtes("b", "te")},
 ${cappedFpCte("a")},
-${cappedFpCte("b")}
-SELECT a.doc_id AS train_id, b.doc_id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
+${cappedFpCte("b")},
+fpov AS (SELECT a.doc_id AS train_id, b.doc_id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM afpc a JOIN bfpc b ON a.fingerprint = b.fingerprint
-GROUP BY 1, 2 HAVING count(*) >= 3"""
+GROUP BY 1, 2 HAVING count(*) >= 3)"""
+
+  private val fingerprintOverlapSql: String =
+    s"WITH $fingerprintOverlapCtes\nSELECT train_id, test_id, n_shared FROM fpov"
+
+  /** Witness-capped twin of dd_fingerprint_overlap: top-k training
+    * witnesses per test doc — output bounded k * |test| at ANY dup
+    * density (the full per-pair report grew to 72M rows at the 10x
+    * fixture). Same deterministic window shape as
+    * dd_contamination_topk. */
+  private val fingerprintOverlapTopKSql: String =
+    s"""WITH $fingerprintOverlapCtes
+SELECT train_id, test_id, n_shared, CAST(rk AS BIGINT) AS witness_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY test_id
+    ORDER BY n_shared DESC, train_id) AS rk FROM fpov)
+WHERE rk <= 3"""
 
   /** Cross-corpus contamination oracle: even doc_ids play the training
     * corpus, odd the test corpus; the band-bucket join runs BETWEEN the
@@ -253,9 +268,10 @@ GROUP BY 1, 2 HAVING count(*) >= 3"""
     * contamination, its top-k variant and the incremental near-dup
     * oracle all compose it, so a rounding/threshold fix lands
     * everywhere at once. */
-  private def crossVerifyCtes(threshold: Double): String =
+  private def crossVerifyCtes(threshold: Double,
+                              stateBnd: String = "abnd"): String =
     s"""cd AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM abnd a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh),
+  FROM $stateBnd a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh),
 szA AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ash GROUP BY 1),
 szB AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM bsh GROUP BY 1),
 intr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM cd c
@@ -278,6 +294,23 @@ ${crossVerifyCtes(0.5)}"""
   private val contaminationSql: String =
     s"WITH $contaminationCtes\n$contaminationSelect"
 
+  /** Collision-budget cap on the persisted LSH state's band buckets —
+    * the bucketCap analogue for the incremental near-dup paths: a state
+    * bucket above this size is degenerate (boilerplate band or mass
+    * duplication) and gets skipped by BOTH the batch probe and the
+    * streaming probe, bounding per-probe verify fan-out at any dup
+    * density. Shared by the registered queries and their oracle twins;
+    * never binds at driver SFs (max sf0.1 state bucket is far smaller),
+    * binds deliberately at the synthetic K-copy stress fixtures. */
+  private[queries] val lshBandBucketCap = 16
+
+  /** Capped state-side band CTE: abnd rows whose (band, bh) bucket holds
+    * at most [[lshBandBucketCap]] state docs. */
+  private def cappedStateBndCte: String =
+    s"""abndc AS (SELECT doc_id, band, bh FROM (
+  SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM abnd)
+  WHERE bsz <= $lshBandBucketCap)"""
+
   /** dd_incremental_neardup oracle: state = doc_id % 3 != 2 (the day-1
     * accepted set), increment = % 3 = 2 (mirrors dd_incremental's
     * split); md5-minhash banding on both sides, band-bucket collision,
@@ -289,7 +322,8 @@ ${crossVerifyCtes(0.5)}"""
 inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
 ${minhashSideCtes("a", "st")},
 ${minhashSideCtes("b", "inc")},
-${crossVerifyCtes(0.5)},
+$cappedStateBndCte,
+${crossVerifyCtes(0.5, "abndc")},
 best AS (SELECT id2, id1, jaccard FROM (
   SELECT *, row_number() OVER (PARTITION BY id2 ORDER BY jaccard DESC, id1) AS rn
   FROM vf) WHERE rn = 1)
@@ -305,9 +339,10 @@ FROM inc i LEFT JOIN best ON best.id2 = i.doc_id"""
     s"""WITH st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
 inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
 ${minhashSideCtes("a", "st")},
-${minhashSideCtes("b", "inc")}
+${minhashSideCtes("b", "inc")},
+$cappedStateBndCte
 SELECT DISTINCT a.doc_id AS state_id, b.doc_id AS inc_id
-  FROM abnd a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh"""
+  FROM abndc a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh"""
 
   private val contaminationTopKSql: String =
     s"""WITH $contaminationCtes,
@@ -1371,15 +1406,29 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
     // the join stays linear in true leakage, not (df_train x df_test).
     Q("dd_fingerprint_overlap", fingerprintOverlapSql) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val train = docs.filter(col("doc_id") % 2 === 0)
-      // Density-derived cap (see fpOverlapCapSql): same arithmetic as
-      // the oracle, both engines ceil the same IEEE double.
-      val cap = math.max(20, math.ceil(0.08 * train.count()).toInt)
+      // Density-derived cap (see fpOverlapCapSql) rides IN-PLAN as a
+      // 1-row broadcast — same ceil arithmetic as the oracle, Long end
+      // to end, and no separate train.count() action per run.
       graft.text.CorpusStats.fingerprintOverlap(
-        train,
+        docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", n = 5, w = 8, minShared = 3,
-        maxDocFreq = Some(cap))
+        derivedDocFreqCap = Some((20, 0.08)))
+    },
+
+    // Witness-capped fingerprint decontam: top-3 training witnesses per
+    // test doc. The per-pair dd_fingerprint_overlap report is the audit
+    // artifact; at web-crawl dup density it rides the pair count (72M
+    // rows at the 10x fixture), while this is bounded 3 * |test| at any
+    // density — the default operational decontam path, mirroring
+    // dd_contamination_topk.
+    Q("dd_fingerprint_overlap_topk", fingerprintOverlapTopKSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.text.CorpusStats.fingerprintOverlapTopK(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 5, w = 8, minShared = 3, k = 3,
+        derivedDocFreqCap = Some((20, 0.08)))
     },
 
     // Stratified EXACT-k sampling: the deterministic per-language eval
@@ -1483,7 +1532,8 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
         docs.filter(col("doc_id") % 3 =!= 2),
         ss.table(lshStateTable(d)),
         "doc_id", "text", numHashes = 32, rowsPerBand = 4,
-        shingleN = 2, threshold = 0.5)
+        shingleN = 2, threshold = 0.5,
+        bandBucketCap = Some(lshBandBucketCap))
       val plan = out.queryExecution.executedPlan
       // Downstream stages (pair distinct, Jaccard verify, witness
       // window) shuffle legitimately ABOVE the probe join, so a blanket
@@ -1523,7 +1573,8 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
     // candidate set at any arrival order.
     Q("st_lsh_probe", lshProbeSql) { (s, d) =>
       prepareLshState(s, d)
-      graft.streaming.LshProbe.candidatesOnce(s, d, lshStateTable(d))
+      graft.streaming.LshProbe.candidatesOnce(s, d, lshStateTable(d),
+        bandBucketCap = Some(lshBandBucketCap))
     },
 
     // Bloom-prefiltered decontamination: test-split shingles collapse
@@ -1720,7 +1771,8 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
       explode(graft.dedup.Dedup.distinctShingles(col("text"), 2)).as("shingle"))
     graft.ops.ScaleOps.ensureBucketed(
       graft.dedup.Dedup.bandKeys(sets, "doc_id", 32, 4),
-      lshStateTable(d), "band_key", 32)
+      lshStateTable(d), "band_key", 32,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"))
   }
 
   /** One-time bucketed CTAS of dd_incremental's digest state
@@ -1732,5 +1784,6 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
     graft.ops.ScaleOps.ensureBucketed(
       Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2)
         .select(md5(col("text")).as("content_hash")).distinct(),
-      dedupStateTable(d), "content_hash", 32)
+      dedupStateTable(d), "content_hash", 32,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"))
 }

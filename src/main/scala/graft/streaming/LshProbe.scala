@@ -36,11 +36,16 @@ object LshProbe {
     * pairs (state_id, inc_id). */
   def candidatesOnce(spark: SparkSession, sfDir: String,
                      stateTable: String, numHashes: Int = 32,
-                     rowsPerBand: Int = 4): DataFrame = {
+                     rowsPerBand: Int = 4, shingleN: Int = 2,
+                     bandBucketCap: Option[Int] = None): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
 
-    val shingles = graft.dedup.Dedup.distinctShingles(col("text"), 2)
+    // shingleN travels WITH the hash parameters: probing a state table
+    // built with a different shingle width yields zero collisions and
+    // would silently accept everything — the sketch parameters are one
+    // unit, never mixed.
+    val shingles = graft.dedup.Dedup.distinctShingles(col("text"), shingleN)
     def w1(s: Column) = conv(substring(md5(s), 1, 8), 16, 10).cast("long")
     def w2(s: Column) = conv(substring(md5(s), 9, 8), 16, 10).cast("long")
     val ws = transform(shingles, s => struct(w1(s).as("w1"), w2(s).as("w2")))
@@ -61,9 +66,21 @@ object LshProbe {
       .withColumn("_ws", ws)
       .select(col("doc_id"),
         explode(array(bandCols: _*)).as("band_key"))
-      .join(ss.table(stateTable)
-        .select(col("doc_id").as("state_id"), col("band_key")),
-        Seq("band_key"))
+      .join({
+        // Same collision-budget cap as the batch probe
+        // ([[graft.dedup.Dedup.incrementalNearDups]]): oversized state
+        // band buckets are degenerate and would fan every arriving doc
+        // out cap+-fold — the static side drops them once, before the
+        // stream ever joins. Windowed count keyed on band_key rides the
+        // state table's bucketing.
+        val st = ss.table(stateTable)
+          .select(col("doc_id").as("state_id"), col("band_key"))
+        bandBucketCap.fold(st) { cap =>
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("band_key")
+          st.withColumn("_bsz", count(lit(1)).over(w))
+            .filter(col("_bsz") <= cap).drop("_bsz")
+        }
+      }, Seq("band_key"))
       .select(col("state_id"), col("doc_id").as("inc_id"))
 
     val qname = "graft_stream_lsh_probe"

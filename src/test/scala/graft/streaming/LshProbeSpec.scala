@@ -33,5 +33,18 @@ class LshProbeSpec extends SparkSpec {
 
     assert(got == ref)
     assert(got.nonEmpty, "fixture produced no collisions — spec is vacuous")
+
+    // The collision-budget knob plumbs through to the static state
+    // side: a zero cap drops every bucket (no candidates at all), a
+    // huge cap equals the uncapped set.
+    val cap0 = LshProbe.candidatesOnce(
+      spark, d, graft.queries.CorpusQueries.lshStateTable(d),
+      bandBucketCap = Some(0))
+    assert(cap0.isEmpty)
+    val capBig = LshProbe.candidatesOnce(
+        spark, d, graft.queries.CorpusQueries.lshStateTable(d),
+        bandBucketCap = Some(Int.MaxValue))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capBig == ref)
   }
 }
