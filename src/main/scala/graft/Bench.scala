@@ -109,8 +109,37 @@ object Bench {
     }
     // The JSON line goes LAST: nothing this process prints may follow
     // it, so a last-line / tail-window parser has the best chance of
-    // seeing the complete record.
-    println(line)
+    // seeing the complete record. The driver's capture window is ~2000
+    // chars — a 167-query map is ~5KB, so a full line parses as
+    // truncated garbage (BENCH_r10.json: parsed=null). When the full
+    // line exceeds the window, print a COMPACT record instead: headline
+    // totals plus as many of the slowest per-query entries as fit
+    // (failures always included — a broken query must stay visible),
+    // with a pointer to the durable full map written above.
+    val tailBudget = 1900
+    val printed =
+      if (line.length <= tailBudget) line
+      else {
+        val frags = results.toSeq.sortBy {
+          case (_, Left(_)) => Double.NegativeInfinity // failures first
+          case (_, Right(s)) => -s                     // then slowest
+        }.map {
+          case (k, Right(sec)) => s""""${esc(k)}":${fmt(sec)}"""
+          case (k, Left(err)) => s""""${esc(k)}":{"err":"${esc(err)}"}"""
+        }
+        val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
+        val sb = new StringBuilder(head)
+        var first = true
+        frags.foreach { f =>
+          val sep = if (first) 0 else 1
+          if (sb.length + sep + f.length + 2 <= tailBudget) {
+            if (!first) sb.append(',')
+            sb.append(f); first = false
+          }
+        }
+        sb.append("}}").toString
+      }
+    println(printed)
     spark.stop()
   }
 }
