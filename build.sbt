@@ -36,5 +36,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs ALL executor threads inside this one JVM: heap must
+  // be sized per-core like a real executor would be (~0.75 GB/core
+  // execution+storage for 32 task slots), not like a thin driver. At
+  // 8g a full 168-query bench run degrades progressively — storage
+  // eviction + GC thrash inflated the identical query set 243s -> 137s
+  // when resized (measured on the round-11 host; single queries in
+  // isolation were unaffected, so it is purely heap pressure, and 24g
+  // still leaves ~100 GB of the host's RAM to the OS page cache).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -670,6 +670,19 @@ object Dedup {
       .distinct().persist()
     var labels = eagerDurable(edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")))
+    // Convergence witness: per-node labels are monotonically
+    // non-increasing (each round takes min over self + neighbors), and
+    // the node set is fixed, so sum(lbl) strictly decreases until the
+    // fixpoint and is EQUAL exactly at convergence. One scan-aggregate
+    // over the just-materialized labels replaces a per-round
+    // labels⋈labels shuffle join — on a 1000-executor cluster that is
+    // one full exchange per round saved. DECIMAL(38,0) so the sum never
+    // wraps even with 2^63-scale ids times billions of nodes.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph: sum is null
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -678,15 +691,15 @@ object Dedup {
         .select(col("a").as("node"), col("lbl"))
       val next = eagerDurable(labels.union(viaNeighbor)
         .groupBy("node").agg(min(col("lbl")).as("lbl")))
-      val changed = next.join(labels.withColumnRenamed("lbl", "_old"), Seq("node"))
-        .filter(col("lbl") < col("_old")).count()
-      // `next` is EAGERLY materialized and `changed` consumed the old
-      // labels, so round N-1's checkpoint (blocks + reliable files) can
-      // be dropped now — otherwise maxIters generations accumulate for
-      // the session lifetime.
+      val nextSum = lblSum(next)
+      // `next` is EAGERLY materialized and its sum consumed the old
+      // labels' last read, so round N-1's checkpoint (blocks + reliable
+      // files) can be dropped now — otherwise maxIters generations
+      // accumulate for the session lifetime.
       graft.ops.Materialize.release(labels)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
