@@ -30,9 +30,14 @@ object CorpusStats {
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // Document frequency as a windowed count keyed on term: tf has one
+    // row per (doc, term), so count-over-term IS df — and it spares the
+    // groupBy+join shape its SECOND tokenize+explode scan of the corpus
+    // (the dfreq branch re-derived tf from scratch).
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val weighted = tf.join(dfreq, Seq("term"))
+    val weighted = tf
+      .withColumn("df", count(lit(1))
+        .over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("weight",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
@@ -147,17 +152,25 @@ object CorpusStats {
       train.agg(greatest(lit(floor.toLong),
         ceil(lit(frac) * count(lit(1))).cast("long")).as("_cap"))
     }
+    // Doc-freq cap as a WINDOWED count keyed on fingerprint — one
+    // winnowing pass per side instead of two (the old groupBy+self-join
+    // computed the expensive winnow scan once for the rows and once for
+    // the frequencies), and the window's exchange leaves the side
+    // hash-partitioned AND sorted by fingerprint, which is exactly the
+    // cross-side join's distribution — the join re-shuffles nothing.
     def capped(f: DataFrame) = {
-      def byFilter(capRows: DataFrame => DataFrame): DataFrame = {
-        val dfreq = f.groupBy("fingerprint").agg(count(lit(1)).as("_df"))
-        f.join(capRows(dfreq).select("fingerprint"), Seq("fingerprint"))
+      def byWindow(pred: DataFrame => DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+        pred(f.withColumn("_df", count(lit(1)).over(w)))
           .select(col(idCol), col("fingerprint"))
       }
       derivedCapDf match {
         case Some(capDf) =>
-          byFilter(_.crossJoin(broadcast(capDf)).filter(col("_df") <= col("_cap")))
+          // broadcast nested-loop against the 1-row cap preserves the
+          // streamed side's fingerprint partitioning
+          byWindow(_.crossJoin(broadcast(capDf)).filter(col("_df") <= col("_cap")))
         case None =>
-          maxDocFreq.fold(f)(cap => byFilter(_.filter(col("_df") <= cap)))
+          maxDocFreq.fold(f)(cap => byWindow(_.filter(col("_df") <= cap)))
       }
     }
     capped(fps(train)).select(col(idCol).as("train_id"), col("fingerprint"))
@@ -210,10 +223,17 @@ object CorpusStats {
         sequence(lit(0), size(col("toks")) - k),
         i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("shingle"))
+    // Distinct-doc frequency per shingle in ONE pass over one exchange:
+    // dense_rank over (shingle | order by id) ties equal ids, so its
+    // per-shingle max IS the distinct doc count — versus the old
+    // distinct+groupBy+join shape that re-derived the shingle scan a
+    // second time and shuffled three times. The windowed frame leaves f
+    // hash-partitioned by shingle — the cross-side join's distribution.
     def capped(f: DataFrame) = maxDocFreq.fold(f) { cap =>
-      val dfreq = f.select(col(idCol), col("shingle")).distinct()
-        .groupBy("shingle").agg(count(lit(1)).as("_df"))
-      f.join(dfreq.filter(col("_df") <= cap), Seq("shingle"))
+      val byShingle = Window.partitionBy(col("shingle"))
+      f.withColumn("_dr", dense_rank().over(byShingle.orderBy(col(idCol))))
+        .withColumn("_df", max(col("_dr")).over(byShingle))
+        .filter(col("_df") <= cap)
         .select(col(idCol), col("pos"), col("shingle"))
     }
     val matches = capped(shingles(train))
