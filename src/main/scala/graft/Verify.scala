@@ -23,8 +23,14 @@ object Verify {
     spark.sparkContext.setCheckpointDir(
       Files.createTempDirectory("graft-ckpt").toString)
     new java.io.File(outDir).mkdirs()
+    // One output file keeps the driver-side DuckDB compare simple, but a
+    // 1-task final stage serializes multi-10M-row results (the 10x-fixture
+    // sweep's full contamination report) through one thread — so the
+    // width is env-tunable for big-fixture runs; every reader downstream
+    // (driver + tools/oracle_check*.py) globs <name>/*.parquet.
+    val outFiles = sys.env.getOrElse("SPARK_GRAFT_VERIFY_FILES", "1").toInt
     SparkEntry.queries.filter(q => nameFilter(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try fn(spark, sfDir).coalesce(outFiles).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

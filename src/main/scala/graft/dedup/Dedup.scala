@@ -248,7 +248,10 @@ object Dedup {
     * exchange. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
-    val sigs = simhash(df, idCol, textCol)
+    // Same self-join shape as the md5 twin: cache the signature table so
+    // the per-token hash + bit-vote chain executes once, not per side.
+    val sigs = graft.ops.CacheOnce.swap("simhash-xx-sigs",
+      simhash(df, idCol, textCol))
     simhashCandidatePairs(sigs, idCol, maxHamming, blocks)
       .select(col("id1"), col("id2"), hamming64(col("s1"), col("s2")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -625,7 +628,12 @@ object Dedup {
     def vals(c: Column): Seq[(Column, Int)] = ranges.map { case (s, w) =>
       (shiftright(c, s).bitwiseAND(lit((1L << w) - 1)), w)
     }
-    val sigs = simhashMd5(df, idCol, textCol)
+    // The signature table feeds BOTH sides of the bucket self-join, and
+    // computing it is the expensive part (per-token md5 + 64 bit-vote
+    // aggregates); cached, the chain runs once instead of twice — and
+    // dd_simhash / dd_simhash_neardups over the same corpus share it.
+    val sigs = graft.ops.CacheOnce.swap("simhash-md5-sigs",
+      simhashMd5(df, idCol, textCol))
     val blockVals = vals(col("sig_lo")) ++ vals(col("sig_hi"))
     val buckets = sigs.select(col(idCol), col("sig_hi"), col("sig_lo"),
         explode(array(comboKeys(blockVals, m): _*)).as("_ck"))

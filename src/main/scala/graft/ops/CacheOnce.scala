@@ -63,8 +63,18 @@ object CacheOnce {
   * executor loss on a cluster), else `localCheckpoint(true)`. */
 object Materialize {
   def eagerDurable(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // persist before the reliable checkpoint: Spark's checkpoint write
+      // is a SECOND job over the full lineage (an iterative operator
+      // would pay every propagation join twice per round without this);
+      // with the persist the action fills the cache, the write job
+      // drains it, and — because the checkpoint is EAGER — the blocks
+      // can be dropped immediately, leaving only the checkpoint files.
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = p.checkpoint(true)
+      p.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint(true)
 
   /** Releases the storage behind a frame produced by [[eagerDurable]]
     * once a LATER round has materialized and the frame will never be

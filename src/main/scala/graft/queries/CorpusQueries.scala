@@ -167,10 +167,15 @@ FROM cd WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3"""
     * ONE md5 per shingle split into two 32-bit words, 32 affine
     * `(w1 + p*w2) mod 2^32` min-hashes, '|'-joined decimal band keys
     * over 4-wide bands — ends at `{p}bnd` (doc_id, band, bh). Mirrors
-    * [[Dedup.minhashSignaturesFromSetsMd5]]/[[Dedup.bandBucketsMd5]]. */
+    * [[Dedup.minhashSignaturesFromSetsMd5]]/[[Dedup.bandBucketsMd5]].
+    * The shingle CTE is MATERIALIZED (a DuckDB evaluation hint, not
+    * semantics): it feeds the hash chain AND both sides of the exact
+    * Jaccard verify, and DuckDB's default inlining re-derives it per
+    * consumer — which OOMed the composed pipe_corpus_clean twin at the
+    * 10x fixture. */
   private def minhashSideCtes(p: String, src: String): String =
     s"""${p}tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM $src),
-${p}sh AS (SELECT DISTINCT doc_id, shingle FROM (
+${p}sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
   SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
     ELSE list_transform(ts, (x, i) -> CASE WHEN i < len(ts) THEN x || ' ' || ts[i + 1] END)
     END) AS shingle FROM ${p}tk) WHERE shingle IS NOT NULL),
@@ -186,7 +191,7 @@ ${p}bnd AS (SELECT doc_id, p // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' O
     * [[Dedup.minhashNearDupsMd5]]. */
   private[queries] def minhashMd5Ctes(src: String, threshold: Double): String =
     s"""${minhashSideCtes("", src)},
-cd AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+cd AS MATERIALIZED (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
   FROM bnd l JOIN bnd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
 szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
 intr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM cd c
@@ -897,7 +902,10 @@ FROM jb GROUP BY 1""") { (s, d) =>
     // parses a >= 2^63 literal. Oracle recomputes the per-bit votes from
     // the hex nibbles.
     Q("dd_simhash", s"WITH $simhashSigCte SELECT doc_id, sig_hi, sig_lo FROM sg") { (s, d) =>
-      Dedup.simhashMd5(Tables.documents(s, d), "doc_id", "text")
+      // same CacheOnce key/plan as dd_simhash_neardups' signature stage:
+      // whichever runs first computes the md5+vote chain, the other reads it
+      graft.ops.CacheOnce.swap("simhash-md5-sigs",
+        Dedup.simhashMd5(Tables.documents(s, d), "doc_id", "text"))
     },
 
     // SimHash Manku block-combination near-dup pairs over the md5 twin
@@ -1613,10 +1621,16 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
     // every stage — the strongest composition check in the registry: one
     // wrong stage anywhere shifts the surviving id set.
     Q("pipe_corpus_clean",
-      s"""WITH gated AS (SELECT doc_id, text FROM documents
+      // The MATERIALIZED hints are for DuckDB's evaluator, not
+      // semantics: its default CTE inlining re-derives the regex-heavy
+      // quality/lang gate and the shingle chain once per consumer, which
+      // OOMed this twin at the 10x fixture even with a 110 GB cap.
+      // Materializing the multiply-referenced stages evaluates each ONCE
+      // (28 s / 60 GB cap at 10x — the r10 oracle-side gap closed).
+      s"""WITH gated AS MATERIALIZED (SELECT doc_id, text FROM documents
   WHERE $qualitySql >= 0.6667 AND $langCaseSql <> 'und'),
 grp AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM gated GROUP BY 1),
-kept AS (SELECT g.doc_id, g.text FROM gated g JOIN grp ON g.doc_id = grp.keep_id),
+kept AS MATERIALIZED (SELECT g.doc_id, g.text FROM gated g JOIN grp ON g.doc_id = grp.keep_id),
 ${minhashMd5Ctes("kept", 0.5)}
 SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT id2 FROM nd)""") { (s, d) =>
       graft.text.CorpusPipeline.cleanCorpus(

@@ -58,8 +58,18 @@ object Similarity {
     * says so once on stderr instead of silently defaulting to the
     * non-durable choice. */
   def durableMaterialize(df: DataFrame): DataFrame =
-    if (materializerChoice(df) == "reliable") df.checkpoint(eager = false)
-    else {
+    if (materializerChoice(df) == "reliable") {
+      // persist BEFORE a reliable checkpoint: without it Spark runs a
+      // SECOND job that recomputes the entire lineage just to write the
+      // checkpoint files (localCheckpoint caches implicitly; reliable
+      // checkpoint does not). With the persist, the action job fills the
+      // cache and the checkpoint-write job drains it — the expensive
+      // candidate pipeline executes once. The cached blocks linger until
+      // LRU eviction (cheap: candidate sets are nprobe*|corpus| rows),
+      // which is the canonical persist+checkpoint pattern.
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .checkpoint(eager = false)
+    } else {
       if (!warnedLocalCheckpoint) {
         warnedLocalCheckpoint = true
         System.err.println(
