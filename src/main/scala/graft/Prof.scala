@@ -2,11 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev profiler: times one named query N times in a single hot JVM.
-  * `sbt "runMain graft.Prof <name> [sfDir] [reps]"`. */
+/** Dev profiler: times named queries N times in a single hot JVM.
+  * `sbt "runMain graft.Prof <name>[,<name>...] [sfDir] [reps]"` —
+  * a comma-separated list runs in order per rep, which is how
+  * cross-query CacheOnce sharing is measured. */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,11 +19,13 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
     (1 to reps).foreach { r =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[prof] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[prof] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     }
     spark.stop()
   }

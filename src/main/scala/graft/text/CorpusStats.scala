@@ -173,11 +173,25 @@ object CorpusStats {
           maxDocFreq.fold(f)(cap => byWindow(_.filter(col("_df") <= cap)))
       }
     }
-    capped(fps(train)).select(col(idCol).as("train_id"), col("fingerprint"))
-      .join(capped(fps(test)).select(col(idCol).as("test_id"), col("fingerprint")),
-        Seq("fingerprint"))
-      .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    // MERGE hint: both sides leave their doc-freq window hash-partitioned
+    // AND sorted by fingerprint, so a sort-merge join here reuses both —
+    // zero extra exchange. Left to itself the static planner BROADCASTS
+    // one side (it undercounts Generate/explode output, so a windowed
+    // winnow side always "fits"), which at the 10x fixture meant shipping
+    // a multi-M-row build side to every task: 26 s -> 100+ s.
+    // The finished pair report is CacheOnce'd: the audit report and its
+    // witness-capped top-k view ([[fingerprintOverlapTopK]]) are the
+    // same computation — whichever runs first pays the winnow + join +
+    // pair aggregate, the other reads the cached report (k*|test|-row
+    // window over it). Semantic-hash keyed, so different corpora/params
+    // never collide.
+    graft.ops.CacheOnce.swap("fingerprint-overlap-pairs",
+      capped(fps(train)).select(col(idCol).as("train_id"), col("fingerprint"))
+        .hint("merge")
+        .join(capped(fps(test)).select(col(idCol).as("test_id"), col("fingerprint")),
+          Seq("fingerprint"))
+        .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared))
   }
 
   /** Witness-capped [[fingerprintOverlap]]: top-k training witnesses per
@@ -236,8 +250,12 @@ object CorpusStats {
         .filter(col("_df") <= cap)
         .select(col(idCol), col("pos"), col("shingle"))
     }
+    // Same MERGE rationale as fingerprintOverlap: both capped sides are
+    // window outputs partitioned by shingle; without the hint the static
+    // planner broadcasts one side off an undercounted explode estimate.
     val matches = capped(shingles(train))
       .select(col(idCol).as("train_id"), col("pos").as("tpos"), col("shingle"))
+      .hint("merge")
       .join(capped(shingles(test))
         .select(col(idCol).as("test_id"), col("pos").as("qpos"), col("shingle")),
         Seq("shingle"))
