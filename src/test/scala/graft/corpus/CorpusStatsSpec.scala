@@ -366,6 +366,48 @@ class CorpusStatsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("fingerprintOverlap: cross-side join is sort-merge (never a broadcast side)") {
+    // The static planner undercounts Generate/explode output, so without
+    // the MERGE hint it broadcast one ENTIRE windowed winnow side — a
+    // multi-M-row build side at the 10x fixture. Pin the shape: the
+    // report plan must contain a SortMergeJoin and no BroadcastHashJoin
+    // (the only broadcasts allowed are the 1-row derived-cap nested
+    // loops).
+    val mk = (ids: Seq[Long]) => df("doc_id bigint, text string")(
+      ids.map(i => Row(i, s"document number $i with the shared forty-two secret words passage")))
+    val plan = CorpusStats.fingerprintOverlap(mk(1L to 5L), mk(101L to 105L),
+        "doc_id", "text", derivedDocFreqCap = Some((20, 0.08)))
+      .queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        // the report is CacheOnce'd — the join shape under test lives in
+        // the cached plan
+        nodes(m.relation.cachedPlan)
+      case _ =>
+        (p.nodeName +: p.children.flatMap(nodes)) ++
+          p.subqueries.flatMap(s => nodes(s))
+    }
+    val names = nodes(plan)
+    assert(names.exists(_.contains("SortMergeJoin")),
+      s"expected a SortMergeJoin in: $names")
+    assert(!names.exists(_.contains("BroadcastHashJoin")),
+      s"windowed winnow side must not be broadcast: $names")
+  }
+
+  test("fingerprintOverlap report is CacheOnce-shared with its top-k view") {
+    val t = df("doc_id bigint, text string")(Seq(
+      Row(1L, "the forty-two secret words of the hidden benchmark passage")))
+    val q = df("doc_id bigint, text string")(Seq(
+      Row(101L, "xx the forty-two secret words of the hidden benchmark passage yy")))
+    val first = CorpusStats.fingerprintOverlap(t, q, "doc_id", "text")
+    val second = CorpusStats.fingerprintOverlap(t, q, "doc_id", "text")
+    // same semantic plan -> the SAME persisted frame comes back, so the
+    // top-k view windows the cached report instead of recomputing it
+    assert(first eq second)
+  }
+
   test("verbatimSpans finds maximal copied runs with exact positions") {
     // Test doc 101 copies tokens 2..9 of train doc 1 (8 tokens) at its
     // position 1, and separately tokens 12..17 (6 tokens) at position 11.
