@@ -454,8 +454,10 @@ sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
        FROM sh0),
 tr0 AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
 te0 AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
-tcap AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS c FROM tr0 GROUP BY 1) WHERE c <= 20),
-qcap AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS c FROM te0 GROUP BY 1) WHERE c <= 20),
+cap AS (SELECT greatest(20, CAST(ceil(0.08 * count(*)) AS BIGINT)) AS v
+        FROM documents WHERE doc_id % 2 = 0),
+tcap AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS c FROM tr0 GROUP BY 1) WHERE c <= (SELECT v FROM cap)),
+qcap AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS c FROM te0 GROUP BY 1) WHERE c <= (SELECT v FROM cap)),
 m AS (SELECT DISTINCT tr.doc_id AS train_id, te.doc_id AS test_id,
         tr.pos AS tpos, te.pos AS qpos, tr.pos - te.pos AS diag
       FROM tr0 tr JOIN te0 te USING (shingle)
@@ -1612,7 +1614,8 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
       graft.text.CorpusStats.verbatimSpans(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", k = 3, minSpanTokens = 6, maxDocFreq = Some(20))
+        "doc_id", "text", k = 3, minSpanTokens = 6,
+        derivedDocFreqCap = Some((20, 0.08)))
     },
 
     // The composed corpus-cleaning pipeline, end to end: quality gate ->

@@ -229,7 +229,18 @@ object CorpusStats {
     * spans of at least `minSpanTokens` tokens. */
   def verbatimSpans(train: DataFrame, test: DataFrame, idCol: String,
                     textCol: String, k: Int = 4, minSpanTokens: Int = 8,
-                    maxDocFreq: Option[Int] = None): DataFrame = {
+                    maxDocFreq: Option[Int] = None,
+                    derivedDocFreqCap: Option[(Int, Double)] = None): DataFrame = {
+    // Corpus-derived cap, same convention as [[fingerprintOverlap]]:
+    // greatest(floor, ceil(frac * |train|)) as a 1-row broadcast. A
+    // FIXED cap saturates at high duplication density (at the 10x
+    // fixture every true span's shingles exceed 20 docs and the report
+    // silently empties — both engines agreeing on zero rows is
+    // consistent, not informative).
+    val derivedCapDf = derivedDocFreqCap.map { case (floor, frac) =>
+      train.agg(greatest(lit(floor.toLong),
+        ceil(lit(frac) * count(lit(1))).cast("long")).as("_cap"))
+    }
     def shingles(df: DataFrame) = df
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
       .filter(size(col("toks")) >= k)
@@ -243,12 +254,19 @@ object CorpusStats {
     // distinct+groupBy+join shape that re-derived the shingle scan a
     // second time and shuffled three times. The windowed frame leaves f
     // hash-partitioned by shingle — the cross-side join's distribution.
-    def capped(f: DataFrame) = maxDocFreq.fold(f) { cap =>
-      val byShingle = Window.partitionBy(col("shingle"))
-      f.withColumn("_dr", dense_rank().over(byShingle.orderBy(col(idCol))))
-        .withColumn("_df", max(col("_dr")).over(byShingle))
-        .filter(col("_df") <= cap)
-        .select(col(idCol), col("pos"), col("shingle"))
+    def capped(f: DataFrame) = {
+      def byWindow(pred: DataFrame => DataFrame): DataFrame = {
+        val byShingle = Window.partitionBy(col("shingle"))
+        pred(f.withColumn("_dr", dense_rank().over(byShingle.orderBy(col(idCol))))
+          .withColumn("_df", max(col("_dr")).over(byShingle)))
+          .select(col(idCol), col("pos"), col("shingle"))
+      }
+      derivedCapDf match {
+        case Some(capDf) =>
+          byWindow(_.crossJoin(broadcast(capDf)).filter(col("_df") <= col("_cap")))
+        case None =>
+          maxDocFreq.fold(f)(cap => byWindow(_.filter(col("_df") <= cap)))
+      }
     }
     // Same MERGE rationale as fingerprintOverlap: both capped sides are
     // window outputs partitioned by shingle; without the hint the static
