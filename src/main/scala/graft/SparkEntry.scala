@@ -193,5 +193,6 @@ object SparkEntry {
     CorpusQueries.prepareDedupState(spark, sfDir)
     CorpusQueries.prepareLshState(spark, sfDir)
     CorpusQueries.prepareCentroidState(spark, sfDir)
+    CorpusQueries.prepareClusterState(spark, sfDir)
   }
 }

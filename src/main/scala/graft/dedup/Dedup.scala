@@ -716,6 +716,55 @@ object Dedup {
     labels.select(col("node"), col("lbl").as("cluster_id"))
   }
 
+  /** Incremental duplicate-cluster maintenance — [[connectedComponents]]'
+    * operational shape: cluster state (node, cluster_id) persists from
+    * the accepted corpus, and each crawl increment contributes a batch
+    * of new near-dup pairs. Re-clustering the corpus per day is
+    * O(corpus · diameter) forever; instead only the REDUCED graph is
+    * clustered — one vertex per touched state cluster (its existing
+    * label) or brand-new node, one edge per increment pair — which is
+    * increment-bounded, never corpus-bounded. The full state is then
+    * updated by a BROADCAST remap join (the remap has at most one row
+    * per touched cluster), a narrow pass that never shuffles the state.
+    *
+    * Any path through a state cluster enters and leaves via its single
+    * representative label, so connectivity over (state ∪ increment
+    * pairs) is exactly preserved; merged labels are the component min
+    * over representative ids, i.e. the global min node id — the result
+    * is row-identical to a full re-cluster over the combined pair set
+    * (the registered oracle recomputes precisely that). Returns the
+    * updated (node, cluster_id) state. */
+  def incrementalClusters(stateLabels: DataFrame, newPairs: DataFrame,
+                          idCols: (String, String) = ("id1", "id2")): DataFrame = {
+    val (c1, c2) = idCols
+    val pairs = newPairs.select(col(c1).as("a"), col(c2).as("b"))
+      .filter(col("a") =!= col("b"))
+    val nodes = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node"))).distinct()
+    // endpoint representative: its state cluster id, or itself if new
+    val reps = nodes.join(stateLabels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("rep"))
+    val repEdges = pairs
+      .join(reps.select(col("node").as("a"), col("rep").as("_ra")), Seq("a"))
+      .join(reps.select(col("node").as("b"), col("rep").as("_rb")), Seq("b"))
+      .select(col("_ra").as("id1"), col("_rb").as("id2"))
+      .filter(col("id1") =!= col("id2")) // same-cluster pairs merge nothing
+    // cluster-of-clusters: increment-bounded CC over representatives
+    val remap = connectedComponents(repEdges)
+      .select(col("node").as("rep"), col("cluster_id").as("_new"))
+    val updatedState = stateLabels
+      .join(broadcast(remap), col("cluster_id") === col("rep"), "left")
+      .select(col("node"), coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
+    // brand-new nodes: rep is the node itself (every one has a rep edge,
+    // except when ALL its pairs landed inside one existing cluster —
+    // then it joins that cluster directly via its rep)
+    val newNodes = nodes.join(stateLabels, Seq("node"), "left_anti")
+      .join(reps, Seq("node"))
+      .join(broadcast(remap), Seq("rep"), "left")
+      .select(col("node"), coalesce(col("_new"), col("rep")).as("cluster_id"))
+    updatedState.union(newNodes)
+  }
+
   /** Near-duplicate pairs by embedding cosine >= threshold, using
     * multi-table sign-LSH candidates (union over tables) with exact
     * cosine verification — see

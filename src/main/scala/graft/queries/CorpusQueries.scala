@@ -1662,6 +1662,30 @@ FROM comp GROUP BY 1""") { (s, d) =>
         .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
     },
 
+    // Incremental cluster maintenance against persisted CC state — the
+    // operational completion of the incremental family (exact digests,
+    // LSH near-dups, centroids, now clusters): state docs (doc_id%3!=2)
+    // cluster ONCE and persist; the increment's pairs merge via an
+    // increment-bounded CC over cluster REPRESENTATIVES plus one
+    // broadcast remap of the state (narrow — the state never
+    // re-shuffles, let alone re-clusters). The oracle is the FULL
+    // re-cluster over the combined pair graph (recursive CTE): the
+    // incremental path must reproduce it row-for-row.
+    Q("dd_incremental_clusters",
+      s"""WITH RECURSIVE ${minhashMd5Ctes("documents", 0.5)},
+e AS (SELECT id1 AS a, id2 AS b FROM nd UNION SELECT id2, id1 FROM nd),
+n AS (SELECT DISTINCT a AS node FROM e),
+walk(node, lbl) AS (SELECT node, node FROM n
+  UNION SELECT e.a, w.lbl FROM walk w JOIN e ON e.b = w.node)
+SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1""") { (s, d) =>
+      prepareClusterState(s, d)
+      val state = s.read.parquet(clusterStatePath(s, d))
+      val all = Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
+      val incPairs = all.filter(col("id1") % 3 === 2 || col("id2") % 3 === 2)
+      Dedup.incrementalClusters(state, incPairs)
+    },
+
     // TF-IDF top-3 terms per doc: tf = in-doc count, idf = ln(N/df),
     // rank on the rounded weight with term tiebreak (deterministic in
     // both engines).
@@ -1759,6 +1783,31 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     new java.io.File(wh, s"graft_km_state_$tag").toString
   }
+
+  /** dd_incremental_clusters' persisted cluster-state path (one row per
+    * clustered state doc), fingerprint-marked so a regenerated corpus
+    * re-clusters instead of serving stale labels. */
+  private[queries] def clusterStatePath(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_cc_state_$tag").toString
+  }
+
+  /** One-time clustering of the accepted set's near-dup pair graph;
+    * persists (node, cluster_id) sorted by node (cluster once, merge
+    * increments forever). Idempotent per (path, source fingerprint). */
+  def prepareClusterState(s: org.apache.spark.sql.SparkSession,
+                          d: String): Unit =
+    graft.ops.ScaleOps.ensureSortedBy(
+      graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.minhashNearDupsMd5(
+          Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2),
+          "doc_id", "text",
+          numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)),
+      clusterStatePath(s, d), "node", numFiles = 1,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(
+        s"$d/documents.parquet"))
 
   /** One-time k-means training on the day-1 vectors; persists the k
     * centroids (train once, assign forever). Idempotent per (path,

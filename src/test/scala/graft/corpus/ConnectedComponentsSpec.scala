@@ -69,4 +69,34 @@ class ConnectedComponentsSpec extends SparkSpec {
       hadCkpt.foreach(sc.setCheckpointDir)
     }
   }
+
+  private def incr(state: Seq[(Long, Long)], pairs: Seq[(Long, Long)]) =
+    Dedup.incrementalClusters(
+      state.toDF("node", "cluster_id"), pairs.toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+
+  test("incrementalClusters: chain of increment pairs merges two state clusters") {
+    // state: {1,5} labeled 1, {10,20} labeled 10; increment doc 100
+    // bridges them (5,100) + (100,20) -> everything is cluster 1, and
+    // the result equals a full re-cluster over the combined pair graph.
+    val state = Seq((1L, 1L), (5L, 1L), (10L, 10L), (20L, 10L))
+    val got = incr(state, Seq((5L, 100L), (100L, 20L)))
+    assert(got == Map(1L -> 1L, 5L -> 1L, 10L -> 1L, 20L -> 1L, 100L -> 1L))
+    val full = components(Seq((1L, 5L), (10L, 20L), (5L, 100L), (100L, 20L)))
+    assert(got == full)
+  }
+
+  test("incrementalClusters: untouched clusters keep their labels verbatim") {
+    val state = Seq((1L, 1L), (5L, 1L), (10L, 10L), (20L, 10L))
+    // increment touches only the {10,20} cluster via new doc 7 (smaller
+    // than the old label -> the merged cluster relabels to 7)
+    val got = incr(state, Seq((7L, 20L)))
+    assert(got == Map(1L -> 1L, 5L -> 1L, 10L -> 7L, 20L -> 7L, 7L -> 7L))
+  }
+
+  test("incrementalClusters: pair inside one cluster is a no-op; new-new pair forms a cluster") {
+    val state = Seq((1L, 1L), (5L, 1L))
+    val got = incr(state, Seq((1L, 5L), (200L, 300L)))
+    assert(got == Map(1L -> 1L, 5L -> 1L, 200L -> 200L, 300L -> 200L))
+  }
 }
