@@ -737,13 +737,20 @@ object Dedup {
   def incrementalClusters(stateLabels: DataFrame, newPairs: DataFrame,
                           idCols: (String, String) = ("id1", "id2")): DataFrame = {
     val (c1, c2) = idCols
-    val pairs = newPairs.select(col(c1).as("a"), col(c2).as("b"))
-      .filter(col("a") =!= col("b"))
+    // The pair input is typically the END of a near-dup pipeline
+    // (minhash + exact verify); this operator references it through the
+    // nodes/reps/edges tree ~10 times, so it is CacheOnce'd — computed
+    // once, increment-sized.
+    val pairs = graft.ops.CacheOnce.swap("incr-cluster-pairs",
+      newPairs.select(col(c1).as("a"), col(c2).as("b"))
+        .filter(col("a") =!= col("b")))
     val nodes = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node"))).distinct()
     // endpoint representative: its state cluster id, or itself if new
-    val reps = nodes.join(stateLabels, Seq("node"), "left")
-      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("rep"))
+    // (cached too: both rep-edge joins and the new-node path read it)
+    val reps = graft.ops.CacheOnce.swap("incr-cluster-reps",
+      nodes.join(stateLabels, Seq("node"), "left")
+        .select(col("node"), coalesce(col("cluster_id"), col("node")).as("rep")))
     val repEdges = pairs
       .join(reps.select(col("node").as("a"), col("rep").as("_ra")), Seq("a"))
       .join(reps.select(col("node").as("b"), col("rep").as("_rb")), Seq("b"))
