@@ -634,6 +634,34 @@ FROM (SELECT fs.*, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cel
 WHERE rn = 1"""
   }
 
+  /** s_embedding_drift's twin: re-derives the SAME training trajectory
+    * as [[kmeansAssignOracleSql]], assigns BOTH the accepted corpus and
+    * the increment to the final centroids, and aggregates the per-cell
+    * drift report. */
+  private def embeddingDriftOracleSql(k: Int, iters: Int, dim: Int): String = {
+    def dot(a: String, b: String) = OracleSqlGen.dot(a, b, dim)
+    def assignCtes(p: String, src: String) =
+      s"""${p}0 AS (SELECT v.vec_id, c.cell,
+  ${dot("v.embedding", "c.cv")} / (v.nrm * sqrt(${dot("c.cv", "c.cv")})) AS sim FROM $src v, fc c),
+$p AS (SELECT vec_id, cell, sim FROM (SELECT ${p}0.*,
+  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ${p}0) WHERE rn = 1)"""
+    s"""WITH ${OracleSqlGen.nvCte(dim)},
+tnv AS (SELECT * FROM nv WHERE vec_id % 3 != 2),
+inv AS (SELECT * FROM nv WHERE vec_id % 3 = 2),
+${kmeansTrainCtes(k, iters, dim, "tnv")},
+${assignCtes("ao", "tnv")},
+${assignCtes("an", "inv")},
+go AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_old, round(avg(sim), 4) AS cohesion_old FROM ao GROUP BY 1),
+gn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_new, round(avg(sim), 4) AS cohesion_new FROM an GROUP BY 1),
+j AS (SELECT CAST(coalesce(go.cell, gn.cell) AS BIGINT) AS cell,
+  coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new, cohesion_old, cohesion_new
+  FROM go FULL OUTER JOIN gn ON go.cell = gn.cell),
+t AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM j)
+SELECT cell, n_old, n_new,
+  round(CAST(n_new AS DOUBLE) / t_n - CAST(n_old AS DOUBLE) / t_o, 4) AS share_drift,
+  cohesion_old, cohesion_new FROM j, t"""
+  }
+
   /** Hashed-BoW md5-twin embedding CTEs over documents -> `nv`
     * (vec_id, embedding, nrm) at the given dim: token -> bucket =
     * first-8-hex-chars-of-md5 mod dim, per-bucket counts, L2-normalized
@@ -1352,6 +1380,53 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
       val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cell"))
       sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("cell"), round(col("sim"), 4).as("sim"))
+    },
+
+    // Embedding-drift report against the SAME persisted centroid state:
+    // the data-quality monitor a training pipeline runs before
+    // accepting a crawl increment. Both the accepted corpus and the
+    // increment assign to the persisted cells (broadcast centroids, one
+    // narrow pass per side — the corpus is never re-clustered), then
+    // per cell: member counts, the increment's share shift vs the
+    // accepted distribution, and mean cosine-to-centroid (cohesion) per
+    // side. A cell whose share_drift spikes or whose cohesion_new sags
+    // is where the new crawl differs from the corpus the centroids
+    // were trained on. Cells empty on one side survive via the full
+    // outer join (count 0, cohesion null).
+    Q("s_embedding_drift", embeddingDriftOracleSql(8, 2, 64)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      prepareCentroidState(s, d)
+      val cents = s.read.parquet(centroidStatePath(s, d))
+      val cn = cents.select(col("vec_id").as("cell"),
+        col("embedding").as("cv"),
+        Similarity.l2norm(col("embedding")).as("_cn"))
+      def cellStats(vecs: org.apache.spark.sql.DataFrame, n: String, coh: String) = {
+        val v = vecs.select(col("vec_id"), col("embedding"),
+            Similarity.l2norm(col("embedding")).as("_n"))
+          .filter(col("_n") > 0)
+        val sims = v.crossJoin(broadcast(cn))
+          .select(col("vec_id"), col("cell"),
+            (Similarity.dot(col("embedding"), col("cv")) /
+              (col("_n") * col("_cn"))).as("sim"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cell"))
+        sims.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .groupBy("cell")
+          .agg(count(lit(1)).as(n), round(avg(col("sim")), 4).as(coh))
+      }
+      val emb = Tables.embeddings(s, d)
+      val joined = cellStats(emb.filter(col("vec_id") % 3 =!= 2), "n_old", "cohesion_old")
+        .join(cellStats(emb.filter(col("vec_id") % 3 === 2), "n_new", "cohesion_new"),
+          Seq("cell"), "full_outer")
+        .select(col("cell").cast("long").as("cell"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          col("cohesion_old"), col("cohesion_new"))
+      val tot = joined.agg(sum(col("n_old")).as("_to"), sum(col("n_new")).as("_tn"))
+      joined.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_old"), col("n_new"),
+          round(col("n_new") / col("_tn") - col("n_old") / col("_to"), 4)
+            .as("share_drift"),
+          col("cohesion_old"), col("cohesion_new"))
     },
 
     // Spherical k-means IVF-centroid training, oracle-checked end to
