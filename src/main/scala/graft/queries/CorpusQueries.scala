@@ -1099,6 +1099,74 @@ FROM j""") { (s, d) =>
         .select(col("doc_id"), col("pos").as("frame_idx"), col("col").as("frame_hex"))
     },
 
+    // Corpus snapshot diff by content digest — the dataset-versioning
+    // primitive: two snapshots (yesterday excludes doc_id%7==6, today
+    // excludes %7==0, with a deterministic "edit" applied to %11==5
+    // docs) diff by md5 over a full outer join keyed on doc_id. Only
+    // digests cross the wire, never text — the dd_exact scale shape —
+    // and the report carries only the delta (added/removed/changed),
+    // which is what a curation review reads and what an incremental
+    // re-process consumes as its work list.
+    Q("dq_snapshot_diff",
+      """WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 7 != 6),
+b AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END) AS h_new
+      FROM documents WHERE doc_id % 7 != 0),
+j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, h_old, h_new
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT doc_id,
+  CASE WHEN h_old IS NULL THEN 'added' WHEN h_new IS NULL THEN 'removed'
+       ELSE 'changed' END AS status, h_old, h_new
+FROM j WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") % 7 =!= 6)
+        .select(col("doc_id"), md5(col("text")).as("h_old"))
+      val b = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 5, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h_new"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .otherwise("changed").as("status"),
+          col("h_old"), col("h_new"))
+        .filter(col("h_old").isNull || col("h_new").isNull ||
+          col("h_old") =!= col("h_new"))
+    },
+
+    // Text-quality drift between the accepted corpus and an increment —
+    // s_embedding_drift's text-side sibling: quality scores bucket into
+    // the 4-point gate grid (round(q*3)), per-bucket counts both sides,
+    // and the increment's share shift per bucket. A crawl whose
+    // low-quality share spikes fails the gate before ingest.
+    Q("dq_quality_drift",
+      s"""WITH q AS (SELECT doc_id, $qualitySql AS q FROM documents),
+o AS (SELECT CAST(round(q * 3, 0) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_old
+      FROM q WHERE doc_id % 3 != 2 GROUP BY 1),
+nn AS (SELECT CAST(round(q * 3, 0) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_new
+      FROM q WHERE doc_id % 3 = 2 GROUP BY 1),
+j AS (SELECT coalesce(o.bucket, nn.bucket) AS bucket, coalesce(n_old, 0) AS n_old,
+      coalesce(n_new, 0) AS n_new FROM o FULL OUTER JOIN nn ON o.bucket = nn.bucket),
+t AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM j)
+SELECT bucket, n_old, n_new,
+  round(CAST(n_new AS DOUBLE) / t_n - CAST(n_old AS DOUBLE) / t_o, 4) AS share_drift
+FROM j, t""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def side(f: org.apache.spark.sql.Column, n: String) = docs.filter(f)
+        .select(round(TextFunctions.qualityScoreFast(col("text")) * 3, 0)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+      val j = side(col("doc_id") % 3 =!= 2, "n_old")
+        .join(side(col("doc_id") % 3 === 2, "n_new"), Seq("bucket"), "full_outer")
+        .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+      val tot = j.agg(sum(col("n_old")).as("_to"), sum(col("n_new")).as("_tn"))
+      j.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_old"), col("n_new"),
+          round(col("n_new") / col("_tn") - col("n_old") / col("_to"), 4)
+            .as("share_drift"))
+    },
+
     // Data-quality constraint report (the Deequ-shaped gate a training
     // pipeline schedules before ingest): k row-predicate constraints
     // counted in ONE aggregate pass (never k scans), plus the
