@@ -99,4 +99,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = incr(state, Seq((1L, 5L), (200L, 300L)))
     assert(got == Map(1L -> 1L, 5L -> 1L, 200L -> 200L, 300L -> 200L))
   }
+
+  test("property: incremental merge == full re-cluster on random graphs and splits") {
+    // For arbitrary pair graphs and arbitrary state/increment splits,
+    // CC(state pairs) + incrementalClusters(increment pairs) must be
+    // row-identical to CC(all pairs) restricted to the same node set —
+    // the invariant the registered oracle checks at corpus scale,
+    // pinned here on adversarial shapes (long chains, stars, multi-way
+    // merges through new nodes). Deterministic seed.
+    val rnd = new scala.util.Random(42)
+    (1 to 6).foreach { trial =>
+      val n = 12 + rnd.nextInt(10)
+      val pairs = (1 to 25).map { _ =>
+        val a = 1L + rnd.nextInt(n); val b = 1L + rnd.nextInt(n)
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val (statePairs, incPairs) = pairs.partition(_ => rnd.nextBoolean())
+      if (incPairs.nonEmpty) {
+        val state =
+          if (statePairs.nonEmpty) components(statePairs) else Map.empty[Long, Long]
+        val got = incr(state.toSeq, incPairs)
+        val fullAll = components(pairs)
+        // full CC restricted to nodes the incremental result covers
+        // (state nodes + increment-pair endpoints)
+        val covered = state.keySet ++ incPairs.flatMap(p => Seq(p._1, p._2))
+        val expect = fullAll.filter { case (k, _) => covered(k) }
+        assert(got == expect, s"trial $trial: $statePairs | $incPairs")
+      }
+    }
+  }
 }
