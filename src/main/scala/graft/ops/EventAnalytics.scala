@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics: ordered funnels and cohort retention —
+  * the two query shapes every event warehouse serves daily and the
+  * reference's tally/join toolkit (ningaloo-etl.Rmd:231-240 track
+  * tallies, app.R:193-203 interactive slices) stops just short of.
+  *
+  * Scale notes: both operators decompose into KEYED aggregates and
+  * SAME-KEY joins on the entity id — every shuffle is on `entity`, so a
+  * pre-bucketed events table (sc1's layout) serves them shuffle-free,
+  * and nothing ever windows over a global order. Funnel stage frames
+  * shrink monotonically (stage k+1 joins the stage-k reach, never the
+  * raw stream), so the heaviest join is the first.
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel conversion: per entity, the arrival time at each
+    * stage is the EARLIEST event of that stage's type at-or-after the
+    * entity's arrival at the previous stage (min-over-filtered-join, no
+    * per-entity sort). Emits one row per stage: reach count and the
+    * mean hours from funnel entry to stage arrival among entities that
+    * reached it.
+    *
+    * Time arithmetic is exact integer microseconds until the single
+    * final divide, so an ANSI oracle reproduces it bit-for-bit at
+    * `round(_, 4)`. */
+  def funnel(events: DataFrame, entity: String, tsCol: String, typeCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // Stage-0 reach: first event of the entry type per entity. `_t0`
+    // rides along every later frame for the hours-from-entry metric.
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(entity)).agg(min(col(tsCol)).as("_t"))
+      .withColumn("_t0", col("_t"))
+    // Each later reach: same-key join against the previous reach, keep
+    // events at-or-after the previous arrival, min per entity. min(_t0)
+    // is constant per entity — it just carries the column through.
+    val reaches = stages.tail.scanLeft(first) { (prev, st) =>
+      events.filter(col(typeCol) === st)
+        .join(prev.select(col(entity), col("_t").as("_tp"), col("_t0")), Seq(entity))
+        .filter(col(tsCol) >= col("_tp"))
+        .groupBy(col(entity))
+        .agg(min(col(tsCol)).as("_t"), min(col("_t0")).as("_t0"))
+    }
+    reaches.zip(stages).zipWithIndex.map { case ((reach, st), i) =>
+      reach.agg(
+        count(lit(1)).as("n_users"),
+        round(avg(unix_micros(col("_t")) - unix_micros(col("_t0"))) /
+          lit(3600000000.0), 4).as("avg_hours"))
+        .select(lit(st).as("stage"), lit((i + 1).toLong).as("stage_no"),
+          col("n_users"), col("avg_hours"))
+    }.reduce(_.union(_))
+  }
+
+  /** Cohort retention matrix: entities cohorted by their first active
+    * day, activity counted as distinct (entity, day) pairs at each
+    * day-offset from the cohort day. Two keyed aggregates plus one
+    * same-key join — the distinct and the cohort min shuffle on the
+    * same key, so AQE plans the join exchange-free. `dayCol` is the
+    * caller's local-date expression (time zone policy stays at the
+    * call site, as with [[ColumnOps.toLocalDate]]). */
+  def cohortRetention(events: DataFrame, entity: String, dayCol: Column): DataFrame = {
+    val days = events.select(col(entity), dayCol.as("_day")).distinct()
+    val cohorts = days.groupBy(col(entity)).agg(min(col("_day")).as("cohort_date"))
+    days.join(cohorts, Seq(entity))
+      .groupBy(col("cohort_date"),
+        datediff(col("_day"), col("cohort_date")).cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+}

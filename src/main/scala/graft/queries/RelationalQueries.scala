@@ -335,6 +335,40 @@ object RelationalQueries {
       graft.ops.JoinOps.cbindByOrder(l, r, Seq("o_orderpriority"), Seq("rp"))
     },
 
+    // SCD2 snapshot merge: the customer dimension's v2 snapshot is
+    // derived in-plan (balance bump on custkey%10=0, deletes on
+    // custkey%17=3, inserts cloned at custkey+1000000 from %13=5), then
+    // merged into type-2 history rows — one full-outer join on the
+    // business key, 0–2 history rows per key from a single explode.
+    Q("scd2_merge",
+      """WITH v1 AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+  c_mktsegment FROM customer WHERE c_custkey % 17 <> 3
+  UNION ALL SELECT c_custkey + 1000000, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 13 = 5),
+j AS (SELECT v1.c_custkey AS ck, v2.c_custkey AS nk,
+  v1.c_acctbal AS cb, v2.c_acctbal AS nb, v1.c_mktsegment AS cm, v2.c_mktsegment AS nm,
+  (v1.c_custkey IS NOT NULL AND v2.c_custkey IS NOT NULL AND
+   (v1.c_acctbal IS DISTINCT FROM v2.c_acctbal OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment)) AS chg
+  FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey)
+SELECT ck AS c_custkey, cb AS c_acctbal, cm AS c_mktsegment, CAST(1 AS BIGINT) AS valid_from,
+  CAST(2 AS BIGINT) AS valid_to, false AS is_current FROM j WHERE chg OR (ck IS NOT NULL AND nk IS NULL)
+UNION ALL SELECT ck, cb, cm, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true
+  FROM j WHERE NOT chg AND ck IS NOT NULL AND nk IS NOT NULL
+UNION ALL SELECT nk, nb, nm, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true
+  FROM j WHERE chg OR (ck IS NULL AND nk IS NOT NULL)""") { (s, d) =>
+      val v1 = Tables.customer(s, d).select("c_custkey", "c_acctbal", "c_mktsegment")
+      val v2 = Tables.customer(s, d)
+        .filter(col("c_custkey") % 17 =!= 3)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"))
+        .union(Tables.customer(s, d).filter(col("c_custkey") % 13 === 5)
+          .select(col("c_custkey") + 1000000, col("c_acctbal"), col("c_mktsegment")))
+      graft.ops.ScdOps.scd2Merge(v1, v2, Seq("c_custkey"),
+        Seq("c_acctbal", "c_mktsegment"), fromVer = 1L, toVer = 2L)
+    },
+
     // A5: schema dump as data (contents(con), ningaloo-etl.Rmd:55).
     Q("a5_schema",
       "SELECT * FROM (VALUES ('l_orderkey', 'bigint'), ('l_partkey', 'bigint'), " +

@@ -191,6 +191,42 @@ object WindowPivotQueries {
         Seq("user_id"), "wk", (1 to 5).map("w" + _))
     },
 
+    // Ordered-funnel conversion (signup -> click -> purchase): each
+    // stage's arrival is the earliest event of that type at-or-after
+    // the previous stage's arrival — min-over-filtered-join per stage,
+    // every shuffle keyed by user_id, no per-user sort. Exact integer
+    // microsecond arithmetic until the one final divide.
+    Q("w_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
+s1e AS (SELECT user_id, t, t AS t0 FROM s1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t, min(p.t0) AS t0 FROM events e
+  JOIN s1e p ON p.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= p.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t, min(p.t0) AS t0 FROM events e
+  JOIN s2 p ON p.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= p.t GROUP BY 1)
+SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_no, CAST(count(*) AS BIGINT) AS n_users,
+  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) AS avg_hours FROM s1e
+UNION ALL SELECT 'click', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) FROM s2
+UNION ALL SELECT 'purchase', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) FROM s3""") { (s, d) =>
+      graft.ops.EventAnalytics.funnel(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
+    },
+
+    // Cohort retention: users cohorted by first active Perth-local day,
+    // activity as distinct (user, day) pairs per day-offset. The
+    // distinct, the cohort min and the join all shuffle on user_id.
+    Q("a_retention_cohorts",
+      "WITH dy AS (SELECT DISTINCT user_id, CAST(ts + INTERVAL 8 HOUR AS DATE) AS d FROM events), " +
+        "ch AS (SELECT user_id, min(d) AS cohort_date FROM dy GROUP BY 1) " +
+        "SELECT cohort_date, CAST(date_diff('day', cohort_date, d) AS BIGINT) AS offset_days, " +
+        "CAST(count(*) AS BIGINT) AS n_active FROM dy JOIN ch USING (user_id) GROUP BY 1, 2") { (s, d) =>
+      graft.ops.EventAnalytics.cohortRetention(Tables.events(s, d),
+        "user_id", ColumnOps.toLocalDate(col("ts"), "Australia/Perth"))
+    },
+
     // U1: Hellinger transform over a wide abundance matrix
     // (spatial_modelling.Rmd:149).
     Q("u1_hellinger",

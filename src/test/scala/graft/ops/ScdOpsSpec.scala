@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ScdOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val v1 = Seq(
+    (1L, Some(10.0), "A"), // unchanged
+    (2L, Some(20.0), "B"), // balance changes
+    (3L, Some(30.0), "C"), // deleted in v2
+    (4L, None, "D"))       // null -> value: a change
+    .toDF("k", "bal", "seg")
+  private val v2 = Seq(
+    (1L, Some(10.0), "A"),
+    (2L, Some(25.0), "B"),
+    (4L, Some(40.0), "D"),
+    (5L, Some(50.0), "E")) // inserted
+    .toDF("k", "bal", "seg")
+
+  test("scd2Merge: unchanged/changed/deleted/inserted each emit the right rows") {
+    val got = rows(ScdOps.scd2Merge(v1, v2, Seq("k"), Seq("bal", "seg"), 1L, 2L)
+      .orderBy("k", "valid_from"))
+    assert(got == Seq(
+      Seq(1L, 10.0, "A", 1L, null, true),          // unchanged: one open row
+      Seq(2L, 20.0, "B", 1L, 2L, false),           // changed: closed old ...
+      Seq(2L, 25.0, "B", 2L, null, true),          // ... plus open new
+      Seq(3L, 30.0, "C", 1L, 2L, false),           // deleted: closed only
+      Seq(4L, null, "D", 1L, 2L, false),           // null->value IS a change
+      Seq(4L, 40.0, "D", 2L, null, true),
+      Seq(5L, 50.0, "E", 2L, null, true)))         // insert: open only
+  }
+
+  test("scd2Merge: exactly one open (is_current) row per surviving key") {
+    val h = ScdOps.scd2Merge(v1, v2, Seq("k"), Seq("bal", "seg"), 1L, 2L)
+    val open = h.filter("is_current").select("k").as[Long].collect().sorted.toSeq
+    assert(open == Seq(1L, 2L, 4L, 5L)) // every v2 key, no deleted key
+    assert(h.filter("is_current AND valid_to IS NOT NULL").count() == 0)
+    assert(h.filter("NOT is_current AND valid_to IS NULL").count() == 0)
+  }
+
+  test("scd2Merge: single shuffle — one join, no second pass over the inputs") {
+    val plan = ScdOps.scd2Merge(v1, v2, Seq("k"), Seq("bal", "seg"), 1L, 2L)
+      .queryExecution.optimizedPlan.toString
+    // one full-outer join, and each snapshot scanned once (the explode
+    // fans out history rows without re-reading either side)
+    assert("Join FullOuter".r.findAllIn(plan).size == 1, plan)
+    assert("LocalRelation".r.findAllIn(plan).size <= 2, plan)
+  }
+}
