@@ -1,0 +1,60 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over a pair graph — the graph-centrality counterpart of the
+  * connected-components resolver (graft.dedup.Dedup.connectedComponents):
+  * where CC answers "which docs form one duplicate cluster", PageRank
+  * ranks WITHIN the near-dup neighborhood, surfacing template hubs (a
+  * boilerplate page near-dup to hundreds of others scores high; an
+  * isolated pair stays near the floor).
+  *
+  * Pregel shape: the edge list joined with out-degrees is the static
+  * frame every superstep re-reads (persisted once); a superstep is one
+  * same-key join (ranks x edges on src) + one keyed aggregate (sum of
+  * contributions by dst) — the standard two-shuffle iteration that
+  * scales as |E| per round on a cluster. Node count and the teleport
+  * term ride in-plan via a broadcast 1-row aggregate, so constructing
+  * the plan triggers NO driver-side action.
+  */
+object PageRank {
+
+  /** `iters` fixed-point rounds of the damped PageRank recurrence
+    * r(v) = (1-damping)/N + damping * Σ_{u→v} r(u)/outdeg(u)
+    * over directed `edges` (cols `src`, `dst`; pass both directions for
+    * an undirected graph). Nodes are the distinct edge sources — on a
+    * symmetric graph every node has outdeg ≥ 1, so there is no dangling
+    * mass to redistribute. Returns (id, rank) with rank rounded to
+    * `roundTo` decimals (sum-order noise lives ~1e-12 below it).
+    *
+    * Fixed iteration count keeps the result an exact algebraic function
+    * of the edge set — reproducible by any ANSI engine as `iters`
+    * unrolled join+aggregate passes. */
+  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+               roundTo: Int = 6): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+    // The per-superstep constant frame: each edge with its source's
+    // out-degree. Persisted — every iteration joins against it.
+    val ed = graft.ops.CacheOnce.swap("pagerank-edges", edges.join(deg, Seq("src")))
+    val nDf = deg.agg(count(lit(1)).cast("double").as("_n"))
+    val init = deg.crossJoin(broadcast(nDf))
+      .select(col("src").as("id"), (lit(1.0) / col("_n")).as("r"))
+    val last = (1 to iters).foldLeft(init) { (ranks, _) =>
+      ed.join(ranks, ed("src") === ranks("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("r") / col("_deg")).as("_m"))
+        .crossJoin(broadcast(nDf))
+        .select(col("dst").as("id"),
+          (lit(1.0 - damping) / col("_n") + lit(damping) * col("_m")).as("r"))
+    }
+    last.select(col("id"), round(col("r"), roundTo).as("rank"))
+  }
+
+  /** Undirected helper: symmetrize an (id1, id2) pair list into the
+    * directed `src`/`dst` edge list [[pageRank]] consumes. */
+  def symmetrize(pairs: DataFrame, id1: String = "id1", id2: String = "id2"): DataFrame =
+    pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+}

@@ -927,6 +927,34 @@ FROM jb GROUP BY 1""") { (s, d) =>
         numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
     },
 
+    // PageRank centrality over the symmetrized MinHash near-dup graph:
+    // template hubs (docs near-dup to many others) rank above isolated
+    // pairs. Three fixed supersteps of the damped recurrence, each one
+    // same-key join + one keyed aggregate; the oracle unrolls the same
+    // three passes, with the teleport constant written as (1.0 - 0.85)
+    // on both sides so the engines share bit-identical doubles.
+    Q("pg_pagerank", {
+      def step(prev: String, next: String) =
+        s"""$next AS (SELECT e.dst AS id, (1.0 - 0.85) / (SELECT n FROM nn) +
+  0.85 * sum(p.r / d.dg) AS r FROM ed e JOIN $prev p ON p.id = e.src
+  JOIN deg d ON d.src = e.src GROUP BY 1)"""
+      s"""WITH ${minhashMd5Ctes("documents", 0.5)},
+ed AS (SELECT id1 AS src, id2 AS dst FROM nd UNION ALL SELECT id2, id1 FROM nd),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+p0 AS (SELECT src AS id, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+${step("p0", "p1")},
+${step("p1", "p2")},
+${step("p2", "p3")}
+SELECT id AS doc_id, round(r, 6) AS rank FROM p3"""
+    }) { (s, d) =>
+      val pairs = Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
+      graft.graph.PageRank.pageRank(graft.graph.PageRank.symmetrize(pairs),
+          iters = 3, damping = 0.85, roundTo = 6)
+        .select(col("id").as("doc_id"), col("rank"))
+    },
+
     // SimHash signatures, md5 twin: token hash = first 16 hex chars of
     // md5, signature carried as two 32-bit halves so neither engine
     // parses a >= 2^63 literal. Oracle recomputes the per-bit votes from

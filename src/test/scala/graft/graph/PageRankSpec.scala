@@ -1,0 +1,53 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force reference: the same damped recurrence as a Scala map
+    * fold, for cross-checking the distributed operator exactly. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int, d: Double): Map[Long, Double] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val n = out.size.toDouble
+    val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    (1 to iters).foldLeft(out.keys.map(_ -> 1.0 / n).toMap) { (r, _) =>
+      in.map { case (v, srcs) =>
+        v -> ((1.0 - d) / n + d * srcs.map(u => r(u) / out(u)).sum)
+      }
+    }
+  }
+
+  private val path = Seq((1L, 2L), (2L, 3L)) // 1 - 2 - 3
+  private def sym(p: Seq[(Long, Long)]) = p ++ p.map(_.swap)
+
+  test("pageRank matches the hand-computed one-iteration path graph") {
+    val got = rows(PageRank.pageRank(sym(path).toDF("src", "dst"), iters = 1)
+      .orderBy("id")).map(r => (r(0), r(1)))
+    // N=3, p0=1/3 each: ends get 0.05 + 0.85/6, the middle 0.05 + 0.85*2/3
+    assert(got == Seq((1L, 0.191667), (2L, 0.616667), (3L, 0.191667)))
+  }
+
+  test("pageRank matches the brute-force recurrence over 3 iterations") {
+    val star = sym(Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (1L, 2L)))
+    val want = ref(star, iters = 3, d = 0.85)
+      .map { case (k, v) => k -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val got = rows(PageRank.pageRank(star.toDF("src", "dst"), iters = 3).orderBy("id"))
+      .map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Double]).toMap
+    assert(got == want)
+    // the hub out-ranks every leaf
+    assert(got(10L) > got.removed(10L).values.max)
+  }
+
+  test("rank mass is conserved on a symmetric graph (sums to 1)") {
+    val g = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))
+    val total = PageRank.pageRank(g.toDF("src", "dst"), iters = 3)
+      .agg(org.apache.spark.sql.functions.sum("rank")).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-4)
+  }
+
+  test("symmetrize emits both directions of every pair") {
+    val got = rows(PageRank.symmetrize(Seq((1L, 2L)).toDF("id1", "id2")).orderBy("src"))
+    assert(got == Seq(Seq(1L, 2L), Seq(2L, 1L)))
+  }
+}
