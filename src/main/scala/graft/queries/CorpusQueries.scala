@@ -85,6 +85,18 @@ object CorpusQueries {
       s"CASE WHEN $punctRatioSql < 0.2 THEN 1.0 ELSE 0.0 END + " +
       s"CASE WHEN $stopRatioSql > 0.05 THEN 1.0 ELSE 0.0 END) / 3.0, 4)"
 
+  /** Unigram-LM scoring chain (t_unigram_lm's oracle), ending at CTE
+    * `lm(doc_id, n_tok, avg_nll)`; shared by the budget-selection twin. */
+  private val unigramLmCtes: String =
+    """terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_total FROM cf),
+lm AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+  round(ln(CAST(max(n_total) AS DOUBLE)) - sum(tf * ln(CAST(cf AS DOUBLE))) / sum(tf), 4) AS avg_nll
+  FROM tf JOIN cf USING (term) CROSS JOIN tot GROUP BY doc_id)"""
+
   private def langScoreSql(markers: Seq[String]): String =
     markers.map(m => occSql("(' ' || lower(text) || ' ')", s" $m ")).mkString(" + ")
 
@@ -1879,16 +1891,35 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1""") { (s, d) =>
     // in one keyed aggregate, each doc scored by the mean -ln p(token)
     // of its occurrences — the perplexity-filter stage of a training
     // pipeline, at the unigram floor both engines can recompute exactly.
+    // CacheOnce'd under the same key/plan as t_budget_select's scoring
+    // stage: whichever runs first pays the tokenize+aggregate chain.
     Q("t_unigram_lm",
-      """WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-  FROM documents WHERE length(trim(text)) > 0),
-tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
-cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
-tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_total FROM cf)
-SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
-  round(ln(CAST(max(n_total) AS DOUBLE)) - sum(tf * ln(CAST(cf AS DOUBLE))) / sum(tf), 4) AS avg_nll
-FROM tf JOIN cf USING (term) CROSS JOIN tot GROUP BY doc_id""") { (s, d) =>
-      graft.text.CorpusStats.unigramLmScore(Tables.documents(s, d), "doc_id", "text")
+      s"WITH $unigramLmCtes SELECT doc_id, n_tok, avg_nll FROM lm") { (s, d) =>
+      graft.ops.CacheOnce.swap("unigram-lm-scores",
+        graft.text.CorpusStats.unigramLmScore(Tables.documents(s, d), "doc_id", "text"))
+    },
+
+    // Best-first data selection under a global token budget (keep the
+    // lowest-perplexity 20% of corpus tokens): rows taken in
+    // (centi-nat LM-score bucket, doc_id) order while the running token
+    // total fits. The naive shape is a single-partition global-order
+    // cumsum; Mixing.budgetSelect replaces it with a bounded-domain
+    // bucket histogram + driver prefix walk, whole-bucket keeps below
+    // the cut, and a cumsum window over ONLY the cut bucket. The oracle
+    // IS the naive global cumsum — bit-equality of the two shapes is
+    // the point of the check.
+    Q("t_budget_select",
+      s"""WITH $unigramLmCtes,
+qs AS (SELECT doc_id, CAST(floor(avg_nll * 100) AS BIGINT) AS qb, n_tok AS tok FROM lm),
+bgt AS (SELECT CAST(floor(0.2 * sum(tok)) AS BIGINT) AS b FROM qs),
+cm AS (SELECT doc_id, qb, tok,
+  sum(tok) OVER (ORDER BY qb, doc_id ROWS UNBOUNDED PRECEDING) AS c FROM qs)
+SELECT doc_id, qb, tok FROM cm WHERE c <= (SELECT b FROM bgt)""") { (s, d) =>
+      val lm = graft.ops.CacheOnce.swap("unigram-lm-scores",
+        graft.text.CorpusStats.unigramLmScore(Tables.documents(s, d), "doc_id", "text"))
+      val scored = lm.select(col("doc_id"),
+        floor(col("avg_nll") * 100).cast("long").as("qb"), col("n_tok").as("tok"))
+      graft.text.Mixing.budgetSelect(scored, "doc_id", "tok", "qb", fraction = 0.2)
     },
 
     // SemDeDup (Abbas et al. 2023): semantic dedup via IVF cells — any

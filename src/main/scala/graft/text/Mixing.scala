@@ -198,4 +198,54 @@ object Mixing {
         round(sqrt(col("n_tokens").cast("double")) /
           sum(sqrt(col("n_tokens").cast("double"))).over(w), 4).as("weight"))
   }
+
+  /** Best-first selection under a global token budget: take rows in
+    * (bucketCol asc, idCol asc) order while the running token total
+    * stays within `fraction` of the corpus total — the "keep the best
+    * N tokens" data-selection stage, WITHOUT the global-sort cumsum
+    * that shape naively implies (a single-partition window over the
+    * whole corpus — the one window Spark cannot distribute).
+    *
+    * Two-phase instead: (1) per-bucket token totals — a bounded-domain
+    * aggregate (buckets are a discretized score, cardinality fixed by
+    * the discretization, NOT by corpus size) collected to the driver,
+    * where a prefix walk finds the cut bucket, exactly as a k-means
+    * driver loop holds its centroids; (2) buckets strictly better than
+    * the cut are kept whole with NO ordering work at all, and only the
+    * single cut bucket pays a cumsum window — partitioned on the
+    * bucket, so the worst case is one bucket's rows on one task, a
+    * 1/cardinality slice of the corpus rather than all of it.
+    * Bit-equal to the naive global cumsum: full buckets below the cut
+    * have running totals <= budget by the driver walk's invariant, and
+    * the cut bucket's window continues that same (bucket, id) order.
+    *
+    * `scored` is referenced by three consumers (the histogram action
+    * and both keep branches) — persist it (CacheOnce) at the call
+    * site. Token counts must be >= 0 or the running total is not
+    * monotone and the greedy cut is ill-defined. */
+  def budgetSelect(scored: DataFrame, idCol: String, tokCol: String,
+                   bucketCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0, s"fraction must be >= 0, got $fraction")
+    val hist = scored.groupBy(col(bucketCol)).agg(sum(col(tokCol)).as("_bt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val budget = math.floor(fraction * hist.map(_._2).sum.toDouble).toLong
+    // First bucket whose inclusive running total exceeds the budget; all
+    // buckets before it fit whole.
+    val cumAfter = hist.map(_._2).scanLeft(0L)(_ + _).tail
+    val cutIdx = cumAfter.indexWhere(_ > budget)
+    val out = scored.select(col(idCol), col(bucketCol), col(tokCol))
+    if (cutIdx < 0) out // budget covers the whole corpus
+    else {
+      val (cutBucket, _) = hist(cutIdx)
+      val beforeCut = if (cutIdx == 0) 0L else cumAfter(cutIdx - 1)
+      val whole = out.filter(col(bucketCol) < cutBucket)
+      val w = Window.partitionBy(col(bucketCol)).orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val partial = out.filter(col(bucketCol) === cutBucket)
+        .withColumn("_cum", sum(col(tokCol)).over(w))
+        .filter(col("_cum") + lit(beforeCut) <= budget)
+        .drop("_cum")
+      whole.union(partial)
+    }
+  }
 }

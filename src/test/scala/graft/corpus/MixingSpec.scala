@@ -147,4 +147,35 @@ class MixingSpec extends SparkSpec {
     assert(Mixing.serpentineShards(
       base.filter(lit(false)), "doc_id", col("tok"), 4).count() == 0L)
   }
+
+  /** Naive global-cumsum reference for budgetSelect: keep while the
+    * running (bucket, id)-ordered token total fits the budget. */
+  private def naiveBudget(rows: Seq[(Long, Long, Long)], fraction: Double): Set[Long] = {
+    val budget = math.floor(fraction * rows.map(_._3).sum.toDouble).toLong
+    rows.sortBy(r => (r._2, r._1))
+      .scanLeft((0L, 0L)) { case ((_, c), (id, _, tok)) => (id, c + tok) }
+      .tail.takeWhile(_._2 <= budget).map(_._1).toSet
+  }
+
+  test("budgetSelect equals the naive global cumsum on varied cut positions") {
+    // Buckets of unequal size; the cut lands mid-bucket, at a bucket
+    // boundary, and past the corpus depending on the fraction.
+    val data = Seq( // (id, bucket, tok)
+      (1L, 10L, 5L), (2L, 10L, 5L), (3L, 20L, 10L), (4L, 20L, 1L),
+      (5L, 30L, 7L), (6L, 30L, 2L), (7L, 40L, 20L))
+    val d = df("doc_id BIGINT, qb BIGINT, tok BIGINT")(
+      data.map { case (i, b, t) => Row(i, b, t) })
+    for (f <- Seq(0.0, 0.1, 0.2, 0.21, 0.32, 0.5, 0.62, 0.9, 1.0)) {
+      val got = Mixing.budgetSelect(d, "doc_id", "tok", "qb", f)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == naiveBudget(data, f), s"fraction=$f")
+    }
+  }
+
+  test("budgetSelect: whole corpus kept when the budget covers it") {
+    val d = df("doc_id BIGINT, qb BIGINT, tok BIGINT")(
+      Seq(Row(1L, 1L, 3L), Row(2L, 2L, 4L)))
+    assert(Mixing.budgetSelect(d, "doc_id", "tok", "qb", 1.0).count() == 2L)
+    assert(Mixing.budgetSelect(d, "doc_id", "tok", "qb", 0.0).count() == 0L)
+  }
 }
