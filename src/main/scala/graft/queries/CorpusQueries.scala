@@ -348,6 +348,52 @@ SELECT i.doc_id, best.id1 IS NULL AS accepted,
   best.id1 AS best_state_id, best.jaccard AS best_jaccard
 FROM inc i LEFT JOIN best ON best.id2 = i.doc_id"""
 
+  /** pipe_incremental_crawl oracle: the SEQUENTIAL batch equivalent of
+    * the composed daily-crawl pass — exact digest gate (in-batch
+    * min-id winners anti-joined against the day-1 digests), LSH
+    * near-dup probe of the day-1 band state over the exact survivors
+    * only, then centroid assignment (the s_incremental_assign
+    * trajectory) for accepted docs that have a nonzero embedding. One
+    * verdict row per increment doc; `cell` is NULL unless accepted and
+    * embeddable. */
+  private val pipeIncrementalCrawlSql: String = {
+    def dot(a: String, b: String) = OracleSqlGen.dot(a, b, 64)
+    s"""WITH d1 AS (SELECT md5(text) AS content_hash FROM documents WHERE doc_id % 3 != 2),
+d2 AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 3 = 2),
+xw AS (SELECT content_hash, min(doc_id) AS doc_id FROM d2 GROUP BY 1),
+xs AS (SELECT doc_id FROM xw
+  WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = xw.content_hash)),
+st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+incx AS (SELECT i.* FROM inc i JOIN xs ON xs.doc_id = i.doc_id),
+${minhashSideCtes("a", "st")},
+${minhashSideCtes("b", "incx")},
+$cappedStateBndCte,
+${crossVerifyCtes(0.5, "abndc")},
+best AS (SELECT id2, id1 FROM (
+  SELECT *, row_number() OVER (PARTITION BY id2 ORDER BY jaccard DESC, id1) AS rn
+  FROM vf) WHERE rn = 1),
+acc AS (SELECT i.doc_id FROM incx i LEFT JOIN best ON best.id2 = i.doc_id
+  WHERE best.id1 IS NULL),
+${OracleSqlGen.nvCte(64)},
+tnv AS (SELECT * FROM nv WHERE vec_id % 3 != 2),
+${kmeansTrainCtes(8, 2, 64, "tnv")},
+iv AS (SELECT nv.* FROM nv JOIN acc ON acc.doc_id = nv.vec_id),
+fs AS (SELECT v.vec_id, c.cell,
+  ${dot("v.embedding", "c.cv")} / (v.nrm * sqrt(${dot("c.cv", "c.cv")})) AS sim FROM iv v, fc c),
+asg AS (SELECT vec_id, cell FROM (SELECT fs.*,
+  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM fs) WHERE rn = 1)
+SELECT i.doc_id,
+  CASE WHEN xs.doc_id IS NULL THEN 'exact_dup'
+       WHEN acc.doc_id IS NULL THEN 'near_dup'
+       ELSE 'accepted' END AS verdict,
+  CAST(asg.cell AS BIGINT) AS cell
+FROM inc i
+LEFT JOIN xs ON xs.doc_id = i.doc_id
+LEFT JOIN acc ON acc.doc_id = i.doc_id
+LEFT JOIN asg ON asg.vec_id = i.doc_id"""
+  }
+
   /** st_lsh_probe oracle: the CANDIDATE set of the incremental
     * near-dup pass — band-equality collisions between the persisted
     * state and the streamed increment, before Jaccard verification.
@@ -1755,6 +1801,57 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
         "Exchange between the probe join and the bucketed LSH state scan — " +
           "the state side re-shuffled despite its bucketing")
       out
+    },
+
+    // The composed daily-crawl pass — the operational shape the three
+    // persisted-state paths exist FOR, run as ONE query over an
+    // increment: exact digest gate (in-batch winners anti-joined
+    // against the persisted digest state), LSH band probe of the
+    // persisted band state over the exact survivors only (each stage
+    // shrinks the next stage's input), then broadcast centroid
+    // assignment from the persisted k-means state for accepted docs
+    // with a nonzero embedding. One verdict row per increment doc
+    // ('exact_dup' / 'near_dup' / 'accepted') + the accepted doc's
+    // cell. The oracle is the sequential batch equivalent end to end.
+    Q("pipe_incremental_crawl", pipeIncrementalCrawlSql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      prepareDedupState(s, d); prepareLshState(s, d); prepareCentroidState(s, d)
+      val docs = Tables.documents(s, d)
+      val inc = docs.filter(col("doc_id") % 3 === 2)
+      val exactAcc = Dedup.incrementalDedup(inc, s.table(dedupStateTable(d)),
+        "doc_id", "text").select(col("doc_id"))
+      val ndVerdicts = Dedup.incrementalNearDups(
+        inc.join(exactAcc, Seq("doc_id"), "left_semi"),
+        docs.filter(col("doc_id") % 3 =!= 2), s.table(lshStateTable(d)),
+        "doc_id", "text", numHashes = 32, rowsPerBand = 4, shingleN = 2,
+        threshold = 0.5, bandBucketCap = Some(lshBandBucketCap))
+      val ndAcc = ndVerdicts.filter(col("accepted")).select(col("doc_id"))
+      val cents = s.read.parquet(centroidStatePath(s, d))
+      val cn = cents.select(col("vec_id").as("cell"), col("embedding").as("cv"),
+        Similarity.l2norm(col("embedding")).as("_cn"))
+      val vecs = Tables.embeddings(s, d)
+        .join(ndAcc.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.l2norm(col("embedding")).as("_n"))
+        .filter(col("_n") > 0)
+      val sims = vecs.crossJoin(broadcast(cn))
+        .select(col("vec_id"), col("cell"),
+          (Similarity.dot(col("embedding"), col("cv")) /
+            (col("_n") * col("_cn"))).as("sim"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cell"))
+      val assigned = sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      inc.select(col("doc_id"))
+        .join(exactAcc.withColumn("_x", lit(true)), Seq("doc_id"), "left")
+        .join(ndVerdicts.select(col("doc_id"), col("accepted").as("_nd")),
+          Seq("doc_id"), "left")
+        .join(assigned, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("_x").isNull, "exact_dup")
+            .when(!col("_nd"), "near_dup")
+            .otherwise("accepted").as("verdict"),
+          col("cell").cast("long").as("cell"))
     },
 
     // Streaming LSH probe: the incremental near-dup pass's front gate
