@@ -27,7 +27,13 @@ object EventAnalytics {
     *
     * Time arithmetic is exact integer microseconds until the single
     * final divide, so an ANSI oracle reproduces it bit-for-bit at
-    * `round(_, 4)`. */
+    * `round(_, 4)`.
+    *
+    * Each reach frame is consumed twice (the next stage's join and its
+    * own 1-row summary), so stage-k work re-derives the k-stage chain —
+    * fine at funnel depths (≤5 stages of per-type FILTERED scans, each
+    * column-pruned and type-pushed); for unusually deep funnels persist
+    * the reach frames via [[graft.ops.CacheOnce]] at the call site. */
   def funnel(events: DataFrame, entity: String, tsCol: String, typeCol: String,
              stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Slowly-changing-dimension maintenance (warehouse snapshot history) —
@@ -29,10 +29,32 @@ object ScdOps {
     * (`<=>`), so a column going null counts as a change instead of
     * comparing unknown. */
   def scd2Merge(cur: DataFrame, next: DataFrame, keyCols: Seq[String],
-                trackedCols: Seq[String], fromVer: Long, toVer: Long): DataFrame = {
-    require(keyCols.nonEmpty && trackedCols.nonEmpty, "scd2Merge needs key and tracked columns")
+                trackedCols: Seq[String], fromVer: Long, toVer: Long): DataFrame =
+    scd2Apply(
+      cur.withColumn("valid_from", lit(fromVer))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true)),
+      next, keyCols, trackedCols, toVer)
+
+  /** Incremental maintenance of an EXISTING type-2 history: apply a new
+    * snapshot at version `newVer`. Closed rows pass through untouched
+    * (history is immutable below the open frontier); only the OPEN rows
+    * join the incoming snapshot — so daily cost is O(open ∪ snapshot),
+    * never O(history), no matter how many versions have accumulated.
+    * Each open row keeps ITS OWN `valid_from` when it closes, which is
+    * what makes the operation composable: applying snapshots one
+    * version at a time yields the same history as any batched replay
+    * (spec-pinned). [[scd2Merge]] is the degenerate call with a
+    * single-version open-only history. */
+  def scd2Apply(history: DataFrame, next: DataFrame, keyCols: Seq[String],
+                trackedCols: Seq[String], newVer: Long): DataFrame = {
+    require(keyCols.nonEmpty && trackedCols.nonEmpty, "scd2Apply needs key and tracked columns")
     val cols = keyCols ++ trackedCols
-    val c = cur.select(cols.map(n => col(n).as(s"_c_$n")) :+ lit(true).as("_in_c"): _*)
+    val outCols = cols ++ Seq("valid_from", "valid_to", "is_current")
+    val closed = history.filter(!col("is_current")).select(outCols.map(col): _*)
+    val open = history.filter(col("is_current"))
+    val c = open.select(cols.map(nm => col(nm).as(s"_c_$nm")) ++ Seq(
+      col("valid_from").as("_c_from"), lit(true).as("_in_c")): _*)
     val n = next.select(cols.map(nm => col(nm).as(s"_n_$nm")) :+ lit(true).as("_in_n"): _*)
     val joinCond = keyCols.map(k => col(s"_c_$k") <=> col(s"_n_$k")).reduce(_ && _)
     val j = c.join(n, joinCond, "full_outer")
@@ -40,22 +62,22 @@ object ScdOps {
         coalesce(col("_in_c"), lit(false)) && coalesce(col("_in_n"), lit(false)) &&
           !trackedCols.map(t => col(s"_c_$t") <=> col(s"_n_$t")).reduce(_ && _))
 
-    def hist(side: String, from: Long, to: Option[Long], current: Boolean) =
+    def hist(side: String, from: Column, to: Column, current: Boolean) =
       struct(cols.map(cn => col(s"_${side}_$cn").as(cn)) ++ Seq(
-        lit(from).as("valid_from"),
-        to.map(lit(_)).getOrElse(lit(null).cast("long")).as("valid_to"),
+        from.as("valid_from"), to.as("valid_to"),
         lit(current).as("is_current")): _*)
 
+    val nullVer = lit(null).cast("long")
     val closedOld = when(col("_changed") || (col("_in_c").isNotNull && col("_in_n").isNull),
-      hist("c", fromVer, Some(toVer), current = false))
+      hist("c", col("_c_from"), lit(newVer), current = false))
     val openOld = when(!col("_changed") && col("_in_c").isNotNull && col("_in_n").isNotNull,
-      hist("c", fromVer, None, current = true))
+      hist("c", col("_c_from"), nullVer, current = true))
     val openNew = when(col("_changed") || (col("_in_c").isNull && col("_in_n").isNotNull),
-      hist("n", toVer, None, current = true))
+      hist("n", lit(newVer), nullVer, current = true))
 
-    j.select(explode(array(closedOld, openOld, openNew)).as("_h"))
-      .filter(col("_h").isNotNull)
-      .select(cols.map(cn => col(s"_h.$cn")) ++
-        Seq(col("_h.valid_from"), col("_h.valid_to"), col("_h.is_current")): _*)
+    closed.union(
+      j.select(explode(array(closedOld, openOld, openNew)).as("_h"))
+        .filter(col("_h").isNotNull)
+        .select(outCols.map(cn => col(s"_h.$cn")): _*))
   }
 }

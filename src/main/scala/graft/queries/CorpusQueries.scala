@@ -209,7 +209,7 @@ szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
 intr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM cd c
   JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2 AND a.shingle = b.shingle
   GROUP BY 1, 2),
-nd AS (SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+nd AS MATERIALIZED (SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
   FROM intr JOIN szs s1 ON s1.doc_id = id1 JOIN szs s2 ON s2.doc_id = id2
   WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= $threshold)"""
 
@@ -997,8 +997,8 @@ FROM jb GROUP BY 1""") { (s, d) =>
   0.85 * sum(p.r / d.dg) AS r FROM ed e JOIN $prev p ON p.id = e.src
   JOIN deg d ON d.src = e.src GROUP BY 1)"""
       s"""WITH ${minhashMd5Ctes("documents", 0.5)},
-ed AS (SELECT id1 AS src, id2 AS dst FROM nd UNION ALL SELECT id2, id1 FROM nd),
-deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY 1),
+ed AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM nd UNION ALL SELECT id2, id1 FROM nd),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY 1),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
 p0 AS (SELECT src AS id, 1.0 / (SELECT n FROM nn) AS r FROM deg),
 ${step("p0", "p1")},

@@ -10,6 +10,46 @@ import graft.ops.ColumnOps
   */
 object RelationalQueries {
 
+  // ---- SCD2 fixture snapshots, derived in-plan from customer ----
+  // v2: balance bump on %10=0, deletes on %17=3, inserts cloned at
+  // +1000000 from %13=5. v3 applies a second round of the same kinds of
+  // change to v2 (bump %7=1, delete %19=4, insert +2000000 from %11=6).
+  private def customerV1(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.customer(s, d).select("c_custkey", "c_acctbal", "c_mktsegment")
+
+  private def customerV2(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val v1 = customerV1(s, d)
+    v1.filter(col("c_custkey") % 17 =!= 3)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        col("c_mktsegment"))
+      .union(v1.filter(col("c_custkey") % 13 === 5)
+        .select(col("c_custkey") + 1000000, col("c_acctbal"), col("c_mktsegment")))
+  }
+
+  private def customerV3(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val v2 = customerV2(s, d)
+    v2.filter(col("c_custkey") % 19 =!= 4)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 1, col("c_acctbal") + 50)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        col("c_mktsegment"))
+      .union(v2.filter(col("c_custkey") % 11 === 6)
+        .select(col("c_custkey") + 2000000, col("c_acctbal"), col("c_mktsegment")))
+  }
+
+  private val scd2V12Ctes: String =
+    """v1 AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+  c_mktsegment FROM customer WHERE c_custkey % 17 <> 3
+  UNION ALL SELECT c_custkey + 1000000, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 13 = 5),
+j AS (SELECT v1.c_custkey AS ck, v2.c_custkey AS nk,
+  v1.c_acctbal AS cb, v2.c_acctbal AS nb, v1.c_mktsegment AS cm, v2.c_mktsegment AS nm,
+  (v1.c_custkey IS NOT NULL AND v2.c_custkey IS NOT NULL AND
+   (v1.c_acctbal IS DISTINCT FROM v2.c_acctbal OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment)) AS chg
+  FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey)"""
+
   val defs: Seq[Q] = Seq(
 
     // A1: group_by + tally, the reference workhorse (ningaloo-etl.Rmd:308-311).
@@ -341,32 +381,49 @@ object RelationalQueries {
     // merged into type-2 history rows — one full-outer join on the
     // business key, 0–2 history rows per key from a single explode.
     Q("scd2_merge",
-      """WITH v1 AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
-v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
-  c_mktsegment FROM customer WHERE c_custkey % 17 <> 3
-  UNION ALL SELECT c_custkey + 1000000, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 13 = 5),
-j AS (SELECT v1.c_custkey AS ck, v2.c_custkey AS nk,
-  v1.c_acctbal AS cb, v2.c_acctbal AS nb, v1.c_mktsegment AS cm, v2.c_mktsegment AS nm,
-  (v1.c_custkey IS NOT NULL AND v2.c_custkey IS NOT NULL AND
-   (v1.c_acctbal IS DISTINCT FROM v2.c_acctbal OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment)) AS chg
-  FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey)
+      s"""WITH $scd2V12Ctes
 SELECT ck AS c_custkey, cb AS c_acctbal, cm AS c_mktsegment, CAST(1 AS BIGINT) AS valid_from,
   CAST(2 AS BIGINT) AS valid_to, false AS is_current FROM j WHERE chg OR (ck IS NOT NULL AND nk IS NULL)
 UNION ALL SELECT ck, cb, cm, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true
   FROM j WHERE NOT chg AND ck IS NOT NULL AND nk IS NOT NULL
 UNION ALL SELECT nk, nb, nm, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true
   FROM j WHERE chg OR (ck IS NULL AND nk IS NOT NULL)""") { (s, d) =>
-      val v1 = Tables.customer(s, d).select("c_custkey", "c_acctbal", "c_mktsegment")
-      val v2 = Tables.customer(s, d)
-        .filter(col("c_custkey") % 17 =!= 3)
-        .select(col("c_custkey"),
-          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100)
-            .otherwise(col("c_acctbal")).as("c_acctbal"),
-          col("c_mktsegment"))
-        .union(Tables.customer(s, d).filter(col("c_custkey") % 13 === 5)
-          .select(col("c_custkey") + 1000000, col("c_acctbal"), col("c_mktsegment")))
-      graft.ops.ScdOps.scd2Merge(v1, v2, Seq("c_custkey"),
+      graft.ops.ScdOps.scd2Merge(customerV1(s, d), customerV2(s, d), Seq("c_custkey"),
         Seq("c_acctbal", "c_mktsegment"), fromVer = 1L, toVer = 2L)
+    },
+
+    // Incremental SCD2 maintenance: a THIRD snapshot applied to the
+    // v1→v2 history. Closed rows pass through untouched; only the open
+    // frontier joins the incoming snapshot (daily cost O(open ∪
+    // snapshot), never O(history)), and each open row keeps its own
+    // valid_from when it closes — the composability that makes
+    // one-version-at-a-time application equal any batched replay.
+    Q("scd2_apply",
+      s"""WITH $scd2V12Ctes,
+hcl AS (SELECT ck AS c_custkey, cb AS c_acctbal, cm AS c_mktsegment,
+  CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to, false AS is_current
+  FROM j WHERE chg OR (ck IS NOT NULL AND nk IS NULL)),
+hop AS (SELECT ck AS c_custkey, cb AS c_acctbal, cm AS c_mktsegment, CAST(1 AS BIGINT) AS valid_from
+  FROM j WHERE NOT chg AND ck IS NOT NULL AND nk IS NOT NULL
+  UNION ALL SELECT nk, nb, nm, CAST(2 AS BIGINT)
+  FROM j WHERE chg OR (ck IS NULL AND nk IS NOT NULL)),
+v3 AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 1 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
+  c_mktsegment FROM v2 WHERE c_custkey % 19 <> 4
+  UNION ALL SELECT c_custkey + 2000000, c_acctbal, c_mktsegment FROM v2 WHERE c_custkey % 11 = 6),
+j2 AS (SELECT o.c_custkey AS ck, v3.c_custkey AS nk, o.c_acctbal AS cb, v3.c_acctbal AS nb,
+  o.c_mktsegment AS cm, v3.c_mktsegment AS nm, o.valid_from AS cf,
+  (o.c_custkey IS NOT NULL AND v3.c_custkey IS NOT NULL AND
+   (o.c_acctbal IS DISTINCT FROM v3.c_acctbal OR o.c_mktsegment IS DISTINCT FROM v3.c_mktsegment)) AS chg
+  FROM hop o FULL OUTER JOIN v3 ON o.c_custkey = v3.c_custkey)
+SELECT * FROM hcl
+UNION ALL SELECT ck, cb, cm, cf, CAST(3 AS BIGINT), false FROM j2 WHERE chg OR (ck IS NOT NULL AND nk IS NULL)
+UNION ALL SELECT ck, cb, cm, cf, CAST(NULL AS BIGINT), true FROM j2 WHERE NOT chg AND ck IS NOT NULL AND nk IS NOT NULL
+UNION ALL SELECT nk, nb, nm, CAST(3 AS BIGINT), CAST(NULL AS BIGINT), true FROM j2 WHERE chg OR (ck IS NULL AND nk IS NOT NULL)""") { (s, d) =>
+      val keys = Seq("c_custkey")
+      val tracked = Seq("c_acctbal", "c_mktsegment")
+      val h12 = graft.ops.ScdOps.scd2Merge(customerV1(s, d), customerV2(s, d),
+        keys, tracked, fromVer = 1L, toVer = 2L)
+      graft.ops.ScdOps.scd2Apply(h12, customerV3(s, d), keys, tracked, newVer = 3L)
     },
 
     // A5: schema dump as data (contents(con), ningaloo-etl.Rmd:55).

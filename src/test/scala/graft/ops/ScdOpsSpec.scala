@@ -39,6 +39,33 @@ class ScdOpsSpec extends SparkSpec {
     assert(h.filter("NOT is_current AND valid_to IS NULL").count() == 0)
   }
 
+  private val v3 = Seq(
+    (1L, Some(11.0), "A"), // changes in v3 (was unchanged through v2)
+    (2L, Some(25.0), "B"), // unchanged from v2
+    (5L, Some(50.0), "E")) // unchanged; key 4 deleted in v3
+    .toDF("k", "bal", "seg")
+
+  test("scd2Apply: closed rows pass through; open rows close with their own valid_from") {
+    val h12 = ScdOps.scd2Merge(v1, v2, Seq("k"), Seq("bal", "seg"), 1L, 2L)
+    val got = rows(ScdOps.scd2Apply(h12, v3, Seq("k"), Seq("bal", "seg"), 3L)
+      .orderBy("k", "valid_from"))
+    assert(got == Seq(
+      Seq(1L, 10.0, "A", 1L, 3L, false),   // open since v1, closes AT v3 with from=1
+      Seq(1L, 11.0, "A", 3L, null, true),
+      Seq(2L, 20.0, "B", 1L, 2L, false),   // v1->v2 closure untouched
+      Seq(2L, 25.0, "B", 2L, null, true),  // still current, from=2 kept
+      Seq(3L, 30.0, "C", 1L, 2L, false),
+      Seq(4L, null, "D", 1L, 2L, false),
+      Seq(4L, 40.0, "D", 2L, 3L, false),   // deleted in v3: closes with from=2
+      Seq(5L, 50.0, "E", 2L, null, true)))
+  }
+
+  test("scd2Apply with an identical snapshot is a no-op on the history") {
+    val h12 = ScdOps.scd2Merge(v1, v2, Seq("k"), Seq("bal", "seg"), 1L, 2L)
+    val again = ScdOps.scd2Apply(h12, v2, Seq("k"), Seq("bal", "seg"), 3L)
+    assert(rows(again.orderBy("k", "valid_from")) == rows(h12.orderBy("k", "valid_from")))
+  }
+
   test("scd2Merge: single shuffle — one join, no second pass over the inputs") {
     val plan = ScdOps.scd2Merge(v1, v2, Seq("k"), Seq("bal", "seg"), 1L, 2L)
       .queryExecution.optimizedPlan.toString
