@@ -34,10 +34,23 @@ object PageRank {
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
                roundTo: Int = 6): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+    // Persist the RAW edge list, then derive EVERYTHING from the cached
+    // frame: deg, the superstep join frame, the node count and the init
+    // ranks all reference `e`. The node-count aggregate alone is
+    // broadcast once per superstep (each `broadcast(nDf)` is its own
+    // exchange), so an uncached edge lineage would re-derive the
+    // upstream pair computation iters+2 times — measured 6x the whole
+    // MinHash chain on the near-dup graph before this was pinned down.
+    val e = graft.ops.CacheOnce.swap("pagerank-edges", edges)
+    // deg is node-cardinality sized and referenced by every superstep's
+    // join AND every teleport broadcast (~2*iters references, each its
+    // own stage if recomputed) — persist it alongside the edges.
+    val deg = graft.ops.CacheOnce.swap("pagerank-deg",
+      e.groupBy(col("src")).agg(count(lit(1)).as("_deg")))
     // The per-superstep constant frame: each edge with its source's
-    // out-degree. Persisted — every iteration joins against it.
-    val ed = graft.ops.CacheOnce.swap("pagerank-edges", edges.join(deg, Seq("src")))
+    // out-degree (recomputed per superstep from the cached edges — one
+    // cheap keyed aggregate + join, no upstream recompute).
+    val ed = e.join(deg, Seq("src"))
     val nDf = deg.agg(count(lit(1)).cast("double").as("_n"))
     val init = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("id"), (lit(1.0) / col("_n")).as("r"))

