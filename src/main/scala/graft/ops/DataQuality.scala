@@ -48,4 +48,33 @@ object DataQuality {
         col("_n").cast("long").as("n_rows"),
         (col("c.violations") === 0).as("pass"))
   }
+
+  /** Robust time-series anomaly gate over a per-(group, bucket) metric:
+    * a bucket is anomalous when its value deviates from the group
+    * median by more than `k` median-absolute-deviations — the
+    * outlier-resistant alternative to mean±kσ (one bad day cannot drag
+    * the threshold toward itself; breakdown point 50%). The ingest
+    * monitor shape: "did any day's volume jump" over daily tallies.
+    *
+    * Two group-cardinality aggregates (exact interpolated medians — the
+    * groups are bounded-domain, so exact percentile's per-group sort is
+    * bounded by buckets-per-group, not corpus size) + two broadcast
+    * joins back; `metrics` itself is scanned twice (median then
+    * deviations) — pre-aggregate it from the raw table so the double
+    * scan is over group×bucket rows, never raw events. All arithmetic
+    * is exact on integer metrics (interpolated halves are exact binary
+    * fractions), so an ANSI oracle reproduces the flags bit-for-bit. */
+  def madAnomalies(metrics: DataFrame, groupCols: Seq[String], valueCol: String,
+                   k: Double = 3.0): DataFrame = {
+    val g = groupCols.map(col)
+    val med = metrics.groupBy(g: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val dev = metrics.join(broadcast(med), groupCols)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(g: _*)
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), groupCols)
+      .withColumn("is_anomaly", col("dev") > lit(k) * col("mad"))
+      .drop("dev")
+  }
 }

@@ -1230,6 +1230,29 @@ FROM j WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new""") { (s, d) =>
     // the 4-point gate grid (round(q*3)), per-bucket counts both sides,
     // and the increment's share shift per bucket. A crawl whose
     // low-quality share spikes fails the gate before ingest.
+    // MAD-based volume-anomaly gate over daily per-type event tallies:
+    // a (type, day) bucket is anomalous when its count deviates from
+    // the type's median by > 3 median-absolute-deviations — the
+    // outlier-robust ingest monitor (one bad day cannot drag the
+    // threshold toward itself). Exact interpolated medians over integer
+    // counts, so both engines flag bit-identically.
+    Q("dq_anomaly",
+      """WITH dc AS (SELECT event_type, CAST(ts + INTERVAL 8 HOUR AS DATE) AS day,
+  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+md AS (SELECT event_type, median(n) AS med FROM dc GROUP BY 1),
+ad AS (SELECT dc.event_type, day, n, med, abs(n - med) AS dev FROM dc JOIN md USING (event_type)),
+mm AS (SELECT event_type, median(dev) AS mad FROM ad GROUP BY 1)
+SELECT ad.event_type, day, n, med, mm.mad AS mad, (dev > 3 * mm.mad) AS is_anomaly
+FROM ad JOIN mm USING (event_type)""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.DataQuality.madAnomalies(dc, Seq("event_type"), "n", k = 3.0)
+        .select(col("event_type"), col("day"), col("n"), col("med"),
+          col("mad"), col("is_anomaly"))
+    },
+
     Q("dq_quality_drift",
       s"""WITH q AS (SELECT doc_id, $qualitySql AS q FROM documents),
 o AS (SELECT CAST(round(q * 3, 0) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_old

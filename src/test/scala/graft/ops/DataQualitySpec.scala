@@ -41,4 +41,32 @@ class DataQualitySpec extends SparkSpec {
     val got = rows(DataQuality.report(d, Seq(hostile -> col("id").isNotNull)))
     assert(got == Seq(Seq(hostile, 1L, 2L, false)))
   }
+
+  test("madAnomalies: only the spike crosses k MADs; the median is not dragged") {
+    // g1 counts: 10,10,11,12,100 -> median 11, devs 1,1,0,1,89 -> MAD 1.
+    // Only the 100 exceeds 3 MADs. A mean±3σ gate would sit near
+    // 28.6±35 and ALSO flag nothing or drag — the point of MAD.
+    val d = df("g STRING, b INT, n BIGINT")(Seq(
+      Row("g1", 1, 10L), Row("g1", 2, 10L), Row("g1", 3, 11L),
+      Row("g1", 4, 12L), Row("g1", 5, 100L),
+      Row("g2", 1, 5L), Row("g2", 2, 5L))) // constant group: MAD 0
+    val got = rows(DataQuality.madAnomalies(d, Seq("g"), "n")
+      .select("g", "b", "is_anomaly").orderBy("g", "b"))
+    assert(got == Seq(
+      Seq("g1", 1, false), Seq("g1", 2, false), Seq("g1", 3, false),
+      Seq("g1", 4, false), Seq("g1", 5, true),
+      // MAD 0: identical values never flag (0 > 0 is false)
+      Seq("g2", 1, false), Seq("g2", 2, false)))
+  }
+
+  test("madAnomalies: interpolated even-count median, exact halves") {
+    val d = df("g STRING, b INT, n BIGINT")(Seq(
+      Row("g", 1, 1L), Row("g", 2, 2L), Row("g", 3, 3L), Row("g", 4, 10L)))
+    val r = DataQuality.madAnomalies(d, Seq("g"), "n").orderBy("b").collect()
+    assert(r.map(_.getAs[Double]("med")).toSeq == Seq(2.5, 2.5, 2.5, 2.5))
+    // devs 1.5,0.5,0.5,7.5 -> MAD = (0.5+1.5)/2 = 1.0; only 10 flags
+    assert(r.map(_.getAs[Double]("mad")).toSeq == Seq(1.0, 1.0, 1.0, 1.0))
+    assert(r.map(_.getAs[Boolean]("is_anomaly")).toSeq ==
+      Seq(false, false, false, true))
+  }
 }
