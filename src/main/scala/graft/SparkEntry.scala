@@ -63,6 +63,15 @@ object SparkEntry {
         // == batch gaps-and-islands (w_sessionize minus the session
         // number). Both close paths fire: mid-stream (next event past
         // the gap) and watermark timeout (the flush sentinel).
+        // §2.11 streaming funnel: funnel-relevant events buffered in
+        // keyed state, greedy stage recurrence REPLAYED at watermark
+        // flush — arrival-order independent within the watermark delay
+        // (the staged input adversarially splits odd/even event_ids
+        // across micro-batches so later stages arrive first). Settled
+        // summary == the batch funnel, so w_funnel's SQL is the oracle.
+        Q("st_funnel", WindowPivotQueries.funnelOracleSql) { (s, d) =>
+          graft.streaming.FunnelStream.funnelOnce(s, d)
+        },
         Q("st_sessions",
           "WITH o AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
             "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +

@@ -11,6 +11,25 @@ object WindowPivotQueries {
 
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
+  /** Shared by w_funnel AND st_funnel — the streaming funnel's settled
+    * result must equal the batch summary, so the batch twin IS its
+    * oracle. */
+  private[graft] val funnelOracleSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
+s1e AS (SELECT user_id, t, t AS t0 FROM s1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t, min(p.t0) AS t0 FROM events e
+  JOIN s1e p ON p.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= p.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t, min(p.t0) AS t0 FROM events e
+  JOIN s2 p ON p.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= p.t GROUP BY 1)
+SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_no, CAST(count(*) AS BIGINT) AS n_users,
+  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) AS avg_hours FROM s1e
+UNION ALL SELECT 'click', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) FROM s2
+UNION ALL SELECT 'purchase', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) FROM s3"""
+
   val defs: Seq[Q] = Seq(
 
     // F4: R's filter(duplicated(key)) (ningaloo-etl.Rmd:377) under a total
@@ -196,21 +215,7 @@ object WindowPivotQueries {
     // the previous stage's arrival — min-over-filtered-join per stage,
     // every shuffle keyed by user_id, no per-user sort. Exact integer
     // microsecond arithmetic until the one final divide.
-    Q("w_funnel",
-      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
-s1e AS (SELECT user_id, t, t AS t0 FROM s1),
-s2 AS (SELECT e.user_id, min(e.ts) AS t, min(p.t0) AS t0 FROM events e
-  JOIN s1e p ON p.user_id = e.user_id
-  WHERE e.event_type = 'click' AND e.ts >= p.t GROUP BY 1),
-s3 AS (SELECT e.user_id, min(e.ts) AS t, min(p.t0) AS t0 FROM events e
-  JOIN s2 p ON p.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND e.ts >= p.t GROUP BY 1)
-SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_no, CAST(count(*) AS BIGINT) AS n_users,
-  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) AS avg_hours FROM s1e
-UNION ALL SELECT 'click', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
-  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) FROM s2
-UNION ALL SELECT 'purchase', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
-  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) FROM s3""") { (s, d) =>
+    Q("w_funnel", funnelOracleSql) { (s, d) =>
       graft.ops.EventAnalytics.funnel(Tables.events(s, d),
         "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
     },
