@@ -80,4 +80,16 @@ object ScdOps {
         .filter(col("_h").isNotNull)
         .select(outCols.map(cn => col(s"_h.$cn")): _*))
   }
+
+  /** Time travel: reconstruct the dimension AS OF version `ver` from
+    * its type-2 history — rows whose validity interval covers the
+    * version. A pure narrow filter (no shuffle, no join): the history
+    * IS the index, which is the point of keeping it. Reconstructing
+    * version v must return exactly the snapshot that was applied at v —
+    * the registered query's oracle is the v2 snapshot itself. */
+  def scd2AsOf(history: DataFrame, ver: Long): DataFrame =
+    history
+      .filter(col("valid_from") <= ver &&
+        (col("valid_to").isNull || col("valid_to") > ver))
+      .drop("valid_from", "valid_to", "is_current")
 }

@@ -1018,6 +1018,29 @@ SELECT id AS doc_id, round(r, 6) AS rank FROM p3"""
         .select(col("id").as("doc_id"), col("rank"))
     },
 
+    // Per-node triangle counts over the same near-dup graph (the
+    // local-clustering signal: docs inside densely inter-duplicated
+    // template families vs hubs of coincidental collisions). Spark side
+    // enumerates wedges degree-ORIENTED (each triangle found once, at
+    // its lowest-(degree,id) corner — out-degrees are O(sqrt|E|), so a
+    // boilerplate hub cannot dominate the wedge shuffle); the oracle
+    // enumerates id-ordered a<b<c triples — two different algorithms,
+    // one triangle set.
+    Q("pg_triangles",
+      s"""WITH ${minhashMd5Ctes("documents", 0.5)},
+tri AS (SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+  FROM nd e1 JOIN nd e2 ON e2.id1 = e1.id2
+  JOIN nd e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS triangles FROM (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+GROUP BY 1""") { (s, d) =>
+      val pairs = graft.ops.CacheOnce.swap("minhash-md5-neardups",
+        Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
+      graft.graph.Triangles.perNodeCounts(pairs)
+        .select(col("id").as("doc_id"), col("triangles"))
+    },
+
     // SimHash signatures, md5 twin: token hash = first 16 hex chars of
     // md5, signature carried as two 32-bit halves so neither engine
     // parses a >= 2^63 literal. Oracle recomputes the per-bit votes from

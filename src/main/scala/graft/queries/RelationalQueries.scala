@@ -426,6 +426,21 @@ UNION ALL SELECT nk, nb, nm, CAST(3 AS BIGINT), CAST(NULL AS BIGINT), true FROM 
       graft.ops.ScdOps.scd2Apply(h12, customerV3(s, d), keys, tracked, newVer = 3L)
     },
 
+    // SCD2 time travel: reconstructing AS OF version 2 from the
+    // three-version history must return EXACTLY the v2 snapshot — the
+    // oracle IS that snapshot's derivation, so the hash check proves
+    // the history's validity intervals reconstruct every version. A
+    // pure narrow filter over the history: no shuffle, no join.
+    Q("scd2_asof",
+      s"WITH $scd2V12Ctes SELECT c_custkey, c_acctbal, c_mktsegment FROM v2") { (s, d) =>
+      val keys = Seq("c_custkey")
+      val tracked = Seq("c_acctbal", "c_mktsegment")
+      val h12 = graft.ops.ScdOps.scd2Merge(customerV1(s, d), customerV2(s, d),
+        keys, tracked, fromVer = 1L, toVer = 2L)
+      val h = graft.ops.ScdOps.scd2Apply(h12, customerV3(s, d), keys, tracked, newVer = 3L)
+      graft.ops.ScdOps.scd2AsOf(h, ver = 2L)
+    },
+
     // A5: schema dump as data (contents(con), ningaloo-etl.Rmd:55).
     Q("a5_schema",
       "SELECT * FROM (VALUES ('l_orderkey', 'bigint'), ('l_partkey', 'bigint'), " +

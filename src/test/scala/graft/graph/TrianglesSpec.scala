@@ -1,0 +1,49 @@
+package graft.graph
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ref(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+    val es = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && es((a, b))
+      c <- nodes if b < c && es((b, c)) && es((a, c))
+    } yield Seq(a, b, c)
+    tris.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("K4 has 3 triangles per node; a square has none") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val got = Triangles.perNodeCounts(k4.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(Triangles.perNodeCounts(square.toDF("id1", "id2")).count() == 0)
+  }
+
+  test("property: degree-oriented counts == brute-force enumeration") {
+    val gen = Gen.listOfN(30, for {
+      a <- Gen.choose(1L, 10L); b <- Gen.choose(1L, 10L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    (1L to 8L).foreach { seed =>
+      val pairs = gen.apply(Gen.Parameters.default, Seed(seed)).get.toSet
+      val got = Triangles.perNodeCounts(pairs.toSeq.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref(pairs), s"seed=$seed pairs=$pairs")
+    }
+  }
+
+  test("a hub star with one closing edge yields exactly one triangle") {
+    // hub 1 connected to 2..9, plus edge (2,3): only {1,2,3} closes.
+    val star = (2L to 9L).map(1L -> _) :+ (2L, 3L)
+    val got = Triangles.perNodeCounts(star.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}

@@ -66,6 +66,16 @@ class ScdOpsSpec extends SparkSpec {
     assert(rows(again.orderBy("k", "valid_from")) == rows(h12.orderBy("k", "valid_from")))
   }
 
+  test("scd2AsOf reconstructs each version exactly from the chained history") {
+    val h12 = ScdOps.scd2Merge(v1, v2, Seq("k"), Seq("bal", "seg"), 1L, 2L)
+    val h = ScdOps.scd2Apply(h12, v3, Seq("k"), Seq("bal", "seg"), 3L)
+    def snap(ver: Long) = rows(ScdOps.scd2AsOf(h, ver).orderBy("k"))
+    assert(snap(1L) == rows(v1.orderBy("k")))
+    assert(snap(2L) == rows(v2.orderBy("k")))
+    assert(snap(3L) == rows(v3.orderBy("k")))
+    assert(snap(99L) == rows(v3.orderBy("k"))) // open rows cover the future
+  }
+
   test("scd2Merge: single shuffle — one join, no second pass over the inputs") {
     val plan = ScdOps.scd2Merge(v1, v2, Seq("k"), Seq("bal", "seg"), 1L, 2L)
       .queryExecution.optimizedPlan.toString
