@@ -1061,6 +1061,35 @@ GROUP BY 1""") { (s, d) =>
         maxHamming = 3, blocks = 6)
     },
 
+    // Hard-negative mining for contrastive training: each query's
+    // top-3 cosine neighbors EXCLUDING its near-duplicates (a near-dup
+    // ranked as a negative poisons the loss; filtering after top-k
+    // under-fills the k, so the exclusion anti-joins the scored pairs
+    // BEFORE ranking). The exclusion set is the CacheOnce-shared
+    // MinHash pair list; the oracle recomputes pairs, scores and the
+    // anti-join end to end.
+    Q("s_hard_negatives",
+      s"""WITH ${minhashMd5Ctes("documents", 0.5)},
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+sc0 AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+  round(${cosineSql("q.qv", "c.embedding")}, 4) AS cosine
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+fl AS (SELECT sc0.* FROM sc0 LEFT JOIN nd
+  ON nd.id1 = least(query_id, neighbor_id) AND nd.id2 = greatest(query_id, neighbor_id)
+  WHERE nd.id1 IS NULL)
+SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER w AS BIGINT) AS rank
+FROM fl WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 3""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = graft.ops.CacheOnce.swap("minhash-md5-neardups",
+        Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
+      Similarity.cosineTopKExcluding(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        emb, "qid", "vec_id", "qv", "embedding", 3, pairs)
+    },
+
     // Brute-force exact cosine top-k (broadcast query set).
     Q("s_cosine_topk",
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8), " +

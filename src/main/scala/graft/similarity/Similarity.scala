@@ -178,6 +178,30 @@ object Similarity {
     topKWindow(scored, k)
   }
 
+  /** Hard-negative mining: exact cosine top-k with an EXCLUSION pair
+    * set — the contrastive-training shape "nearest neighbors that are
+    * NOT near-duplicates" (a near-dup ranked as a negative poisons the
+    * loss; dropping it AFTER top-k under-fills the k, so the anti-join
+    * runs on the scored pairs BEFORE ranking). `exclude` is an
+    * undirected pair list with `id1` < `id2` (the near-dup detectors'
+    * canonical form); the anti-join keys on the sorted pair, one keyed
+    * shuffle over the scored pairs. */
+  def cosineTopKExcluding(queries: DataFrame, corpus: DataFrame, qId: String,
+                          cId: String, qVec: String, cVec: String, k: Int,
+                          exclude: DataFrame): DataFrame = {
+    val q = queries.withColumn("_qn", l2norm(col(qVec))).filter(col("_qn") > 0)
+    val c = corpus.withColumn("_cn", l2norm(col(cVec))).filter(col("_cn") > 0)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
+        round(dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn")), 4).as("cosine"))
+    val kept = scored.join(exclude.select(col("id1"), col("id2")),
+      least(col("query_id"), col("neighbor_id")) === col("id1") &&
+        greatest(col("query_id"), col("neighbor_id")) === col("id2"),
+      "left_anti")
+    topKWindow(kept, k)
+  }
+
   /** Deterministic pseudo-random hyperplane data (seeded). */
   private[graft] def planeData(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

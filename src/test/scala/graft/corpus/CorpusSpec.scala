@@ -68,6 +68,20 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq(Seq(2L, 1L), Seq(3L, 2L)))
   }
 
+  test("cosineTopKExcluding refills the k from below the excluded near-dup") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("id", "v")
+    val q = corpus.filter($"id" === 1).select($"id".as("qid"), $"v".as("qv"))
+    // (1,2) is a near-dup pair: neighbor 2 must vanish and 3 takes
+    // rank 1, 4 fills rank 2 — NOT a 1-row result (the filter-after-
+    // top-k bug this operator exists to avoid).
+    val excl = Seq((1L, 2L)).toDF("id1", "id2")
+    val got = rows(Similarity.cosineTopKExcluding(q, corpus, "qid", "id", "qv", "v", 2, excl)
+      .select("neighbor_id", "rank"))
+    assert(got == Seq(Seq(3L, 1L), Seq(4L, 2L)))
+  }
+
   test("hyperplaneBucket raises on dimension mismatch instead of bucket-collapse") {
     val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
     val ex = intercept[Exception] {
