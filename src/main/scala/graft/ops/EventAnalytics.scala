@@ -35,7 +35,7 @@ object EventAnalytics {
     * column-pruned and type-pushed); for unusually deep funnels persist
     * the reach frames via [[graft.ops.CacheOnce]] at the call site. */
   def funnel(events: DataFrame, entity: String, tsCol: String, typeCol: String,
-             stages: Seq[String]): DataFrame = {
+             stages: Seq[String], windowHours: Option[Int] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     // Stage-0 reach: first event of the entry type per entity. `_t0`
     // rides along every later frame for the hours-from-entry metric.
@@ -43,12 +43,17 @@ object EventAnalytics {
       .groupBy(col(entity)).agg(min(col(tsCol)).as("_t"))
       .withColumn("_t0", col("_t"))
     // Each later reach: same-key join against the previous reach, keep
-    // events at-or-after the previous arrival, min per entity. min(_t0)
-    // is constant per entity — it just carries the column through.
+    // events at-or-after the previous arrival (and, with a conversion
+    // window, within `windowHours` of FUNNEL ENTRY — the product
+    // convention: the deadline anchors at t0, not the previous stage),
+    // min per entity. min(_t0) is constant per entity — it just
+    // carries the column through.
     val reaches = stages.tail.scanLeft(first) { (prev, st) =>
+      val inWindow = windowHours.fold(lit(true))(h =>
+        unix_micros(col(tsCol)) - unix_micros(col("_t0")) <= h * 3600000000L)
       events.filter(col(typeCol) === st)
         .join(prev.select(col(entity), col("_t").as("_tp"), col("_t0")), Seq(entity))
-        .filter(col(tsCol) >= col("_tp"))
+        .filter(col(tsCol) >= col("_tp") && inWindow)
         .groupBy(col(entity))
         .agg(min(col(tsCol)).as("_t"), min(col("_t0")).as("_t0"))
     }
@@ -69,6 +74,43 @@ object EventAnalytics {
     * same key, so AQE plans the join exchange-free. `dayCol` is the
     * caller's local-date expression (time zone policy stays at the
     * call site, as with [[ColumnOps.toLocalDate]]). */
+  /** Top-k session paths ("path analysis"): gaps-and-islands sessions
+    * per entity, each session rendered as its ordered event-type string
+    * (deterministic: events sorted by (ts, id) INSIDE the aggregate via
+    * sort_array over structs — collect_list alone is partition-order
+    * nondeterministic), then a path tally with a total-order top-k.
+    * Two keyed shuffles (entity window → path tally) plus the k-row
+    * ranking window over the aggregated path counts — path cardinality,
+    * not event cardinality. */
+  def sessionPaths(events: DataFrame, entity: String, tsCol: String, idCol: String,
+                   typeCol: String, gapMinutes: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(tsCol), col(idCol))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sessioned = events
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("_prev")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("_sno",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sessioned.groupBy(col(entity), col("_sno"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(
+            col(tsCol).as("t"), col(idCol).as("i"), col(typeCol).as("y")))),
+          x => x.getField("y")),
+        ">").as("path"))
+    val tallied = paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    // Top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heads merged on the driver — distributed top-k, NOT a global
+    // window over the whole path tally); the ranking window then runs
+    // over at most k rows.
+    val top = tallied.orderBy(desc("n_sessions"), col("path")).limit(k)
+    val rw = Window.orderBy(desc("n_sessions"), col("path"))
+    top.withColumn("rank", row_number().over(rw).cast("long"))
+  }
+
   def cohortRetention(events: DataFrame, entity: String, dayCol: Column): DataFrame = {
     val days = events.select(col(entity), dayCol.as("_day")).distinct()
     val cohorts = days.groupBy(col(entity)).agg(min(col("_day")).as("cohort_date"))

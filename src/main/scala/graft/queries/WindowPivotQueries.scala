@@ -220,6 +220,52 @@ UNION ALL SELECT 'purchase', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
         "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
     },
 
+    // Funnel with a conversion WINDOW (the product convention: later
+    // stages must land within 12h of FUNNEL ENTRY, anchored at t0 —
+    // unbounded funnels overstate conversion on long-lived entities).
+    Q("w_funnel_windowed",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
+s1e AS (SELECT user_id, t, t AS t0 FROM s1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t, min(p.t0) AS t0 FROM events e
+  JOIN s1e p ON p.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= p.t
+    AND epoch_us(e.ts) - epoch_us(p.t0) <= 43200000000 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t, min(p.t0) AS t0 FROM events e
+  JOIN s2 p ON p.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= p.t
+    AND epoch_us(e.ts) - epoch_us(p.t0) <= 43200000000 GROUP BY 1)
+SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_no, CAST(count(*) AS BIGINT) AS n_users,
+  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) AS avg_hours FROM s1e
+UNION ALL SELECT 'click', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) FROM s2
+UNION ALL SELECT 'purchase', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+  round(avg(epoch_us(t) - epoch_us(t0)) / 3600000000.0, 4) FROM s3""") { (s, d) =>
+      graft.ops.EventAnalytics.funnel(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"),
+        windowHours = Some(12))
+    },
+
+    // Top-10 session paths ("path analysis"): 30-min gaps-and-islands
+    // sessions rendered as ordered event-type strings (deterministic —
+    // sorted INSIDE the aggregate, never bare collect_list), tallied,
+    // top-k via distributed TakeOrdered, ranked over the k rows only.
+    Q("w_paths",
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+f AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+  THEN 1 ELSE 0 END AS nw FROM o),
+s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  ROWS UNBOUNDED PRECEDING) AS sno FROM f),
+p AS (SELECT user_id, sno, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY 1, 2),
+t AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1)
+SELECT path, n_sessions,
+  CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+FROM t QUALIFY row_number() OVER (ORDER BY n_sessions DESC, path) <= 10""") { (s, d) =>
+      graft.ops.EventAnalytics.sessionPaths(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", gapMinutes = 30, k = 10)
+    },
+
     // Cohort retention: users cohorted by first active Perth-local day,
     // activity as distinct (user, day) pairs per day-offset. The
     // distinct, the cohort min and the join all shuffle on user_id.

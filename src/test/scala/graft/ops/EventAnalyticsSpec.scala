@@ -53,6 +53,37 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(1)(3) == null) // mean hours over nobody is null, not 0
   }
 
+  test("funnel window anchors at FUNNEL ENTRY, not the previous stage") {
+    // click at +2h (inside any window), purchase at +11h — inside an
+    // 11h-from-click span but OUTSIDE the 10h-from-entry window.
+    val d = Seq((1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 02:00:00")),
+      (1L, "purchase", ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = rows(EventAnalytics.funnel(d, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"), windowHours = Some(10)).orderBy("stage_no"))
+      .map(r => (r(0), r(2)))
+    assert(got == Seq(("signup", 1L), ("click", 1L), ("purchase", 0L)))
+    // an event exactly AT the deadline still counts (<=)
+    val at = rows(EventAnalytics.funnel(d, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"), windowHours = Some(11)).orderBy("stage_no"))
+    assert(at(2)(2) == 1L)
+  }
+
+  test("sessionPaths: deterministic in-session order, gap split, top-k ties by path") {
+    val d = Seq(
+      (1L, 1L, "a", "2024-01-01 00:00:00"), (1L, 2L, "b", "2024-01-01 00:10:00"),
+      (1L, 3L, "a", "2024-01-01 05:00:00"), (1L, 4L, "b", "2024-01-01 05:10:00"),
+      (2L, 5L, "a", "2024-01-01 00:00:00"), (2L, 6L, "b", "2024-01-01 00:20:00"),
+      (3L, 7L, "c", "2024-01-01 00:00:00"))
+      .map { case (u, i, t, at) => (u, i, t, ts(at)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = rows(EventAnalytics.sessionPaths(d, "user_id", "ts", "event_id",
+      "event_type", gapMinutes = 30, k = 10).orderBy("rank"))
+    // "a>b" occurs in 3 sessions (u1 twice across the 5h gap, u2 once)
+    assert(got == Seq(Seq("a>b", 3L, 1L), Seq("c", 1L, 2L)))
+  }
+
   test("cohortRetention: cohort = first active day; offsets per distinct day") {
     val d = Seq(
       (1L, "2024-01-01 05:00:00"), (1L, "2024-01-01 09:00:00"), // same day: one pair
