@@ -67,13 +67,6 @@ object EventAnalytics {
     }.reduce(_.union(_))
   }
 
-  /** Cohort retention matrix: entities cohorted by their first active
-    * day, activity counted as distinct (entity, day) pairs at each
-    * day-offset from the cohort day. Two keyed aggregates plus one
-    * same-key join — the distinct and the cohort min shuffle on the
-    * same key, so AQE plans the join exchange-free. `dayCol` is the
-    * caller's local-date expression (time zone policy stays at the
-    * call site, as with [[ColumnOps.toLocalDate]]). */
   /** Top-k session paths ("path analysis"): gaps-and-islands sessions
     * per entity, each session rendered as its ordered event-type string
     * (deterministic: events sorted by (ts, id) INSIDE the aggregate via
@@ -111,6 +104,13 @@ object EventAnalytics {
     top.withColumn("rank", row_number().over(rw).cast("long"))
   }
 
+  /** Cohort retention matrix: entities cohorted by their first active
+    * day, activity counted as distinct (entity, day) pairs at each
+    * day-offset from the cohort day. Two keyed aggregates plus one
+    * same-key join — the distinct and the cohort min shuffle on the
+    * same key, so AQE plans the join exchange-free. `dayCol` is the
+    * caller's local-date expression (time zone policy stays at the
+    * call site, as with [[ColumnOps.toLocalDate]]). */
   def cohortRetention(events: DataFrame, entity: String, dayCol: Column): DataFrame = {
     val days = events.select(col(entity), dayCol.as("_day")).distinct()
     val cohorts = days.groupBy(col(entity)).agg(min(col("_day")).as("cohort_date"))

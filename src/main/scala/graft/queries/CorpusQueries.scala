@@ -993,11 +993,16 @@ FROM jb GROUP BY 1""") { (s, d) =>
     // template hubs (docs near-dup to many others) rank above isolated
     // pairs. Three fixed supersteps of the damped recurrence, each one
     // same-key join + one keyed aggregate; the oracle unrolls the same
-    // three passes, with the teleport constant written as (1.0 - 0.85)
-    // on both sides so the engines share bit-identical doubles.
+    // three passes, with the teleport constant computed as a DOUBLE
+    // subtraction on both sides: DuckDB's bare (1.0 - 0.85) is DECIMAL
+    // arithmetic (exactly 0.15, whose nearest double is
+    // 0.1499999999999999944) while Scala's 1.0 - 0.85 is IEEE double
+    // subtraction (0.15000000000000002) — the explicit DOUBLE casts
+    // make the oracle perform the same IEEE subtraction, so the
+    // engines really do share bit-identical constants.
     Q("pg_pagerank", {
       def step(prev: String, next: String) =
-        s"""$next AS (SELECT e.dst AS id, (1.0 - 0.85) / (SELECT n FROM nn) +
+        s"""$next AS (SELECT e.dst AS id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn) +
   0.85 * sum(p.r / d.dg) AS r FROM ed e JOIN $prev p ON p.id = e.src
   JOIN deg d ON d.src = e.src GROUP BY 1)"""
       s"""WITH ${minhashMd5Ctes("documents", 0.5)},
@@ -1898,13 +1903,19 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
       prepareDedupState(s, d); prepareLshState(s, d); prepareCentroidState(s, d)
       val docs = Tables.documents(s, d)
       val inc = docs.filter(col("doc_id") % 3 === 2)
-      val exactAcc = Dedup.incrementalDedup(inc, s.table(dedupStateTable(d)),
-        "doc_id", "text").select(col("doc_id"))
-      val ndVerdicts = Dedup.incrementalNearDups(
-        inc.join(exactAcc, Seq("doc_id"), "left_semi"),
-        docs.filter(col("doc_id") % 3 =!= 2), s.table(lshStateTable(d)),
-        "doc_id", "text", numHashes = 32, rowsPerBand = 4, shingleN = 2,
-        threshold = 0.5, bandBucketCap = Some(lshBandBucketCap))
+      // Both stage outputs feed TWO consumers each (the next stage and
+      // the final verdict join) — CacheOnce'd so one action evaluates
+      // the digest gate and the LSH probe chain once, not two/three
+      // times (the same multi-consumer recompute pageRank had).
+      val exactAcc = graft.ops.CacheOnce.swap("pipe-incr-exact-acc",
+        Dedup.incrementalDedup(inc, s.table(dedupStateTable(d)),
+          "doc_id", "text").select(col("doc_id")))
+      val ndVerdicts = graft.ops.CacheOnce.swap("pipe-incr-nd-verdicts",
+        Dedup.incrementalNearDups(
+          inc.join(exactAcc, Seq("doc_id"), "left_semi"),
+          docs.filter(col("doc_id") % 3 =!= 2), s.table(lshStateTable(d)),
+          "doc_id", "text", numHashes = 32, rowsPerBand = 4, shingleN = 2,
+          threshold = 0.5, bandBucketCap = Some(lshBandBucketCap)))
       val ndAcc = ndVerdicts.filter(col("accepted")).select(col("doc_id"))
       val cents = s.read.parquet(centroidStatePath(s, d))
       val cn = cents.select(col("vec_id").as("cell"), col("embedding").as("cv"),

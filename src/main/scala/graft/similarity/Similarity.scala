@@ -160,23 +160,29 @@ object Similarity {
     * corpus pass, per-query window. Ties broken by corpus id for
     * determinism. Zero-norm rows are excluded on both sides (see the
     * class note on NaN cosine). */
-  def cosineTopK(queries: DataFrame, corpus: DataFrame, qId: String,
-                 cId: String, qVec: String, cVec: String, k: Int): DataFrame = {
-    // Norms are computed once per vector BEFORE the pair join (narrow
-    // projections), so per-pair work is a single codegen'd dot — not
-    // three. Same IEEE operations in the same order, just hoisted.
+  /** Shared scoring prologue of the exact-cosine family: norms are
+    * computed once per vector BEFORE the pair join (narrow
+    * projections), so per-pair work is a single codegen'd dot — not
+    * three; same IEEE operations in the same order, just hoisted. The
+    * vectors are projected away BEFORE any downstream shuffle: the
+    * top-k sort exchanges by query id, and carrying two 64-float
+    * arrays per scored pair is ~5x the bytes of the three columns the
+    * result needs. ONE implementation — the rounding and operation
+    * order here are what make s_cosine_topk and s_hard_negatives rank
+    * identically. */
+  private def scoredCosinePairs(queries: DataFrame, corpus: DataFrame, qId: String,
+                                cId: String, qVec: String, cVec: String): DataFrame = {
     val q = queries.withColumn("_qn", l2norm(col(qVec))).filter(col("_qn") > 0)
     val c = corpus.withColumn("_cn", l2norm(col(cVec))).filter(col("_cn") > 0)
-    // Project the vectors away BEFORE the per-query window: the top-k
-    // sort shuffles by query id, and carrying two 64-float arrays per
-    // scored pair through that exchange is ~5x the bytes of the three
-    // columns the result needs.
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId))
       .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
         round(dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn")), 4).as("cosine"))
-    topKWindow(scored, k)
   }
+
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+                 cId: String, qVec: String, cVec: String, k: Int): DataFrame =
+    topKWindow(scoredCosinePairs(queries, corpus, qId, cId, qVec, cVec), k)
 
   /** Hard-negative mining: exact cosine top-k with an EXCLUSION pair
     * set — the contrastive-training shape "nearest neighbors that are
@@ -189,12 +195,7 @@ object Similarity {
   def cosineTopKExcluding(queries: DataFrame, corpus: DataFrame, qId: String,
                           cId: String, qVec: String, cVec: String, k: Int,
                           exclude: DataFrame): DataFrame = {
-    val q = queries.withColumn("_qn", l2norm(col(qVec))).filter(col("_qn") > 0)
-    val c = corpus.withColumn("_cn", l2norm(col(cVec))).filter(col("_cn") > 0)
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col(qId) =!= col(cId))
-      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
-        round(dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn")), 4).as("cosine"))
+    val scored = scoredCosinePairs(queries, corpus, qId, cId, qVec, cVec)
     val kept = scored.join(exclude.select(col("id1"), col("id2")),
       least(col("query_id"), col("neighbor_id")) === col("id1") &&
         greatest(col("query_id"), col("neighbor_id")) === col("id2"),

@@ -95,6 +95,11 @@ object FunnelStream {
 
     events
       .withWatermark("ts", s"$watermarkMin minutes")
+      // Stage-type filter BELOW the watermark node but BEFORE the
+      // shuffle: irrelevant types (and the flush sentinel) never ride
+      // the groupBy exchange or touch state, yet still advance the
+      // watermark — EventTimeWatermarkExec sits upstream of the filter.
+      .filter(e => stageIdx.contains(e.event_type))
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
@@ -115,8 +120,11 @@ object FunnelStream {
     // advance it far enough to fire the flush timeouts.
     val watermarkMin = 60 * 24 * 40 // 40 days > the 30-day events span
     val flushSlackMin = 60
+    // The sentinel timestamp is a function of watermarkMin/flushSlackMin,
+    // so both knobs belong in the staging fingerprint — retuning them
+    // must re-stage, not silently replay a stale sentinel.
     val (tag, fp) = LateArrivals.eventsTag("funnel", sfDir,
-      s"${stages.mkString("|")}:2split:v1")
+      s"${stages.mkString("|")}:wm$watermarkMin:slack$flushSlackMin:2split:v1")
     val staged = LateArrivals.stageBatchesCached(tag, fp, {
       val ev = graft.Tables.events(spark, sfDir)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
