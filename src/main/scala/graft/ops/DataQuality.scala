@@ -49,6 +49,29 @@ object DataQuality {
         (col("c.violations") === 0).as("pass"))
   }
 
+  /** Column profile (the warehouse ANALYZE report): one row per column
+    * with row count, null count and EXACT distinct cardinality, all
+    * from a single aggregate statement — Spark plans the multi-distinct
+    * via Expand (one input row per profiled column), so the pass costs
+    * |cols| × scan, never |cols| separate jobs. Exact (not HLL) so an
+    * ANSI oracle matches bit-for-bit; swap countDistinct for
+    * approx_count_distinct at the 100 TB profile if ±2% is acceptable. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"_nn_$i"), countDistinct(col(c)).as(s"_nd_$i"))
+    } :+ count(lit(1)).as("_n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"),
+        (col("_n") - col(s"_nn_$i")).cast("long").as("n_nulls"),
+        col(s"_nd_$i").cast("long").as("n_distinct"))
+    }
+    one.select(explode(array(pairs: _*)).as("p"), col("_n"))
+      .select(col("p.col_name").as("col_name"), col("_n").cast("long").as("n_rows"),
+        col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"))
+  }
+
   /** Robust time-series anomaly gate over a per-(group, bucket) metric:
     * a bucket is anomalous when its value deviates from the group
     * median by more than `k` median-absolute-deviations — the

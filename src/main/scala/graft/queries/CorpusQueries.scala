@@ -1287,6 +1287,21 @@ FROM j WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new""") { (s, d) =>
     // the 4-point gate grid (round(q*3)), per-bucket counts both sides,
     // and the increment's share shift per bucket. A crawl whose
     // low-quality share spikes fails the gate before ingest.
+    // Column profile of the documents table (the ANALYZE report): row
+    // count, nulls and EXACT distinct cardinality per column, one
+    // aggregate pass (Expand-planned multi-distinct).
+    Q("dq_profile", {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM documents")
+        .mkString(" UNION ALL ")
+    }) { (s, d) =>
+      graft.ops.DataQuality.profile(Tables.documents(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    },
+
     // MAD-based volume-anomaly gate over daily per-type event tallies:
     // a (type, day) bucket is anomalous when its count deviates from
     // the type's median by > 3 median-absolute-deviations — the

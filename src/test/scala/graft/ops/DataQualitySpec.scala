@@ -42,6 +42,16 @@ class DataQualitySpec extends SparkSpec {
     assert(got == Seq(Seq(hostile, 1L, 2L, false)))
   }
 
+  test("profile: nulls and exact distincts per column from one pass") {
+    val d = df("a BIGINT, b STRING")(Seq(
+      Row(1L, "x"), Row(1L, "y"), Row(null.asInstanceOf[java.lang.Long], "x"),
+      Row(3L, null.asInstanceOf[String])))
+    val got = rows(DataQuality.profile(d, Seq("a", "b")).orderBy("col_name"))
+    assert(got == Seq(
+      Seq("a", 4L, 1L, 2L),  // distinct over non-null values only
+      Seq("b", 4L, 1L, 2L)))
+  }
+
   test("madAnomalies: only the spike crosses k MADs; the median is not dragged") {
     // g1 counts: 10,10,11,12,100 -> median 11, devs 1,1,0,1,89 -> MAD 1.
     // Only the 100 exceeds 3 MADs. A mean±3σ gate would sit near
