@@ -203,5 +203,6 @@ object SparkEntry {
     CorpusQueries.prepareLshState(spark, sfDir)
     CorpusQueries.prepareCentroidState(spark, sfDir)
     CorpusQueries.prepareClusterState(spark, sfDir)
+    CorpusQueries.prepareTallyState(spark, sfDir)
   }
 }

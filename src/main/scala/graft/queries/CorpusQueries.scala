@@ -2072,6 +2072,27 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1""") { (s, d) =>
       Dedup.incrementalClusters(state, incPairs)
     },
 
+    // Incremental view maintenance for AGGREGATES — the family's last
+    // member (exact digests, LSH bands, centroids, clusters, now
+    // partial aggregates): day-1 daily tallies persist as state; each
+    // increment tallies ONLY ITSELF and merges by a keyed re-aggregate
+    // over state groups + increment groups — O(groups + increment),
+    // the raw day-1 events are never rescanned. The oracle is the full
+    // recompute over ALL events: merge-of-partials == full is the IVM
+    // invariant (count's commutative-monoid property), checked by hash.
+    Q("ivm_daily_tally",
+      "SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2") { (s, d) =>
+      prepareTallyState(s, d)
+      val state = s.read.parquet(tallyStatePath(s, d))
+      val incr = Tables.events(s, d).filter(col("event_id") % 3 === 2)
+        .groupBy(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+          .as("obs_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      state.union(incr).groupBy(col("obs_date"), col("event_type"))
+        .agg(sum(col("n")).as("n"))
+    },
+
     // TF-IDF top-3 terms per doc: tf = in-doc count, idf = ln(N/df),
     // rank on the rounded weight with term tiebreak (deterministic in
     // both engines).
@@ -2227,6 +2248,24 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
       centroidStatePath(s, d), "vec_id", numFiles = 1,
       srcFingerprint = graft.ops.ScaleOps.fileFingerprint(
         s"$d/embeddings.parquet"))
+
+  /** ivm_daily_tally's persisted partial-aggregate state (day-1 daily
+    * tallies), fingerprint-keyed like the other state tables. */
+  private[queries] def tallyStatePath(s: org.apache.spark.sql.SparkSession,
+                                      d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_ivm_tally_$tag").toString
+  }
+
+  def prepareTallyState(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.ops.ScaleOps.ensureSortedBy(
+      Tables.events(s, d).filter(col("event_id") % 3 =!= 2)
+        .groupBy(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+          .as("obs_date"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      tallyStatePath(s, d), "obs_date", numFiles = 1,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/events.parquet"))
 
   /** dd_incremental_neardup's persisted LSH band-bucket state table. */
   private[graft] def lshStateTable(sfDir: String): String =
