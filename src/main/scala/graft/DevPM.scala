@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scratchpad — phase-timing harness for whatever operator is under
+  * the knife this round; rewritten freely, never part of the library
+  * surface. Currently: the incremental-clusters pair feed. */
 object DevPM {
   def t[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
@@ -8,20 +13,17 @@ object DevPM {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    val docs = Tables.documents(spark, d)
-    val emb = graft.text.CorpusStats.hashedBowEmbedding(docs, "doc_id", "text", 32)
-    t("emb.count cold")(println(emb.count()))
-    t("emb.count warm")(println(emb.count()))
-    import org.apache.spark.sql.functions._
-    val cached = graft.ops.CacheOnce.swap("bow", emb)
-    t("persist materialize")(println(cached.count()))
-    val ivf = graft.similarity.Similarity.ivfTopK(cached, "doc_id", "embedding", 3,
-      numCells = 32, nprobe = 4, queryPred = Some(col("doc_id") < 200))
-    t("ivf on cached")(println(ivf.count()))
-    t("ivf on cached again")(println(ivf.count()))
+    import graft.queries.CorpusQueries.{prepareClusterState, prepareLshState}
+    t("prep cluster state")(prepareClusterState(spark, d))
+    t("prep lsh state")(prepareLshState(spark, d))
+    (1 to 2).foreach { rep =>
+      val fn = SparkEntry.queries("dd_incremental_clusters")
+      t(s"rep $rep dd_incremental_clusters")(println(fn(spark, d).count()))
+    }
     spark.stop()
   }
 }

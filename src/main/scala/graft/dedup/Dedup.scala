@@ -405,9 +405,15 @@ object Dedup {
                           shingleN: Int = 3, threshold: Double = 0.8,
                           bandBucketCap: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val incSets = incDocs.select(col(idCol),
-      explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
-    val incBands = bandKeys(incSets, idCol, numHashes, rowsPerBand)
+    // Shared-key CacheOnce with [[incrementalNearDupPairs]]: the same
+    // increment over the same corpus sketches ONCE per session no matter
+    // which incremental-family query runs first (the verdict query, the
+    // cluster-maintenance pair feed, or both in one bench pass).
+    val incSets = graft.ops.CacheOnce.swap("incr-inc-shingles",
+      incDocs.select(col(idCol),
+        explode(distinctShingles(col(textCol), shingleN)).as("shingle")))
+    val incBands = graft.ops.CacheOnce.swap("incr-inc-bands",
+        bandKeys(incSets, idCol, numHashes, rowsPerBand))
       .withColumnRenamed(idCol, "id2")
     // Collision-budget cap (the ANN bucketCap analogue): a state band
     // bucket holding more than `cap` docs is degenerate — boilerplate
@@ -422,7 +428,11 @@ object Dedup {
       stateBands.withColumn("_bsz", count(lit(1)).over(w))
         .filter(col("_bsz") <= cap).drop("_bsz")
     }
-    val cands = cappedState.select(col(idCol).as("id1"), col("band_key"))
+    // merge-hinted probe: the bucketed state side stays exchange-free
+    // without having to disable broadcast session-wide (which would
+    // also force the small downstream verify joins onto SMJ shuffles).
+    val cands = cappedState.hint("merge")
+      .select(col(idCol).as("id1"), col("band_key"))
       .join(incBands, Seq("band_key"))
       .select("id1", "id2").distinct()
     val stateSets = stateDocs
@@ -438,6 +448,79 @@ object Dedup {
       .join(best, Seq(idCol), "left")
       .select(col(idCol), col("best_state_id").isNull.as("accepted"),
         col("best_state_id"), col("best_jaccard"))
+  }
+
+  /** Verified near-dup PAIRS touching an increment, fed from the SAME
+    * persisted LSH band state [[incrementalNearDups]] probes — the
+    * increment-bounded pair generator for incremental cluster
+    * maintenance ([[incrementalClusters]] needs edges, not per-doc
+    * verdicts). Two increment-bounded legs, both bucket-keyed:
+    *
+    *  - increment-vs-STATE: the increment sketches only itself and
+    *    probes the persisted band buckets by `band_key` (the state side
+    *    rides its bucketing — no exchange); state shingle sets are
+    *    recomputed only for docs that actually collided (left-semi on
+    *    candidate ids prunes the corpus text rescan to true suspects).
+    *  - increment-vs-INCREMENT: a band-bucket SELF-join of the
+    *    increment's own band keys (id1 < id2) — new docs can duplicate
+    *    each other before any of them reaches the state.
+    *
+    * Exact Jaccard verifies both legs at `threshold`, so the union is
+    * row-identical (modulo orientation) to a full-corpus
+    * [[minhashNearDupsMd5]] restricted to pairs with at least one
+    * increment endpoint — but the work is O(increment + collisions),
+    * never O(corpus): nothing outside the increment is ever sketched,
+    * and state text is read only for collided docs. Leave
+    * `bandBucketCap` None when downstream must reproduce an UNCAPPED
+    * full-corpus oracle (the incremental-clusters contract); set it
+    * when probe fan-out must stay bounded at any duplication density.
+    * Returns (id1, id2, jaccard); cross pairs carry the state doc as
+    * id1 and the increment doc as id2. */
+  def incrementalNearDupPairs(incDocs: DataFrame, stateDocs: DataFrame,
+                              stateBands: DataFrame, idCol: String,
+                              textCol: String, numHashes: Int = 32,
+                              rowsPerBand: Int = 4, shingleN: Int = 3,
+                              threshold: Double = 0.8,
+                              bandBucketCap: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The increment's shingle set feeds the band keys AND three verify
+    // legs (cross setsB, self setsA/setsB + sizes); the band keys feed
+    // the state probe AND both sides of the self-join — both are
+    // multi-consumer, so both are CacheOnce'd (computed once,
+    // increment-sized), under the SAME keys as [[incrementalNearDups]]
+    // so the two incremental-family queries share one sketch per
+    // session.
+    val incSets = graft.ops.CacheOnce.swap("incr-inc-shingles",
+      incDocs.select(col(idCol),
+        explode(distinctShingles(col(textCol), shingleN)).as("shingle")))
+    val incBands = graft.ops.CacheOnce.swap("incr-inc-bands",
+      bandKeys(incSets, idCol, numHashes, rowsPerBand))
+    val cappedState = bandBucketCap.fold(stateBands) { cap =>
+      val w = Window.partitionBy("band_key")
+      stateBands.withColumn("_bsz", count(lit(1)).over(w))
+        .filter(col("_bsz") <= cap).drop("_bsz")
+    }
+    // The probe join is pinned to sort-merge so the bucketed state side
+    // enters it riding its bucketing (exchange-free) even when the
+    // session would otherwise broadcast the increment bands — while the
+    // small downstream verify joins stay free to broadcast (forcing SMJ
+    // session-wide costs ~40% of the whole feed in needless shuffles).
+    val crossCands = cappedState.hint("merge")
+      .select(col(idCol).as("id1"), col("band_key"))
+      .join(incBands.select(col(idCol).as("id2"), col("band_key")), Seq("band_key"))
+      .select("id1", "id2").distinct()
+    val stateSets = stateDocs
+      .join(crossCands.select(col("id1").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
+    val crossVerified = verifyJaccardCross(crossCands, stateSets, incSets,
+      idCol, threshold)
+    val selfCands = incBands.select(col(idCol).as("id1"), col("band_key"))
+      .join(incBands.select(col(idCol).as("id2"), col("band_key")), Seq("band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val selfVerified = verifyJaccard(selfCands, incSets, idCol, threshold)
+    crossVerified.unionByName(selfVerified)
   }
 
   /** Density-capped contamination report. The full pair report's output

@@ -195,6 +195,22 @@ object ScaleOps {
     }
   }
 
+  /** [[ensureSortedBy]] with the frame taken BY NAME — for producers
+    * that EXECUTE on construction (driver-looped operators like
+    * connectedComponents or k-means run their whole loop when CALLED,
+    * not when the result is acted on), so a FRESH layout costs one
+    * marker read instead of a full recompute of state that would be
+    * thrown away unread. */
+  def ensureSortedByLazy(spark: SparkSession, path: String, key: String,
+                         numFiles: Int, srcFingerprint: String = "")
+                        (df: => DataFrame): Unit =
+    if (!layoutFresh(spark, path, srcFingerprint)) {
+      df.repartitionByRange(numFiles, col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite").parquet(path)
+      writeMarker(spark, path, srcFingerprint)
+    }
+
   /** Row-group [min, max] statistics of an INT64 column across every
     * part file under `path`, straight from the parquet footers — the
     * metadata a range predicate prunes against. Driver-side metadata

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.joins.BaseJoinExec
+
+/** Executed-plan shape assertions for the registered queries whose SCALE
+  * claim is a layout property ("the persisted state is probed
+  * exchange-free", "nothing sketches the full corpus") — REQUIREd from
+  * the EXECUTED plan, not from comments, so a regression in the physical
+  * strategy fails the correctness gate instead of silently reintroducing
+  * a shuffle. Pure read-only traversal helpers; no Catalyst mutation. */
+object PlanChecks {
+
+  /** Children, descending THROUGH the indirections a plain `.children`
+    * walk stops at: cached relations (InMemoryTableScan → the cached
+    * plan — a CacheOnce'd stage hides its producing plan there), reused
+    * exchanges, and AQE wrappers. Without this, a layout REQUIRE goes
+    * vacuously green the moment the stage under test is cached. */
+  def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case im: InMemoryTableScanExec => Seq(im.relation.cachedPlan)
+    case r: ReusedExchangeExec     => Seq(r.child)
+    case a: AdaptiveSparkPlanExec  => Seq(a.executedPlan)
+    case q: QueryStageExec         => Seq(q.plan)
+    case other                     => other.children
+  }
+
+  /** Every root→target path (inclusive at both ends) to a node matching
+    * `isTarget`, via [[kids]]. */
+  def pathsTo(p: SparkPlan)(isTarget: SparkPlan => Boolean): Seq[List[SparkPlan]] =
+    if (isTarget(p)) Seq(List(p))
+    else kids(p).flatMap(c => pathsTo(c)(isTarget).map(p :: _))
+
+  /** All file scans whose relation root path mentions `pathFragment`,
+    * with their root→scan paths. */
+  def fileScanPaths(plan: SparkPlan,
+                    pathFragment: String): Seq[(FileSourceScanExec, List[SparkPlan])] =
+    pathsTo(plan) {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",").contains(pathFragment)
+      case _ => false
+    }.map(path => (path.last.asInstanceOf[FileSourceScanExec], path))
+
+  /** True when the scan or a Filter on its path carries a predicate whose
+    * string rendering contains `fragment` (e.g. the increment split's
+    * `% 3`) — the "this scan is NOT the unfiltered corpus" witness. */
+  def pathHasPredicate(scan: FileSourceScanExec, path: List[SparkPlan],
+                       fragment: String): Boolean =
+    scan.dataFilters.exists(_.toString.contains(fragment)) ||
+      path.exists {
+        case f: FilterExec => f.condition.toString.contains(fragment)
+        case _             => false
+      }
+
+  /** True when a left-semi join sits on the path above the scan — the
+    * collision-pruning witness for a state-side text rescan. */
+  def pathHasLeftSemi(path: List[SparkPlan]): Boolean =
+    path.exists {
+      case j: BaseJoinExec => j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _               => false
+    }
+
+  /** REQUIREs that a bucketed file scan exists in `plan` and that NO
+    * shuffle exchange sits between the join consuming it and the scan —
+    * i.e. the persisted state enters its probe join riding its
+    * bucketing. Downstream stages above that join may shuffle
+    * legitimately; the claim is only about the state side's path. */
+  def requireExchangeFreeBucketedProbe(plan: SparkPlan, what: String): Unit = {
+    val path = pathsTo(plan) {
+      case f: FileSourceScanExec => f.relation.bucketSpec.isDefined && f.bucketedScan
+      case _                     => false
+    }.headOption.getOrElse(throw new IllegalStateException(
+      s"$what did not plan a bucketed scan — the persisted bucket layout regressed"))
+    val joinIdx = path.lastIndexWhere(_.isInstanceOf[BaseJoinExec])
+    require(joinIdx >= 0, s"no join consumes the bucketed $what scan")
+    require(!path.drop(joinIdx + 1).exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"Exchange between the probe join and the bucketed $what scan — " +
+        "the state side re-shuffled despite its bucketing")
+  }
+}

@@ -311,6 +311,45 @@ class CorpusStatsSpec extends SparkSpec {
     assert(run(4) == Map(101L -> true))
   }
 
+  test("incrementalNearDupPairs == full-corpus near-dups restricted to increment-touching") {
+    import graft.dedup.Dedup
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    // state: 1≈2 (state-state pair, must NOT appear), 3 unrelated;
+    // increment: 101≈base (cross pairs to 1 and 2), 102≈103 (a pure
+    // increment-increment pair the state probe alone would miss),
+    // 104 novel.
+    val state = df("doc_id bigint, text string")(Seq(
+      Row(1L, base), Row(2L, base + " tail"), Row(3L, other)))
+    val inc = df("doc_id bigint, text string")(Seq(
+      Row(101L, base + " x"),
+      Row(102L, other.replace("z1 ", "z1 extra ")),
+      Row(103L, other.replace("z1 ", "z1 extra more ")),
+      Row(104L, (1 to 30).map(i => s"q$i").mkString(" "))))
+    val stateBands = Dedup.bandKeys(
+      state.select(col("doc_id"),
+        explode(Dedup.distinctShingles(col("text"), 2)).as("shingle")),
+      "doc_id", 32, 4)
+    val mine = Dedup.incrementalNearDupPairs(inc, state, stateBands,
+        "doc_id", "text", numHashes = 32, rowsPerBand = 4, shingleN = 2,
+        threshold = 0.5)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                 math.max(r.getLong(0), r.getLong(1)))).toSet
+    val full = Dedup.minhashNearDupsMd5(state.unionByName(inc), "doc_id", "text",
+        numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullTouching = full.filter { case (a, b) => a >= 100L || b >= 100L }
+    assert(mine == fullTouching,
+      s"pair feed diverged: mine=$mine fullTouching=$fullTouching")
+    // the state-state pair exists in the full set but must be excluded
+    // from the increment feed (it lives in the persisted cluster state)
+    assert(full.contains((1L, 2L)) && !mine.contains((1L, 2L)))
+    // both legs are represented: cross (state x inc) and self (inc x inc)
+    assert(mine.exists { case (a, b) => a < 100L && b >= 100L })
+    assert(mine.exists { case (a, _) => a >= 100L })
+  }
+
   test("fingerprintOverlap derivedDocFreqCap derives the cap from train size in-plan") {
     val quote = "the forty-two secret words of the hidden benchmark passage"
     val train = df("doc_id bigint, text string")(Seq(
