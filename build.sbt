@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through RAW instead of via
+// sbt's logger: the logger prefixes every stdout line with "[info] ",
+// which breaks line-oriented JSON consumers of graft.Bench's single
+// record line (a tail parser sees `[info] {"metric":...}` — not JSON).
+// With StdoutOutput the record line is bare and machine-parseable.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

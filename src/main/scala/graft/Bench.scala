@@ -54,6 +54,28 @@ object Bench {
         System.err.println(s"[bench] layout prepare failed (queries will self-prepare, timed): " +
           Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
     }
+    // Second, UNTIMED pass at the TIMED SF (on by default; set
+    // SPARK_GRAFT_WARM_AT_SF=0 for a single-pass cold run): the sf0.001
+    // warmup above covers JIT/codegen, but first-run-at-scale effects —
+    // page-cache fill, CacheOnce materialization, size-specific codegen
+    // and GC shaping — still landed on whichever query ran first, so
+    // run-order shifts masqueraded as 2-6x per-query regressions
+    // (round-11 triage burned a cycle on exactly this; warm Prof reps
+    // are the stated arbiter, so the recorded pass now measures the
+    // same steady state Prof does).
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM_AT_SF", "1") != "0") {
+      var warmFailed = 0
+      SparkEntry.queries.filter(q => nameFilter(q._1)).foreach { case (name, fn) =>
+        try fn(spark, sfDir).count() catch {
+          case e: Throwable =>
+            warmFailed += 1
+            System.err.println(s"[bench] timed-SF warm pass FAILED for $name: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
+        }
+      }
+      if (warmFailed > 0)
+        System.err.println(s"[bench] $warmFailed timed-SF warm queries failed — their timings below are cold")
+    } else System.err.println("[bench] timed-SF warm pass disabled — timings are first-run")
     // Failures are recorded explicitly (never timed as if they ran —
     // a broken query must not look like a fast query).
     val results: Map[String, Either[String, Double]] =
@@ -116,7 +138,10 @@ object Bench {
     // totals plus as many of the slowest per-query entries as fit
     // (failures always included — a broken query must stay visible),
     // with a pointer to the durable full map written above.
-    val tailBudget = 1900
+    // 2000-char driver window minus sbt's trailing "[success] Total
+    // time: ..." line (~70 chars, printed AFTER this line by the sbt
+    // logger) and a safety margin for an interleaved stderr fragment.
+    val tailBudget = 1800
     val printed =
       if (line.length <= tailBudget) line
       else {
