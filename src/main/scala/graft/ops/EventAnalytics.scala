@@ -30,32 +30,36 @@ object EventAnalytics {
     * `round(_, 4)`.
     *
     * Each reach frame is consumed twice (the next stage's join and its
-    * own 1-row summary), so stage-k work re-derives the k-stage chain —
-    * fine at funnel depths (≤5 stages of per-type FILTERED scans, each
-    * column-pruned and type-pushed); for unusually deep funnels persist
-    * the reach frames via [[graft.ops.CacheOnce]] at the call site. */
+    * own 1-row summary), so per the multi-consumer rule each one is
+    * [[graft.ops.CacheOnce]]'d (per-stage keys — one name never holds
+    * more than the handful of window-variant plans a session runs):
+    * the executed plan carries ONE filtered events scan per stage, not
+    * a re-derived k-stage chain under every summary. */
   def funnel(events: DataFrame, entity: String, tsCol: String, typeCol: String,
              stages: Seq[String], windowHours: Option[Int] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     // Stage-0 reach: first event of the entry type per entity. `_t0`
     // rides along every later frame for the hours-from-entry metric.
-    val first = events.filter(col(typeCol) === stages.head)
-      .groupBy(col(entity)).agg(min(col(tsCol)).as("_t"))
-      .withColumn("_t0", col("_t"))
+    val first = graft.ops.CacheOnce.swap("funnel-reach-0",
+      events.filter(col(typeCol) === stages.head)
+        .groupBy(col(entity)).agg(min(col(tsCol)).as("_t"))
+        .withColumn("_t0", col("_t")))
     // Each later reach: same-key join against the previous reach, keep
     // events at-or-after the previous arrival (and, with a conversion
     // window, within `windowHours` of FUNNEL ENTRY — the product
     // convention: the deadline anchors at t0, not the previous stage),
     // min per entity. min(_t0) is constant per entity — it just
     // carries the column through.
-    val reaches = stages.tail.scanLeft(first) { (prev, st) =>
-      val inWindow = windowHours.fold(lit(true))(h =>
-        unix_micros(col(tsCol)) - unix_micros(col("_t0")) <= h * 3600000000L)
-      events.filter(col(typeCol) === st)
-        .join(prev.select(col(entity), col("_t").as("_tp"), col("_t0")), Seq(entity))
-        .filter(col(tsCol) >= col("_tp") && inWindow)
-        .groupBy(col(entity))
-        .agg(min(col(tsCol)).as("_t"), min(col("_t0")).as("_t0"))
+    val reaches = stages.tail.zipWithIndex.scanLeft(first) {
+      case (prev, (st, i)) =>
+        val inWindow = windowHours.fold(lit(true))(h =>
+          unix_micros(col(tsCol)) - unix_micros(col("_t0")) <= h * 3600000000L)
+        graft.ops.CacheOnce.swap(s"funnel-reach-${i + 1}",
+          events.filter(col(typeCol) === st)
+            .join(prev.select(col(entity), col("_t").as("_tp"), col("_t0")), Seq(entity))
+            .filter(col(tsCol) >= col("_tp") && inWindow)
+            .groupBy(col(entity))
+            .agg(min(col(tsCol)).as("_t"), min(col("_t0")).as("_t0")))
     }
     reaches.zip(stages).zipWithIndex.map { case ((reach, st), i) =>
       reach.agg(

@@ -70,6 +70,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(at(2)(2) == 1L)
   }
 
+  test("funnel reach frames persist: one filtered events scan per stage in the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_scan").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val pev = spark.read.parquet(dir)
+    val out = EventAnalytics.funnel(pev, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"))
+    out.collect() // finalize cached reach frames
+    // IDENTITY-distinct file scans across the whole plan (descending
+    // into the cached reach relations): each CacheOnce'd reach frame
+    // holds its stage's ONE filtered scan, reachable via several paths
+    // but evaluated once. The pre-CacheOnce shape re-derived the
+    // k-stage chain per summary — 1+2+3 = 6 distinct scan nodes.
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[org.apache.spark.sql.execution.SparkPlan, java.lang.Boolean]())
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => seen.add(f)
+        case _ =>
+      }
+      graft.plans.PlanChecks.kids(p).foreach(walk)
+    }
+    walk(out.queryExecution.executedPlan)
+    assert(seen.size == 3,
+      s"expected one filtered events scan per stage (3), found ${seen.size}")
+  }
+
   test("sessionPaths: deterministic in-session order, gap split, top-k ties by path") {
     val d = Seq(
       (1L, 1L, "a", "2024-01-01 00:00:00"), (1L, 2L, "b", "2024-01-01 00:10:00"),
