@@ -204,5 +204,6 @@ object SparkEntry {
     CorpusQueries.prepareCentroidState(spark, sfDir)
     CorpusQueries.prepareClusterState(spark, sfDir)
     CorpusQueries.prepareTallyState(spark, sfDir)
+    CorpusQueries.prepareMetricsState(spark, sfDir)
   }
 }

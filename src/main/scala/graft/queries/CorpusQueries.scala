@@ -2107,6 +2107,40 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1""") { (s, d) =>
         .agg(sum(col("n")).as("n"))
     },
 
+    // IVM past plain count: the first non-trivial commutative-monoid
+    // case — count/sum/avg maintained together, the shape a metrics
+    // warehouse actually serves. State persists the partial triple
+    // (n = count(*), nv = count(value), cents = sum of exact integer
+    // cents) per (day, type); each increment computes only its own
+    // triple and the merge is one keyed re-aggregate (counts and sums
+    // add; avg is DERIVED at presentation as merged-sum / merged-count
+    // — avg itself is not a monoid, its partials are). Presentation is
+    // tie-free exact arithmetic: total = cents/100.0 (identical double
+    // both engines), avg truncated at 1e-4 via integer floor-division
+    // — round() would sit on round-half ties (42.90625 → HALF_UP vs
+    // half-even) whenever a 2-decimal money sum divides a small count.
+    Q("ivm_daily_metrics",
+      "WITH c AS (SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents, value FROM events) " +
+        "SELECT obs_date, event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cents) AS BIGINT) / 100.0 AS total_value, " +
+        "(CAST(sum(cents) AS BIGINT) * 100 // count(value)) / 10000.0 AS avg_value " +
+        "FROM c GROUP BY 1, 2") { (s, d) =>
+      prepareMetricsState(s, d)
+      val state = s.read.parquet(metricsStatePath(s, d))
+      val incr = Tables.events(s, d).filter(col("event_id") % 3 === 2)
+        .groupBy(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+          .as("obs_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("value")).as("nv"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      state.union(incr).groupBy(col("obs_date"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("nv")).as("nv"),
+          sum(col("cents")).as("cents"))
+        .select(col("obs_date"), col("event_type"), col("n"),
+          (col("cents") / lit(100.0)).as("total_value"),
+          (expr("cents * 100 div nv") / lit(10000.0)).as("avg_value"))
+    },
+
     // TF-IDF top-3 terms per doc: tf = in-doc count, idf = ln(N/df),
     // rank on the rounded weight with term tiebreak (deterministic in
     // both engines).
@@ -2286,6 +2320,33 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
           .as("obs_date"), col("event_type"))
         .agg(count(lit(1)).as("n")),
       tallyStatePath(s, d), "obs_date", numFiles = 1,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/events.parquet"))
+
+  /** ivm_daily_metrics' persisted partial-aggregate state: the
+    * commutative-monoid triple (count(*), count(value), sum(cents)) per
+    * (day, type) — everything count/sum/avg maintenance ever needs.
+    * Sums persist as EXACT integer cents (events.value is 2-decimal
+    * money): double partials would make merge-of-partials differ from
+    * the full recompute in summation order, and a rounded presentation
+    * then sits one ulp either side of a round-half tie per engine
+    * (observed: 42.90625 → 42.9063 Spark HALF_UP / 42.9062 DuckDB
+    * half-even). Integer partials + floor-division presentation are
+    * tie-free and bit-identical in both engines. */
+  private[queries] def metricsStatePath(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_ivm_metrics_$tag").toString
+  }
+
+  def prepareMetricsState(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.ops.ScaleOps.ensureSortedBy(
+      Tables.events(s, d).filter(col("event_id") % 3 =!= 2)
+        .groupBy(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+          .as("obs_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("value")).as("nv"),
+          sum(round(col("value") * 100).cast("long")).as("cents")),
+      metricsStatePath(s, d), "obs_date", numFiles = 1,
       srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/events.parquet"))
 
   /** dd_incremental_neardup's persisted LSH band-bucket state table. */
