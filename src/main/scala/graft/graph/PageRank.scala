@@ -23,10 +23,16 @@ object PageRank {
   /** `iters` fixed-point rounds of the damped PageRank recurrence
     * r(v) = (1-damping)/N + damping * Σ_{u→v} r(u)/outdeg(u)
     * over directed `edges` (cols `src`, `dst`; pass both directions for
-    * an undirected graph). Nodes are the distinct edge sources — on a
-    * symmetric graph every node has outdeg ≥ 1, so there is no dangling
-    * mass to redistribute. Returns (id, rank) with rank rounded to
-    * `roundTo` decimals (sum-order noise lives ~1e-12 below it).
+    * an undirected graph — [[symmetrize]]). Nodes are the distinct edge
+    * sources — on a symmetric graph every node has outdeg ≥ 1, so there
+    * is no dangling mass to redistribute. That contract is ENFORCED:
+    * a plain directed graph with sink nodes (a dst that never appears
+    * as a src) would silently drop the sinks after one superstep and
+    * never redistribute their mass — not PageRank — so the guard fails
+    * loudly instead (one anti-join count over the cached degree frame;
+    * node-cardinality work, paid once per call). Returns (id, rank)
+    * with rank rounded to `roundTo` decimals (sum-order noise lives
+    * ~1e-12 below it).
     *
     * Fixed iteration count keeps the result an exact algebraic function
     * of the edge set — reproducible by any ANSI engine as `iters`
@@ -47,6 +53,14 @@ object PageRank {
     // own stage if recomputed) — persist it alongside the edges.
     val deg = graft.ops.CacheOnce.swap("pagerank-deg",
       e.groupBy(col("src")).agg(count(lit(1)).as("_deg")))
+    // Contract guard (see scaladoc): every dst must appear as a src, or
+    // sink mass silently vanishes and the result is not PageRank.
+    val nDangling = e.select(col("dst").as("src")).distinct()
+      .join(deg, Seq("src"), "left_anti").count()
+    require(nDangling == 0,
+      s"pageRank: $nDangling dangling node(s) — a dst never appearing as a src. " +
+        "This implementation assumes a symmetric graph (no dangling-mass " +
+        "redistribution); symmetrize() the pair list first, or add sink back-edges.")
     // The per-superstep constant frame: each edge with its source's
     // out-degree (recomputed per superstep from the cached edges — one
     // cheap keyed aggregate + join, no upstream recompute).

@@ -86,9 +86,19 @@ object DataQuality {
     * deviations) — pre-aggregate it from the raw table so the double
     * scan is over group×bucket rows, never raw events. All arithmetic
     * is exact on integer metrics (interpolated halves are exact binary
-    * fractions), so an ANSI oracle reproduces the flags bit-for-bit. */
+    * fractions), so an ANSI oracle reproduces the flags bit-for-bit.
+    *
+    * MAD == 0 caveat (the standard MAD pitfall): when more than half of
+    * a group's values are identical the MAD degenerates to 0 and ANY
+    * nonzero deviation flags (counts 5,5,5,5,6 flag the 6) — the gate
+    * over-reports on near-constant groups. That IS the documented
+    * default (and what the registered oracle reproduces); callers
+    * monitoring near-constant series should pass `madFloor` — the
+    * threshold becomes k * max(mad, floor), so a deviation must clear
+    * a real margin even when the group is constant (floor in the
+    * metric's own units, e.g. 1.0 for daily counts). */
   def madAnomalies(metrics: DataFrame, groupCols: Seq[String], valueCol: String,
-                   k: Double = 3.0): DataFrame = {
+                   k: Double = 3.0, madFloor: Option[Double] = None): DataFrame = {
     val g = groupCols.map(col)
     val med = metrics.groupBy(g: _*)
       .agg(percentile(col(valueCol), lit(0.5)).as("med"))
@@ -96,8 +106,9 @@ object DataQuality {
       .withColumn("dev", abs(col(valueCol) - col("med")))
     val mad = dev.groupBy(g: _*)
       .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    val eff = madFloor.fold(col("mad"))(f => greatest(col("mad"), lit(f)))
     dev.join(broadcast(mad), groupCols)
-      .withColumn("is_anomaly", col("dev") > lit(k) * col("mad"))
+      .withColumn("is_anomaly", col("dev") > lit(k) * eff)
       .drop("dev")
   }
 }

@@ -118,6 +118,16 @@ object FunnelStream {
     // across micro-batches, and none of them may be "late" relative to
     // the watermark — only the sentinel, placed past delay + slack, may
     // advance it far enough to fire the flush timeouts.
+    //
+    // STATE-BOUND consequence (deliberate, fixture-only): keyed state
+    // buffers every funnel-relevant event for every user until the
+    // sentinel fires — O(in-flight events) = watermark delay × event
+    // rate, and a span-length delay makes that the WHOLE filtered
+    // dataset. Fine here (the oracle needs the settled total, and the
+    // fixture is replayed history, not an unbounded feed); in a real
+    // deployment size the watermark to the feed's actual disorder
+    // (minutes-hours), which bounds state to delay × rate regardless
+    // of how long the stream runs. See SCALE.md's st_funnel row.
     val watermarkMin = 60 * 24 * 40 // 40 days > the 30-day events span
     val flushSlackMin = 60
     // The sentinel timestamp is a function of watermarkMin/flushSlackMin,

@@ -226,8 +226,23 @@ object Mixing {
   def budgetSelect(scored: DataFrame, idCol: String, tokCol: String,
                    bucketCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0, s"fraction must be >= 0, got $fraction")
-    val hist = scored.groupBy(col(bucketCol)).agg(sum(col(tokCol)).as("_bt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // The stated precondition is CHECKED in the same aggregate pass
+    // that builds the histogram (one extra conditional sum, no extra
+    // action): a null bucket or a null/negative token count breaks the
+    // greedy cut's monotone-running-total invariant — fail loudly with
+    // the offending bucket instead of NPEing on getLong or silently
+    // mis-cutting.
+    val hist = scored.groupBy(col(bucketCol))
+      .agg(sum(col(tokCol)).as("_bt"),
+        sum(when(col(tokCol).isNull || col(tokCol) < 0, 1L).otherwise(0L)).as("_bad"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"budgetSelect: null $bucketCol value — bucket scores must be non-null")
+        require(r.getLong(2) == 0,
+          s"budgetSelect: ${r.getLong(2)} null/negative $tokCol value(s) in " +
+            s"bucket ${r.getLong(0)} — token counts must be >= 0")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
     val budget = math.floor(fraction * hist.map(_._2).sum.toDouble).toLong
     // First bucket whose inclusive running total exceeds the budget; all
     // buckets before it fit whole.

@@ -178,4 +178,24 @@ class MixingSpec extends SparkSpec {
     assert(Mixing.budgetSelect(d, "doc_id", "tok", "qb", 1.0).count() == 2L)
     assert(Mixing.budgetSelect(d, "doc_id", "tok", "qb", 0.0).count() == 0L)
   }
+
+  test("budgetSelect: null bucket / null or negative tokens fail loudly") {
+    // Each violation breaks the monotone-running-total invariant; the
+    // guard must reject with a message, not NPE or silently mis-cut.
+    val nullBucket = df("doc_id BIGINT, qb BIGINT, tok BIGINT")(
+      Seq(Row(1L, 1L, 3L), Row(2L, null, 4L)))
+    intercept[IllegalArgumentException] {
+      Mixing.budgetSelect(nullBucket, "doc_id", "tok", "qb", 0.5)
+    }
+    val nullTok = df("doc_id BIGINT, qb BIGINT, tok BIGINT")(
+      Seq(Row(1L, 1L, 3L), Row(2L, 1L, null)))
+    intercept[IllegalArgumentException] {
+      Mixing.budgetSelect(nullTok, "doc_id", "tok", "qb", 0.5)
+    }
+    val negTok = df("doc_id BIGINT, qb BIGINT, tok BIGINT")(
+      Seq(Row(1L, 1L, 3L), Row(2L, 1L, -4L)))
+    intercept[IllegalArgumentException] {
+      Mixing.budgetSelect(negTok, "doc_id", "tok", "qb", 0.5)
+    }
+  }
 }

@@ -46,6 +46,17 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-4)
   }
 
+  test("a plain directed graph with a sink fails loudly, not wrongly") {
+    // 3 is a pure sink (dst, never src): its mass would silently vanish
+    // after one superstep — the guard must reject instead of returning
+    // a non-PageRank result.
+    intercept[IllegalArgumentException] {
+      PageRank.pageRank(path.toDF("src", "dst"), iters = 1).collect()
+    }
+    // the symmetrized version of the same graph is accepted
+    assert(PageRank.pageRank(sym(path).toDF("src", "dst"), iters = 1).count() == 3)
+  }
+
   test("symmetrize emits both directions of every pair") {
     val got = rows(PageRank.symmetrize(Seq((1L, 2L)).toDF("id1", "id2")).orderBy("src"))
     assert(got == Seq(Seq(1L, 2L), Seq(2L, 1L)))

@@ -69,6 +69,20 @@ class DataQualitySpec extends SparkSpec {
       Seq("g2", 1, false), Seq("g2", 2, false)))
   }
 
+  test("madAnomalies: madFloor tames the MAD==0 degenerate group") {
+    // Near-constant group 5,5,5,5,6: MAD 0, so the default flags the 6
+    // (threshold k*0 = 0 — the standard MAD pitfall, documented); a
+    // floor makes the threshold k*max(0, floor) and the 6 passes.
+    val d = df("g STRING, b INT, n BIGINT")(Seq(
+      Row("g", 1, 5L), Row("g", 2, 5L), Row("g", 3, 5L),
+      Row("g", 4, 5L), Row("g", 5, 6L)))
+    def flags(floor: Option[Double]) =
+      rows(DataQuality.madAnomalies(d, Seq("g"), "n", k = 3.0, madFloor = floor)
+        .select("b", "is_anomaly").orderBy("b")).map(_(1))
+    assert(flags(None) == Seq(false, false, false, false, true))
+    assert(flags(Some(1.0)) == Seq(false, false, false, false, false))
+  }
+
   test("madAnomalies: interpolated even-count median, exact halves") {
     val d = df("g STRING, b INT, n BIGINT")(Seq(
       Row("g", 1, 1L), Row("g", 2, 2L), Row("g", 3, 3L), Row("g", 4, 10L)))
