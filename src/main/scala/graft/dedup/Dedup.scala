@@ -509,6 +509,30 @@ object Dedup {
       .select(col(idCol).as("id1"), col("band_key"))
       .join(incBands.select(col(idCol).as("id2"), col("band_key")), Seq("band_key"))
       .select("id1", "id2").distinct()
+    verifyIncrementPairs(crossCands, incDocs, stateDocs, idCol, textCol,
+      numHashes, rowsPerBand, shingleN, threshold)
+  }
+
+  /** Verification tail of the increment-bounded pair feed, taking the
+    * increment-vs-STATE candidates as INPUT — so the same tail serves
+    * both the batch probe ([[incrementalNearDupPairs]]) and the
+    * STREAMED probe (graft.streaming.LshProbe's settled collision set,
+    * the append-sink → downstream-batch deployment shape): exact
+    * Jaccard on the given cross candidates (state text re-read only for
+    * collided docs), plus the increment's own band self-join + verify
+    * for increment-vs-increment pairs. CacheOnce keys match
+    * [[incrementalNearDups]]', so the increment sketches once per
+    * session regardless of which path runs first. */
+  def verifyIncrementPairs(crossCands: DataFrame, incDocs: DataFrame,
+                           stateDocs: DataFrame, idCol: String,
+                           textCol: String, numHashes: Int = 32,
+                           rowsPerBand: Int = 4, shingleN: Int = 3,
+                           threshold: Double = 0.8): DataFrame = {
+    val incSets = graft.ops.CacheOnce.swap("incr-inc-shingles",
+      incDocs.select(col(idCol),
+        explode(distinctShingles(col(textCol), shingleN)).as("shingle")))
+    val incBands = graft.ops.CacheOnce.swap("incr-inc-bands",
+      bandKeys(incSets, idCol, numHashes, rowsPerBand))
     val stateSets = stateDocs
       .join(crossCands.select(col("id1").as(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol),

@@ -348,6 +348,19 @@ SELECT i.doc_id, best.id1 IS NULL AS accepted,
   best.id1 AS best_state_id, best.jaccard AS best_jaccard
 FROM inc i LEFT JOIN best ON best.id2 = i.doc_id"""
 
+  /** dd_incremental_clusters AND st_incremental_clusters oracle: the
+    * FULL re-cluster over the combined near-dup pair graph (recursive
+    * CTE, per-node min reachable id). Both incremental paths — the
+    * batch band-state probe and the streamed collision gate — must
+    * reproduce it row-for-row. */
+  private val incrementalClustersOracleSql: String =
+    s"""WITH RECURSIVE ${minhashMd5Ctes("documents", 0.5)},
+e AS (SELECT id1 AS a, id2 AS b FROM nd UNION SELECT id2, id1 FROM nd),
+n AS (SELECT DISTINCT a AS node FROM e),
+walk(node, lbl) AS (SELECT node, node FROM n
+  UNION SELECT e.a, w.lbl FROM walk w JOIN e ON e.b = w.node)
+SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
+
   /** pipe_incremental_crawl oracle: the SEQUENTIAL batch equivalent of
     * the composed daily-crawl pass — exact digest gate (in-batch
     * min-id winners anti-joined against the day-1 digests), LSH
@@ -2048,13 +2061,7 @@ FROM comp GROUP BY 1""") { (s, d) =>
     // re-cluster over the combined pair graph (recursive CTE): the
     // incremental path must reproduce it row-for-row, and a capped
     // probe would drop pairs the full re-cluster keeps.
-    Q("dd_incremental_clusters",
-      s"""WITH RECURSIVE ${minhashMd5Ctes("documents", 0.5)},
-e AS (SELECT id1 AS a, id2 AS b FROM nd UNION SELECT id2, id1 FROM nd),
-n AS (SELECT DISTINCT a AS node FROM e),
-walk(node, lbl) AS (SELECT node, node FROM n
-  UNION SELECT e.a, w.lbl FROM walk w JOIN e ON e.b = w.node)
-SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1""") { (s, d) =>
+    Q("dd_incremental_clusters", incrementalClustersOracleSql) { (s, d) =>
       prepareClusterState(s, d); prepareLshState(s, d)
       val docs = Tables.documents(s, d)
       val state = s.read.parquet(clusterStatePath(s, d))
@@ -2084,6 +2091,43 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1""") { (s, d) =>
       require(docScans.exists { case (_, path) => PlanChecks.pathHasLeftSemi(path) },
         "state-side text rescan is not collision-pruned (no left-semi above it)")
       Dedup.incrementalClusters(state, incPairs)
+    },
+
+    // The incremental cluster family's STREAMING end: the increment
+    // streams through the LIVE LSH collision gate (st_lsh_probe's
+    // stateless stream-static probe of the persisted band state), the
+    // settled collision set lands in a staging sink — the append-sink →
+    // downstream-batch deployment shape — and the batch tail
+    // exact-verifies those candidates (+ the increment's own band
+    // self-join for inc-vs-inc pairs) and merges into the persisted
+    // cluster state via the SAME incrementalClusters operator. Settled
+    // state == the batch incremental path == the full re-cluster
+    // oracle, at any arrival order (st_lsh_probe's parity guarantee
+    // covers the candidate set; verification and merge are
+    // deterministic functions of it). Probe UNCAPPED for the same
+    // reason as dd_incremental_clusters.
+    Q("st_incremental_clusters", incrementalClustersOracleSql) { (s, d) =>
+      prepareClusterState(s, d); prepareLshState(s, d)
+      val docs = Tables.documents(s, d)
+      val state = s.read.parquet(clusterStatePath(s, d))
+      // Streamed collision gate → staging parquet → re-read in THIS
+      // session (the stream runs in its own session; a file handoff is
+      // the operational contract between the live gate and the batch
+      // merge, not a test convenience).
+      val staged = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "graft_st_cc_cands_" + d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+      ).toString
+      graft.streaming.LshProbe.candidatesOnce(s, d, lshStateTable(d))
+        .write.mode("overwrite").parquet(staged)
+      val crossCands = s.read.parquet(staged)
+        .select(col("state_id").as("id1"), col("inc_id").as("id2"))
+      val pairs = Dedup.verifyIncrementPairs(crossCands,
+        docs.filter(col("doc_id") % 3 === 2),
+        docs.filter(col("doc_id") % 3 =!= 2),
+        "doc_id", "text", numHashes = 32, rowsPerBand = 4,
+        shingleN = 2, threshold = 0.5)
+      Dedup.incrementalClusters(state, pairs)
     },
 
     // Incremental view maintenance for AGGREGATES — the family's last
