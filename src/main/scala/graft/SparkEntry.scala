@@ -16,7 +16,7 @@ object SparkEntry {
     RelationalQueries.defs ++ JoinQueries.defs ++ WindowPivotQueries.defs ++
       SpatialQueries.defs ++ CorpusQueries.defs ++ EtlQueries.defs ++
       TaggingQueries.defs ++ StatsQueries.defs ++ ScaleQueries.defs ++
-      SqlBridgeQueries.defs ++ SourceQueries.defs ++ Seq(
+      SqlBridgeQueries.defs ++ SourceQueries.defs ++ EntityQueries.defs ++ Seq(
         // §2.11 streaming: a real Structured Streaming job (file source,
         // dedup, event-time day window, AvailableNow) whose settled result
         // must equal the batch tally — the batch SQL IS the oracle.
