@@ -205,5 +205,7 @@ object SparkEntry {
     CorpusQueries.prepareClusterState(spark, sfDir)
     CorpusQueries.prepareTallyState(spark, sfDir)
     CorpusQueries.prepareMetricsState(spark, sfDir)
+    CorpusQueries.prepareUsersState(spark, sfDir)
+    CorpusQueries.prepareJoinAggState(spark, sfDir)
   }
 }

@@ -2185,6 +2185,55 @@ FROM comp GROUP BY 1""") { (s, d) =>
           (expr("cents * 100 div nv") / lit(10000.0)).as("avg_value"))
     },
 
+    // IVM for COUNT DISTINCT — the first NON-monoid aggregate in the
+    // family: distinct counts do not merge (2 ∪ 3 distinct users is
+    // anywhere from 3 to 5), so the state is the SUPPORT relation (the
+    // distinct (day, type, user) triples) and the merge is a distinct
+    // union — O(support + increment), the standard IVM treatment of
+    // DISTINCT aggregates; the count is derived at presentation. The
+    // oracle is the full count(DISTINCT) recompute.
+    Q("ivm_daily_users",
+      "SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY 1, 2") { (s, d) =>
+      prepareUsersState(s, d)
+      val state = s.read.parquet(usersStatePath(s, d))
+      val incr = Tables.events(s, d).filter(col("event_id") % 3 === 2)
+        .select(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+          .as("obs_date"), col("event_type"), col("user_id"))
+        .distinct()
+      state.unionByName(incr).distinct()
+        .groupBy(col("obs_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // IVM for a JOIN aggregate via the delta-join rule: the maintained
+    // view is the orders ⋈ lineitem daily quantity rollup; day-1 state
+    // persists the old⋈old aggregate, and the increment merge computes
+    // only the three delta terms ΔO⋈L_old ∪ O_old⋈ΔL ∪ ΔO⋈ΔL — each a
+    // delta-sided join, so the history⋈history term is NEVER re-joined.
+    // Split keys are independent per side (orders on orderkey, lineitem
+    // on orderkey+linenumber) so every delta term is non-degenerate.
+    // Oracle = the full join recompute over both complete tables:
+    // state + deltas == full is the delta-join invariant, by hash.
+    Q("ivm_join_agg",
+      "SELECT CAST(o_orderdate AS DATE) AS order_date, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty, " +
+        "CAST(count(*) AS BIGINT) AS n_items " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1") { (s, d) =>
+      prepareJoinAggState(s, d)
+      val state = s.read.parquet(joinAggStatePath(s, d))
+      val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+      val deltas = Seq(
+        joinAggPartial(ordersNew(o), lineitemOld(l)),
+        joinAggPartial(ordersOld(o), lineitemNew(l)),
+        joinAggPartial(ordersNew(o), lineitemNew(l)))
+      (state +: deltas).reduce(_.unionByName(_))
+        .groupBy(col("order_date"))
+        .agg(sum(col("total_qty")).as("total_qty"),
+          sum(col("n_items")).as("n_items"))
+    },
+
     // TF-IDF top-3 terms per doc: tf = in-doc count, idf = ln(N/df),
     // rank on the rounded weight with term tiebreak (deterministic in
     // both engines).
@@ -2392,6 +2441,69 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
           sum(round(col("value") * 100).cast("long")).as("cents")),
       metricsStatePath(s, d), "obs_date", numFiles = 1,
       srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/events.parquet"))
+
+  /** ivm_daily_users' persisted SUPPORT relation: count(DISTINCT x) is
+    * not a commutative monoid over counts (2 distinct ∪ 3 distinct is
+    * anywhere from 3 to 5), so distinct-count IVM maintains the
+    * distinct (day, type, user) triples themselves — the support — and
+    * derives the count at presentation. State size rides the support
+    * cardinality (bounded by days × types × users), never raw events. */
+  private[queries] def usersStatePath(s: org.apache.spark.sql.SparkSession,
+                                      d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_ivm_users_$tag").toString
+  }
+
+  def prepareUsersState(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.ops.ScaleOps.ensureSortedBy(
+      Tables.events(s, d).filter(col("event_id") % 3 =!= 2)
+        .select(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+          .as("obs_date"), col("event_type"), col("user_id"))
+        .distinct(),
+      usersStatePath(s, d), "obs_date", numFiles = 1,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/events.parquet"))
+
+  /** ivm_join_agg's persisted day-1 JOIN-aggregate state: the
+    * orders ⋈ lineitem daily quantity rollup over the day-1 slices of
+    * BOTH tables. The increment merge uses the standard delta-join
+    * rule — Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — so the old⋈old join (the
+    * O(history²-ish) term) is never recomputed; each delta term joins
+    * an increment against a base or another increment. */
+  private[queries] def joinAggStatePath(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_ivm_joinagg_$tag").toString
+  }
+
+  /** Old/new split predicates for the two join sides — INDEPENDENT keys
+    * (lineitem splits on orderkey + linenumber) so every delta term is
+    * non-degenerate: a same-key split would make ΔL ⋈ O_old vacuously
+    * empty and the delta rule untested. */
+  private def ordersOld(o: org.apache.spark.sql.DataFrame) =
+    o.filter(col("o_orderkey") % 3 =!= 2)
+  private def ordersNew(o: org.apache.spark.sql.DataFrame) =
+    o.filter(col("o_orderkey") % 3 === 2)
+  private def lineitemOld(l: org.apache.spark.sql.DataFrame) =
+    l.filter((col("l_orderkey") + col("l_linenumber")) % 3 =!= 2)
+  private def lineitemNew(l: org.apache.spark.sql.DataFrame) =
+    l.filter((col("l_orderkey") + col("l_linenumber")) % 3 === 2)
+
+  private def joinAggPartial(o: org.apache.spark.sql.DataFrame,
+                             l: org.apache.spark.sql.DataFrame) =
+    o.select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+      .join(l.select(col("l_orderkey").as("o_orderkey"),
+        col("l_quantity").cast("long").as("qty")), Seq("o_orderkey"))
+      .groupBy(col("order_date"))
+      .agg(sum(col("qty")).as("total_qty"), count(lit(1)).as("n_items"))
+
+  def prepareJoinAggState(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.ops.ScaleOps.ensureSortedBy(
+      joinAggPartial(ordersOld(Tables.orders(s, d)),
+        lineitemOld(Tables.lineitem(s, d))),
+      joinAggStatePath(s, d), "order_date", numFiles = 1,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/lineitem.parquet"))
 
   /** dd_incremental_neardup's persisted LSH band-bucket state table. */
   private[graft] def lshStateTable(sfDir: String): String =
