@@ -59,7 +59,12 @@ object EntityResolution {
     * must agree exactly on `exactCols` and their `normCol` (the
     * caller's normalized match field) must sit within `maxDist`
     * Levenshtein edits. Returns (rid1, rid2, name_dist). Two keyed
-    * joins back to the records — per-candidate work only. */
+    * joins back to the records — per-candidate work only. The distance
+    * uses Spark's THRESHOLD-bounded levenshtein (returns -1 past the
+    * bound): O(maxDist · len) per pair instead of O(len²), which is
+    * the difference that matters when a degenerate block cap lets a
+    * few large blocks through on long fields — the oracle's unbounded
+    * levenshtein agrees exactly on every surviving pair. */
   def verifyByEditDistance(cands: DataFrame, records: DataFrame,
                            ridCol: String, normCol: String,
                            exactCols: Seq[String], maxDist: Int): DataFrame = {
@@ -69,8 +74,9 @@ object EntityResolution {
     cands.join(side(1), Seq("rid1")).join(side(2), Seq("rid2"))
       .filter(exactCols.map(c => col(s"_x${c}_1") === col(s"_x${c}_2"))
         .foldLeft(lit(true))(_ && _))
-      .withColumn("name_dist", levenshtein(col("_nm1"), col("_nm2")).cast("long"))
-      .filter(col("name_dist") <= maxDist)
+      .withColumn("name_dist",
+        levenshtein(col("_nm1"), col("_nm2"), maxDist).cast("long"))
+      .filter(col("name_dist") >= 0 && col("name_dist") <= maxDist)
       .select(col("rid1"), col("rid2"), col("name_dist"))
   }
 

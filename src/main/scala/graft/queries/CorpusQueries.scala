@@ -2228,10 +2228,36 @@ FROM comp GROUP BY 1""") { (s, d) =>
         joinAggPartial(ordersNew(o), lineitemOld(l)),
         joinAggPartial(ordersOld(o), lineitemNew(l)),
         joinAggPartial(ordersNew(o), lineitemNew(l)))
-      (state +: deltas).reduce(_.unionByName(_))
+      val out = (state +: deltas).reduce(_.unionByName(_))
         .groupBy(col("order_date"))
         .agg(sum(col("total_qty")).as("total_qty"),
           sum(col("n_items")).as("n_items"))
+      // Delta-rule shape, REQUIREd from the executed plan: exactly the
+      // THREE delta joins (ΔO⋈L_old, O_old⋈ΔL, ΔO⋈ΔL) plus the state
+      // scan — a fourth orders⋈lineitem join would mean the old⋈old
+      // history term is being recomputed, the cost the rule exists to
+      // avoid.
+      import graft.plans.PlanChecks
+      val plan = out.queryExecution.executedPlan
+      def walk(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: PlanChecks.kids(p).flatMap(walk)
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Set[String] =
+        walk(p).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.mkString(",")
+        }.toSet
+      val olJoins = walk(plan).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if scansOf(j).exists(_.contains("orders")) &&
+             scansOf(j).exists(_.contains("lineitem")) => j
+      }
+      require(olJoins.size == 3,
+        s"delta-join rule violated: ${olJoins.size} orders⋈lineitem joins planned, " +
+          "expected exactly the 3 delta terms (the old⋈old join must come from state)")
+      require(PlanChecks.fileScanPaths(plan, "graft_ivm_joinagg").nonEmpty,
+        "persisted join-aggregate state is not in the plan — the merge is recomputing")
+      out
     },
 
     // TF-IDF top-3 terms per doc: tf = in-doc count, idf = ln(N/df),
