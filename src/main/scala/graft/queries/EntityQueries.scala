@@ -58,6 +58,35 @@ walk(node, lbl) AS (SELECT node, node FROM nn
   UNION SELECT e.x, w.lbl FROM walk w JOIN e ON e.y = w.node),
 comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1)"""
 
+  /** er_incremental_clusters' oracle: the FULL re-cluster over the
+    * complete (uncapped) match graph — (node, cluster_id) per matched
+    * record. Uncapped on purpose: the incremental path probes the
+    * whole persisted key state, so its pair feed is exactly the full
+    * blocking restricted to increment-touching pairs, with no cap
+    * boundary to straddle. */
+  private val erIncClustersOracleSql: String =
+    s"""WITH RECURSIVE a AS (SELECT c_custkey*2 AS rid, c_name AS name, c_nationkey AS nation FROM customer),
+b AS (SELECT c_custkey*2+1 AS rid,
+  CASE CAST(c_custkey % 3 AS INTEGER) WHEN 0 THEN lower(c_name)
+    WHEN 1 THEN substr(c_name,1,8) || '-' || substr(c_name,10)
+    ELSE substr(c_name,1,length(c_name)-1) END AS name,
+  c_nationkey AS nation FROM customer),
+d AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+k AS (SELECT rid, nation, name, lower(name) AS norm,
+  regexp_replace(name, '[^0-9]', '', 'g') AS digits FROM d),
+p AS (SELECT rid, 0 AS pass, digits AS bk FROM k
+  UNION ALL SELECT rid, 1, CAST(nation AS VARCHAR) || ':' || substr(digits,1,8) FROM k),
+cand AS (SELECT DISTINCT l.rid AS rid1, r.rid AS rid2
+  FROM p l JOIN p r ON l.pass = r.pass AND l.bk = r.bk AND l.rid < r.rid),
+m AS (SELECT rid1, rid2 FROM cand
+  JOIN k k1 ON k1.rid = cand.rid1 JOIN k k2 ON k2.rid = cand.rid2
+  WHERE k1.nation = k2.nation AND levenshtein(k1.norm, k2.norm) <= 1),
+e AS (SELECT rid1 AS x, rid2 AS y FROM m UNION SELECT rid2, rid1 FROM m),
+nn AS (SELECT DISTINCT x AS node FROM e),
+walk(node, lbl) AS (SELECT node, node FROM nn
+  UNION SELECT e.x, w.lbl FROM walk w JOIN e ON e.y = w.node)
+SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
+
   /** The dirty feed with normalized match/blocking keys; CacheOnce'd —
     * it feeds both blocking passes, both verify sides, and
     * survivorship's name lookup. */
@@ -75,6 +104,51 @@ comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1)"""
       a.unionByName(b).select(col("rid"), col("nation"), col("name"),
         lower(col("name")).as("norm"),
         regexp_replace(col("name"), "[^0-9]", "").as("digits")))
+  }
+
+  /** Split of the dirty feed for the incremental path: an ENTITY is in
+    * the increment when its underlying custkey % 3 == 2 — both dirty
+    * copies of it move together (rid div 2 recovers the custkey). */
+  private def incPred = expr("(rid div 2) % 3 = 2")
+
+  /** One composite blocking key per (record, pass) — pass ':' key, the
+    * single-column band_key convention, so the persisted state can
+    * bucket on exactly the probe-join column. */
+  private def passKeyRows(k: DataFrame): DataFrame =
+    k.select(col("rid"), concat(lit("0:"), col("digits")).as("bkey"))
+      .unionByName(k.select(col("rid"),
+        concat(lit("1:"), col("nation").cast("string"), lit(":"),
+          expr("substring(digits, 1, 8)")).as("bkey")))
+
+  private[queries] def erKeyStateTable(d: String): String =
+    s"graft_er_keys_${d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
+
+  private[queries] def erClusterStatePath(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_er_cc_$tag").toString
+  }
+
+  /** One-time bucketed CTAS of the ACCEPTED entities' blocking keys
+    * (bucketed on bkey — the probe-join column) and one-time clustering
+    * of their match graph; each increment then probes/merges without
+    * ever re-blocking or re-clustering the stock. Same idempotent
+    * fingerprint convention as the dedup states. */
+  def prepareErState(s: SparkSession, d: String): Unit = {
+    val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet")
+    val stateK = keyedRecords(s, d).filter(!incPred)
+    graft.ops.ScaleOps.ensureBucketed(passKeyRows(stateK),
+      erKeyStateTable(d), "bkey", 32, srcFingerprint = fp)
+    graft.ops.ScaleOps.ensureSortedByLazy(s, erClusterStatePath(s, d),
+      "node", numFiles = 1, srcFingerprint = fp)(
+      graft.dedup.Dedup.connectedComponents(
+        EntityResolution.verifyByEditDistance(
+          EntityResolution.blockedCandidates(stateK, "rid",
+            passKeys = Seq(col("digits"),
+              concat(col("nation").cast("string"), lit(":"),
+                expr("substring(digits, 1, 8)")))),
+          stateK, "rid", "norm", Seq("nation"), maxDist = 1),
+        ("rid1", "rid2")))
   }
 
   private def matches(s: SparkSession, d: String): DataFrame = {
@@ -106,6 +180,38 @@ FROM comp GROUP BY 1""") { (s, d) =>
       graft.dedup.Dedup.connectedComponents(matches(s, d), ("rid1", "rid2"))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_recs"), max(col("node")).as("max_rid"))
+    },
+
+    // Incremental entity resolution — the warehouse twin of
+    // dd_incremental_clusters: the accepted stock's blocking keys
+    // persist BUCKETED on the probe column and its entities cluster
+    // once; each arriving batch computes only ITS OWN keys, probes the
+    // state exchange-free (merge-hinted, REQUIREd), self-joins for
+    // increment-vs-increment pairs, verifies both legs in one
+    // threshold-Levenshtein pass, and merges via the SAME
+    // incrementalClusters operator (increment-bounded CC over cluster
+    // representatives + one broadcast state remap). The oracle is the
+    // FULL re-cluster over the complete match graph.
+    Q("er_incremental_clusters", erIncClustersOracleSql) { (s, d) =>
+      prepareErState(s, d)
+      val k = keyedRecords(s, d)
+      val incKeys = graft.ops.CacheOnce.swap("er-inc-keys",
+        passKeyRows(k.filter(incPred)))
+      val crossCands = s.table(erKeyStateTable(d)).hint("merge")
+        .select(col("rid").as("rid1"), col("bkey"))
+        .join(incKeys.select(col("rid").as("rid2"), col("bkey")), Seq("bkey"))
+        .select("rid1", "rid2").distinct()
+      val selfCands = incKeys.select(col("rid").as("rid1"), col("bkey"))
+        .join(incKeys.select(col("rid").as("rid2"), col("bkey")), Seq("bkey"))
+        .filter(col("rid1") < col("rid2"))
+        .select("rid1", "rid2").distinct()
+      val pairs = EntityResolution.verifyByEditDistance(
+        crossCands.unionByName(selfCands).distinct(),
+        k, "rid", "norm", Seq("nation"), maxDist = 1)
+      graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
+        crossCands.queryExecution.executedPlan, "ER key state")
+      graft.dedup.Dedup.incrementalClusters(
+        s.read.parquet(erClusterStatePath(s, d)), pairs, ("rid1", "rid2"))
     },
 
     // Survivorship: per entity cluster, elect the canonical record by a
