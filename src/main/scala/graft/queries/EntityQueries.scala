@@ -231,6 +231,32 @@ FROM comp GROUP BY 1""") { (s, d) =>
         s.read.parquet(erClusterStatePath(s, d)), pairs, ("rid1", "rid2"))
     },
 
+    // The streaming front gate of incremental ER (st_lsh_probe's shape
+    // for structured records): arriving customers derive their dirty
+    // copies and blocking keys PER ROW (narrow explode — zero streaming
+    // aggregation state) and probe the persisted bucketed key state
+    // with a stateless stream-static join; the settled distinct equals
+    // the batch cross-candidate set at any arrival order. Oracle = the
+    // uncapped state-vs-increment blocking join.
+    Q("st_er_probe",
+      s"""WITH a AS (SELECT c_custkey*2 AS rid, c_name AS name, c_nationkey AS nation FROM customer),
+b AS (SELECT c_custkey*2+1 AS rid,
+  CASE CAST(c_custkey % 3 AS INTEGER) WHEN 0 THEN lower(c_name)
+    WHEN 1 THEN substr(c_name,1,8) || '-' || substr(c_name,10)
+    ELSE substr(c_name,1,length(c_name)-1) END AS name,
+  c_nationkey AS nation FROM customer),
+d AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+k AS (SELECT rid, nation, regexp_replace(name, '[^0-9]', '', 'g') AS digits FROM d),
+p AS (SELECT rid, '0:' || digits AS bkey FROM k
+  UNION ALL SELECT rid, '1:' || CAST(nation AS VARCHAR) || ':' || substr(digits,1,8) FROM k),
+st AS (SELECT rid, bkey FROM p WHERE (rid // 2) % 3 <> 2),
+inc AS (SELECT rid, bkey FROM p WHERE (rid // 2) % 3 = 2)
+SELECT DISTINCT st.rid AS state_rid, inc.rid AS inc_rid
+FROM st JOIN inc ON st.bkey = inc.bkey""") { (s, d) =>
+      prepareErState(s, d)
+      graft.streaming.ErProbe.candidatesOnce(s, d, erKeyStateTable(d))
+    },
+
     // Survivorship: per entity cluster, elect the canonical record by a
     // DATA preference (well-formed catalog names beat dirtied ones),
     // rid as the total-order tiebreak.
