@@ -211,6 +211,97 @@ object ScaleOps {
       writeMarker(spark, path, srcFingerprint)
     }
 
+  /** Per-FILE [min, max] of an INT64 column from the parquet footers
+    * (min/max over the file's row groups) — the granularity a surgical
+    * rewrite prunes at. Files with no non-null stats report None. */
+  def fileKeyRanges(path: String,
+                    column: String): Seq[(org.apache.hadoop.fs.Path, Option[(Long, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = hadoopConf()
+    val base = new org.apache.hadoop.fs.Path(path)
+    val files = base.getFileSystem(conf).listStatus(base).toSeq.map(_.getPath)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val rs = reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column).flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+          }
+        }
+        (f, if (rs.isEmpty) None else Some((rs.map(_._1).min, rs.map(_._2).max)))
+      } finally reader.close()
+    }
+  }
+
+  /** Surgical key deletion over a key-CLUSTERED parquet tree — the
+    * right-to-be-forgotten / tenant-offboarding pass: rewriting the
+    * whole table to drop a handful of keys is O(table) per request, but
+    * on a layout whose files carry tight footer [min,max] for the key
+    * (ensureSortedBy's product), only the files OVERLAPPING a deleted
+    * key need rewriting — everything else is copied verbatim (on a real
+    * store: a metadata move/hardlink, zero bytes). Writes `src` minus
+    * `deleteKeys` to `dst`: untouched files byte-identical, touched
+    * files anti-joined against the (broadcast) key list and rewritten
+    * re-sorted. `deleteKeys` is BY NAME — only evaluated on a stale
+    * layout. Returns (rewritten, copied) file counts; idempotent per
+    * (dst, srcFingerprint), counts persisted beside the marker so a
+    * fresh call can still report them. */
+  def ensureSurgicalDelete(spark: SparkSession, src: String, dst: String,
+                           key: String, srcFingerprint: String)
+                          (deleteKeys: => Seq[Long]): (Int, Int) = {
+    val (fs, dstPath) = hadoopFs(spark, dst)
+    val countsFile = new org.apache.hadoop.fs.Path(dstPath, "_graft_surgical_counts")
+    if (layoutFresh(spark, dst, srcFingerprint)) {
+      val Array(rw, cp) = readUtf8(fs, countsFile).trim.split(",").map(_.toInt)
+      (rw, cp)
+    } else {
+      val keys = deleteKeys
+      val keySet = keys.toSet
+      if (fs.exists(dstPath)) fs.delete(dstPath, true)
+      fs.mkdirs(dstPath)
+      val (touched, untouched) = fileKeyRanges(src, key).partition {
+        // a file with NO stats can hide anything — always rewrite it
+        case (_, None) => true
+        case (_, Some((lo, hi))) => keys.exists(k => k >= lo && k <= hi)
+      }
+      untouched.foreach { case (f, _) =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+          new org.apache.hadoop.fs.Path(dstPath, f.getName), false, hadoopConf())
+      }
+      if (touched.nonEmpty) {
+        val tmp = dst + "_rw_tmp"
+        val keysDf = spark.createDataset(keys)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF(key)
+        spark.read.parquet(touched.map(_._1.toString): _*)
+          .join(broadcast(keysDf), Seq(key), "left_anti")
+          .repartitionByRange(touched.size, col(key))
+          .sortWithinPartitions(key)
+          .write.mode("overwrite").parquet(tmp)
+        val (tfs, tPath) = hadoopFs(spark, tmp)
+        tfs.listStatus(tPath).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .foreach(f => tfs.rename(f,
+            new org.apache.hadoop.fs.Path(dstPath, "rw-" + f.getName)))
+        tfs.delete(tPath, true)
+      }
+      // sanity: the surviving data must not contain any deleted key
+      require(spark.read.parquet(dst).filter(col(key).isInCollection(keySet)).isEmpty,
+        "surgical delete left deleted keys behind — footer stats lied or rewrite failed")
+      writeUtf8(fs, countsFile, s"${touched.size},${untouched.size}")
+      // the dir was assembled by hand (copy + rename), so the _SUCCESS
+      // layoutFresh keys on must be written explicitly
+      writeUtf8(fs, new org.apache.hadoop.fs.Path(dstPath, "_SUCCESS"), "")
+      writeMarker(spark, dst, srcFingerprint)
+      (touched.size, untouched.size)
+    }
+  }
+
   /** Row-group [min, max] statistics of an INT64 column across every
     * part file under `path`, straight from the parquet footers — the
     * metadata a range predicate prunes against. Driver-side metadata

@@ -414,6 +414,36 @@ GROUP BY 1""") { (s, d) =>
       q
     },
 
+    // SURGICAL KEY DELETION (sc11): right-to-be-forgotten / tenant
+    // offboarding over the user_id-range-clustered layout. Deleting a
+    // cohort by rewriting the whole table is O(table) per request; on
+    // the clustered layout the cohort's keys live in FEW files (tight
+    // footer [min,max]), so only those files rewrite — the rest copy
+    // verbatim (a metadata move at scale). The query REQUIREs the
+    // surgical property from the operator's own file counts (≤ 1/3 of
+    // files rewritten) and answers from the rewritten tree; the oracle
+    // recomputes from the raw table minus the cohort, so the hash also
+    // proves the rewrite dropped exactly the cohort and nothing else.
+    Q("sc11_forget_rewrite",
+      "SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(value), 2) AS total_value FROM events " +
+        "WHERE user_id NOT BETWEEN 100 AND 119 GROUP BY 1") { (s, d) =>
+      prepare(s, d)
+      val src = sortedEventsPath(s, d)
+      val dst = warehousePath(s, d, "sf")
+      val (rewritten, copied) = ScaleOps.ensureSurgicalDelete(
+        s, src, dst, "user_id",
+        srcFingerprint = ScaleOps.fileFingerprint(s"$d/events.parquet"))(
+        (100L to 119L).toSeq)
+      require(rewritten > 0 && rewritten * 3 <= rewritten + copied,
+        s"surgical delete not surgical: $rewritten of ${rewritten + copied} " +
+          "files rewritten for a 20-key contiguous cohort — the clustered " +
+          "layout's footer pruning regressed")
+      s.read.parquet(dst)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    },
+
     // SMALL-FILE COMPACTION (sc8): the operational 100 TB problem the
     // other layout queries assume away — streaming ingest lands
     // thousands of per-micro-batch files, and every query pays

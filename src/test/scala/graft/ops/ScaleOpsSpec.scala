@@ -79,4 +79,42 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("ensureSurgicalDelete: untouched files byte-identical, cohort gone, idempotent") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_surgical").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    // 4 files range-clustered on k: cohort 25..29 lives in one file
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.parquet(src)
+    val (rw, cp) = ScaleOps.ensureSurgicalDelete(spark, src, dst, "k", "fp1")(
+      (25L to 29L).toSeq)
+    assert(rw == 1 && cp == 3, s"expected 1 rewritten / 3 copied, got $rw/$cp")
+    // survivors exact: everything but the cohort, values intact
+    val got = spark.read.parquet(dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 100L).filterNot(k => k >= 25 && k <= 29)
+      .map(k => (k, k * 2)).toSet
+    assert(got == want)
+    // untouched files are byte-identical copies (verbatim, not re-encoded)
+    val srcFiles = new java.io.File(src).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).map(f => f.getName -> f).toMap
+    val copied = new java.io.File(dst).listFiles
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("rw-"))
+    assert(copied.length == 3)
+    copied.foreach { f =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(f.toPath),
+        Files.readAllBytes(srcFiles(f.getName).toPath)),
+        s"${f.getName} was re-encoded, not copied")
+    }
+    // fresh fingerprint: second call is a no-op returning stored counts
+    assert(ScaleOps.ensureSurgicalDelete(spark, src, dst, "k", "fp1")(
+      sys.error("deleteKeys must not be evaluated on a fresh layout")) == ((1, 3)))
+    // changed fingerprint: rebuilds (and re-evaluates the keys)
+    assert(ScaleOps.ensureSurgicalDelete(spark, src, dst, "k", "fp2")(
+      (25L to 29L).toSeq) == ((1, 3)))
+    ScaleOps.deleteLocal(new java.io.File(base))
+  }
 }
