@@ -236,8 +236,12 @@ FROM comp GROUP BY 1""") { (s, d) =>
     // copies and blocking keys PER ROW (narrow explode — zero streaming
     // aggregation state) and probe the persisted bucketed key state
     // with a stateless stream-static join; the settled distinct equals
-    // the batch cross-candidate set at any arrival order. Oracle = the
-    // uncapped state-vs-increment blocking join.
+    // the batch cross-candidate set at any arrival order. The state
+    // side carries the SAME block cap as the batch blocking pass
+    // (st_lsh_probe's bandBucketCap shape) — never binds at driver SFs,
+    // binds deliberately at copy-density stress fixtures, where an
+    // uncapped probe floods the sink cap+-fold per arrival. Oracle =
+    // the state-capped state-vs-increment blocking join.
     Q("st_er_probe",
       s"""WITH a AS (SELECT c_custkey*2 AS rid, c_name AS name, c_nationkey AS nation FROM customer),
 b AS (SELECT c_custkey*2+1 AS rid,
@@ -250,11 +254,15 @@ k AS (SELECT rid, nation, regexp_replace(name, '[^0-9]', '', 'g') AS digits FROM
 p AS (SELECT rid, '0:' || digits AS bkey FROM k
   UNION ALL SELECT rid, '1:' || CAST(nation AS VARCHAR) || ':' || substr(digits,1,8) FROM k),
 st AS (SELECT rid, bkey FROM p WHERE (rid // 2) % 3 <> 2),
+stc AS (SELECT rid, bkey FROM
+  (SELECT *, count(*) OVER (PARTITION BY bkey) AS bsz FROM st)
+  WHERE bsz <= $erBlockCap),
 inc AS (SELECT rid, bkey FROM p WHERE (rid // 2) % 3 = 2)
-SELECT DISTINCT st.rid AS state_rid, inc.rid AS inc_rid
-FROM st JOIN inc ON st.bkey = inc.bkey""") { (s, d) =>
+SELECT DISTINCT stc.rid AS state_rid, inc.rid AS inc_rid
+FROM stc JOIN inc ON stc.bkey = inc.bkey""") { (s, d) =>
       prepareErState(s, d)
-      graft.streaming.ErProbe.candidatesOnce(s, d, erKeyStateTable(d))
+      graft.streaming.ErProbe.candidatesOnce(s, d, erKeyStateTable(d),
+        blockCap = Some(erBlockCap))
     },
 
     // Survivorship: per entity cluster, elect the canonical record by a

@@ -24,9 +24,17 @@ object ErProbe {
     * both dirty copies of an entity derive in-stream) against
     * `stateTable` ((rid, bkey) bucketed on bkey — written by
     * EntityQueries.prepareErState). Returns the settled DISTINCT
-    * candidate pairs (state_rid, inc_rid). */
+    * candidate pairs (state_rid, inc_rid). `blockCap` is the same
+    * collision budget as the batch blocking pass and st_lsh_probe's
+    * bandBucketCap: a state bucket above the cap is degenerate dirt
+    * density, and every arriving record landing in it would fan out
+    * cap+-fold into the sink — the static side drops such buckets
+    * once, before the stream ever joins (windowed count keyed on the
+    * bucketed column, no exchange). Without it, a 30-copy-density
+    * fixture floods the sink with tens of millions of candidates. */
   def candidatesOnce(spark: SparkSession, sfDir: String,
-                     stateTable: String): DataFrame = {
+                     stateTable: String,
+                     blockCap: Option[Int] = None): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
 
@@ -56,8 +64,15 @@ object ErProbe {
         keysOf(col("c_custkey") * 2, col("c_name")) ++
           keysOf(col("c_custkey") * 2 + 1, name2): _*)).as("k"))
       .select(col("k.inc_rid"), col("k.bkey"))
-      .join(ss.table(stateTable).select(col("rid").as("state_rid"), col("bkey")),
-        Seq("bkey"))
+      .join({
+        val st = ss.table(stateTable)
+          .select(col("rid").as("state_rid"), col("bkey"))
+        blockCap.fold(st) { cap =>
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("bkey")
+          st.withColumn("_bsz", count(lit(1)).over(w))
+            .filter(col("_bsz") <= cap).drop("_bsz")
+        }
+      }, Seq("bkey"))
       .select(col("state_rid"), col("inc_rid"))
 
     val qname = "graft_stream_er_probe"
