@@ -2207,6 +2207,43 @@ FROM comp GROUP BY 1""") { (s, d) =>
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // IVM for QUANTILES via mergeable sketch state — the non-algebraic
+    // class: a median has no partial you can add, but a domain-bounded
+    // HISTOGRAM does (bucket counts sum), and defining the quantile ON
+    // the histogram makes merge-of-sketches == sketch-of-all exact, so
+    // the full-recompute oracle pins the invariant by hash. State =
+    // per-(day, type) dollar-bucket counts (days × types × ~500
+    // buckets, never raw events); presentation = one bucket-ordered
+    // cumulative walk per group: p_q = min bucket whose cumulative
+    // count reaches ceil(q·n) (integer arithmetic — no float rank).
+    Q("ivm_daily_quantiles",
+      "WITH c AS (SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type, " +
+        "CAST(floor(value) AS BIGINT) AS bucket FROM events), " +
+        "h AS (SELECT obs_date, event_type, bucket, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM c GROUP BY 1, 2, 3), " +
+        "x AS (SELECT *, sum(cnt) OVER (PARTITION BY obs_date, event_type ORDER BY bucket) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY obs_date, event_type) AS n FROM h) " +
+        "SELECT obs_date, event_type, CAST(max(n) AS BIGINT) AS n, " +
+        "min(CASE WHEN cum >= (n + 1) // 2 THEN bucket END) AS p50_bucket, " +
+        "min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bucket END) AS p90_bucket " +
+        "FROM x GROUP BY 1, 2") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      prepareQuantState(s, d)
+      val state = s.read.parquet(quantStatePath(s, d))
+      val incr = quantBuckets(Tables.events(s, d).filter(col("event_id") % 3 === 2))
+      val merged = state.unionByName(incr)
+        .groupBy(col("obs_date"), col("event_type"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val g = Window.partitionBy(col("obs_date"), col("event_type"))
+      val x = merged
+        .withColumn("cum", sum(col("cnt")).over(g.orderBy(col("bucket"))))
+        .withColumn("n", sum(col("cnt")).over(g))
+      x.groupBy(col("obs_date"), col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("bucket"))).as("p50_bucket"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("bucket"))).as("p90_bucket"))
+    },
+
     // IVM for a JOIN aggregate via the delta-join rule: the maintained
     // view is the orders ⋈ lineitem daily quantity rollup; day-1 state
     // persists the old⋈old aggregate, and the increment merge computes
@@ -2488,6 +2525,33 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
           .as("obs_date"), col("event_type"), col("user_id"))
         .distinct(),
       usersStatePath(s, d), "obs_date", numFiles = 1,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/events.parquet"))
+
+  /** ivm_daily_quantiles' persisted SKETCH state: per-(day, type)
+    * dollar-bucket histograms of `value` — the mergeable-summary
+    * treatment of a NON-algebraic aggregate (a median has no partial
+    * you can add, but histograms union by summing bucket counts, and
+    * the quantile is DEFINED on the histogram, so merge-of-sketches ==
+    * sketch-of-all exactly). Bucket = floor(value), domain-bounded
+    * (~500 buckets), so state rides days × types × buckets — never raw
+    * events. */
+  private[queries] def quantStatePath(s: org.apache.spark.sql.SparkSession,
+                                      d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_ivm_quant_$tag").toString
+  }
+
+  private def quantBuckets(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+        .as("obs_date"), col("event_type"),
+      floor(col("value")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def prepareQuantState(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.ops.ScaleOps.ensureSortedBy(
+      quantBuckets(Tables.events(s, d).filter(col("event_id") % 3 =!= 2)),
+      quantStatePath(s, d), "obs_date", numFiles = 1,
       srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/events.parquet"))
 
   /** ivm_join_agg's persisted day-1 JOIN-aggregate state: the
