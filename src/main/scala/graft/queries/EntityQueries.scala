@@ -187,6 +187,36 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
       matches(s, d)
     },
 
+    // Blocking-quality audit — the report a linkage pipeline tunes its
+    // passes with: per pass, the records covered, block count, the
+    // candidate-pair volume the pass would generate UNCAPPED (sum of
+    // c·(c−1)/2 over blocks — the number the block cap exists to
+    // bound), and the largest block (the degenerate-key detector).
+    // Driver-bounded output: one row per pass.
+    Q("er_blocking_audit",
+      s"""WITH $erCtes
+SELECT pass, CAST(sum(c) AS BIGINT) AS n_records,
+  CAST(count(*) AS BIGINT) AS n_blocks,
+  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_candidate_pairs,
+  CAST(max(c) AS BIGINT) AS max_block
+FROM (SELECT pass, bk, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2)
+GROUP BY 1""") { (s, d) =>
+      val k = keyedRecords(s, d)
+      Seq(
+        (0L, col("digits")),
+        (1L, concat(col("nation").cast("string"), lit(":"),
+          expr("substring(digits, 1, 8)")))).map { case (i, key) =>
+        k.select(key.cast("string").as("bk")).filter(col("bk").isNotNull)
+          .groupBy(col("bk")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_records"),
+            count(lit(1)).as("n_blocks"),
+            expr("sum(c * (c - 1) div 2)").as("n_candidate_pairs"),
+            max(col("c")).as("max_block"))
+          .select(lit(i).as("pass"), col("n_records"), col("n_blocks"),
+            col("n_candidate_pairs"), col("max_block"))
+      }.reduce(_.unionByName(_))
+    },
+
     // Entity clusters: connected components over the match graph (the
     // greedy pairwise rules under-merge chains, exactly as in document
     // dedup), one row per entity with its size and max member.
