@@ -30,8 +30,14 @@ object Bench {
     // Warmup state is LOGGED (stderr, away from the JSON line): numbers
     // from a skipped or failing warmup are cold-JVM numbers, and that
     // must be visible in the bench record, not silently absorbed.
+    val warmAtSf = sys.env.getOrElse("SPARK_GRAFT_WARM_AT_SF", "1") != "0"
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    if (new java.io.File(warmDir).isDirectory) {
+    if (warmAtSf) {
+      // The timed-SF warm pass below covers JIT/codegen AND at-scale
+      // first-run effects; a second tiny-SF pass would only add wall
+      // clock to the driver's run.
+      System.err.println("[bench] tiny-SF warmup skipped: the timed-SF warm pass covers it")
+    } else if (new java.io.File(warmDir).isDirectory) {
       var warmFailed = 0
       SparkEntry.queries.filter(q => nameFilter(q._1)).foreach { case (name, fn) =>
         try fn(spark, warmDir).count() catch {
@@ -54,16 +60,17 @@ object Bench {
         System.err.println(s"[bench] layout prepare failed (queries will self-prepare, timed): " +
           Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
     }
-    // Second, UNTIMED pass at the TIMED SF (on by default; set
-    // SPARK_GRAFT_WARM_AT_SF=0 for a single-pass cold run): the sf0.001
-    // warmup above covers JIT/codegen, but first-run-at-scale effects —
-    // page-cache fill, CacheOnce materialization, size-specific codegen
-    // and GC shaping — still landed on whichever query ran first, so
-    // run-order shifts masqueraded as 2-6x per-query regressions
-    // (round-11 triage burned a cycle on exactly this; warm Prof reps
-    // are the stated arbiter, so the recorded pass now measures the
-    // same steady state Prof does).
-    if (sys.env.getOrElse("SPARK_GRAFT_WARM_AT_SF", "1") != "0") {
+    // UNTIMED pass at the TIMED SF (on by default; set
+    // SPARK_GRAFT_WARM_AT_SF=0 for the legacy tiny-SF-warmed single
+    // pass): a tiny-SF warmup covers JIT/codegen, but
+    // first-run-at-scale effects — page-cache fill, CacheOnce
+    // materialization, size-specific codegen and GC shaping — still
+    // landed on whichever query ran first, so run-order shifts
+    // masqueraded as 2-6x per-query regressions (round-11 triage burned
+    // a cycle on exactly this; warm Prof reps are the stated arbiter,
+    // so the recorded pass now measures the same steady state Prof
+    // does).
+    if (warmAtSf) {
       var warmFailed = 0
       SparkEntry.queries.filter(q => nameFilter(q._1)).foreach { case (name, fn) =>
         try fn(spark, sfDir).count() catch {
