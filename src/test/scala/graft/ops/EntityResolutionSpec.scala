@@ -52,6 +52,34 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L)))
   }
 
+  test("property: state-probe ∪ increment-self == full blocking restricted to increment") {
+    // The equivalence er_incremental_clusters' pair feed rests on
+    // (uncapped — the cap is a separate budget, deliberately absent
+    // from the incremental feed): probing the state's keys with the
+    // increment's keys plus the increment's own self-join yields
+    // EXACTLY the full blocking pass restricted to pairs with at least
+    // one increment endpoint. Random key assignments force shared,
+    // state-only and increment-only blocks across seeds.
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { round =>
+      val recs = (1L to 60L).map(r => (r, s"k${rnd.nextInt(12)}"))
+      val all = df("rid BIGINT, bk STRING")(recs.map { case (r, b) => Row(r, b) })
+      def norm(p: (Long, Long)) = (math.min(p._1, p._2), math.max(p._1, p._2))
+      val full = EntityResolution.blockedCandidates(all, "rid", Seq(col("bk")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fullTouching = full.filter { case (a, b) => a % 3 == 2 || b % 3 == 2 }
+      val state = all.filter(col("rid") % 3 =!= 2)
+      val inc = all.filter(col("rid") % 3 === 2)
+      val probe = state.select(col("rid").as("rid1"), col("bk"))
+        .join(inc.select(col("rid").as("rid2"), col("bk")), Seq("bk"))
+        .select("rid1", "rid2").distinct()
+        .collect().map(r => norm((r.getLong(0), r.getLong(1)))).toSet
+      val self = EntityResolution.blockedCandidates(inc, "rid", Seq(col("bk")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((probe ++ self) == fullTouching, s"diverged at seed round $round")
+    }
+  }
+
   test("survivorship: data preference wins over rid; rid breaks ties totally") {
     val clustered = df("cluster_id BIGINT, rid BIGINT, name STRING")(Seq(
       Row(10L, 1L, "dirty#x"), Row(10L, 2L, "Clean#42"),
