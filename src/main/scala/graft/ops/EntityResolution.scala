@@ -30,24 +30,86 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  // ---- shared dirt synthesis + key derivation ----------------------
+  // The dirty-variant surgery and the blocking-key format are ONE UNIT
+  // across the batch path (queries/EntityQueries), the streaming probe
+  // (streaming/ErProbe) and the persisted key state they both probe: a
+  // drifting copy in any consumer would find zero collisions and
+  // silently accept every record. One Scala copy lives here; the DuckDB
+  // oracle SQL stays the single independent twin.
+
+  /** Deterministic dirty copy of `name`, variant class by entity key:
+    * 0 = case drift (lower), 1 = punctuation typo ('#' → '-' at
+    * position 9), 2 = suffix truncation (last char dropped). */
+  def dirtyNameVariant(entityKey: Column, name: Column): Column =
+    when(entityKey % 3 === 0, lower(name))
+      .when(entityKey % 3 === 1,
+        concat(substring(name, 1, 8), lit("-"),
+          name.substr(lit(10), length(name))))
+      .otherwise(name.substr(lit(1), length(name) - 1))
+
+  /** Match-normalization digits: the name stripped of everything
+    * non-numeric (survives case and punctuation dirt unchanged). */
+  def nameDigits(name: Column): Column = regexp_replace(name, "[^0-9]", "")
+
+  /** The two blocking-pass keys over (nation, digits): pass 0 =
+    * digits-only (survives case/punctuation), pass 1 = (nation,
+    * 8-digit prefix) (survives suffix truncation) — each pass keyed to
+    * survive a different dirt class. */
+  def blockPassKeys(nation: Column, digits: Column): Seq[Column] =
+    Seq(digits,
+      concat(nation.cast("string"), lit(":"), substring(digits, 1, 8)))
+
+  /** [[blockPassKeys]] folded into single-column composite "pass:key"
+    * strings — the band_key convention the persisted ER key state
+    * buckets on and the streaming probe joins against. */
+  def compositeBlockKeys(nation: Column, digits: Column): Seq[Column] =
+    blockPassKeys(nation, digits).zipWithIndex.map { case (k, i) =>
+      concat(lit(s"$i:"), k)
+    }
+
   /** Candidate pairs from multi-pass blocking: `passKeys(i)` is the
     * pass-i blocking key expression (null keys drop out — a null never
     * blocks with anything). Returns distinct (rid1, rid2), rid1 < rid2.
     * The per-(pass, key) cap bounds degenerate blocks; the windowed
     * count is keyed exactly like the self-join, so it introduces no
-    * extra exchange shape. */
+    * extra exchange shape.
+    *
+    * `derivedCap` = (floor, multOfMeanBlock) replaces the FIXED cap
+    * with the corpus-derived bound the blocking audit reports: per
+    * pass, cap = greatest(floor, mult · mean block size) — computed
+    * IN-PLAN as a 2-row broadcast (one row per pass), integer
+    * arithmetic end to end. A fixed cap inverts at high dup density
+    * (every block crosses it and the pass zeroes out — observed at the
+    * 30-copy stress fixture); the derived cap rides the corpus's own
+    * density, so mass duplication degrades gracefully while a
+    * DEGENERATE key (one block holding a large corpus fraction, far
+    * above mult × the mean) stays capped. Mutually exclusive with
+    * `blockCap`. */
   def blockedCandidates(records: DataFrame, ridCol: String,
                         passKeys: Seq[Column],
-                        blockCap: Option[Int] = None): DataFrame = {
+                        blockCap: Option[Int] = None,
+                        derivedCap: Option[(Int, Int)] = None): DataFrame = {
     require(passKeys.nonEmpty, "blocking needs at least one pass")
+    require(blockCap.isEmpty || derivedCap.isEmpty,
+      "blockCap and derivedCap are mutually exclusive")
     val keyed = passKeys.zipWithIndex.map { case (k, i) =>
       records.select(col(ridCol), lit(i).as("_pass"), k.cast("string").as("_bk"))
         .filter(col("_bk").isNotNull)
     }.reduce(_.unionByName(_))
-    val capped = blockCap.fold(keyed) { cap =>
+    val fixedCapped = blockCap.fold(keyed) { cap =>
       val w = Window.partitionBy("_pass", "_bk")
       keyed.withColumn("_bsz", count(lit(1)).over(w))
         .filter(col("_bsz") <= cap).drop("_bsz")
+    }
+    val capped = derivedCap.fold(fixedCapped) { case (floor, mult) =>
+      val capDf = keyed.groupBy(col("_pass"))
+        .agg(greatest(lit(floor.toLong),
+          expr(s"$mult * count(1) div count(DISTINCT _bk)")).as("_cap"))
+      val w = Window.partitionBy("_pass", "_bk")
+      keyed.withColumn("_bsz", count(lit(1)).over(w))
+        .join(broadcast(capDf), Seq("_pass"))
+        .filter(col("_bsz") <= col("_cap")).drop("_bsz", "_cap")
     }
     val l = capped.select(col(ridCol).as("rid1"), col("_pass"), col("_bk"))
     val r = capped.select(col(ridCol).as("rid2"), col("_pass"), col("_bk"))

@@ -68,15 +68,22 @@ object PlanChecks {
     * bucketing. Downstream stages above that join may shuffle
     * legitimately; the claim is only about the state side's path. */
   def requireExchangeFreeBucketedProbe(plan: SparkPlan, what: String): Unit = {
-    val path = pathsTo(plan) {
+    // EVERY bucketed-scan path is asserted, not an arbitrary first one:
+    // a plan carrying two bucketed scans (state + some other persisted
+    // table) would otherwise let the un-inspected one re-shuffle behind
+    // a green REQUIRE.
+    val paths = pathsTo(plan) {
       case f: FileSourceScanExec => f.relation.bucketSpec.isDefined && f.bucketedScan
       case _                     => false
-    }.headOption.getOrElse(throw new IllegalStateException(
-      s"$what did not plan a bucketed scan — the persisted bucket layout regressed"))
-    val joinIdx = path.lastIndexWhere(_.isInstanceOf[BaseJoinExec])
-    require(joinIdx >= 0, s"no join consumes the bucketed $what scan")
-    require(!path.drop(joinIdx + 1).exists(_.isInstanceOf[ShuffleExchangeLike]),
-      s"Exchange between the probe join and the bucketed $what scan — " +
-        "the state side re-shuffled despite its bucketing")
+    }
+    require(paths.nonEmpty,
+      s"$what did not plan a bucketed scan — the persisted bucket layout regressed")
+    paths.foreach { path =>
+      val joinIdx = path.lastIndexWhere(_.isInstanceOf[BaseJoinExec])
+      require(joinIdx >= 0, s"no join consumes the bucketed $what scan")
+      require(!path.drop(joinIdx + 1).exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"Exchange between the probe join and the bucketed $what scan — " +
+          "the state side re-shuffled despite its bucketing")
+    }
   }
 }

@@ -361,6 +361,47 @@ walk(node, lbl) AS (SELECT node, node FROM n
   UNION SELECT e.a, w.lbl FROM walk w JOIN e ON e.b = w.node)
 SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
 
+  /** st_incremental_clusters_capped oracle — the CAP-AWARE twin of
+    * [[incrementalClustersOracleSql]] (st_er_probe's treatment of the
+    * same tension: the cap is part of the operator's SEMANTICS, pinned
+    * by hash, not waived). The pair graph it re-clusters is exactly
+    * what the capped streamed gate can surface: state-vs-state pairs in
+    * full (they live in the persisted day-1 cluster state, the cap
+    * never applies to them), state-vs-increment pairs ONLY through
+    * state band buckets of size <= [[lshBandBucketCap]] (the streamed
+    * probe's collision budget), and increment-vs-increment pairs in
+    * full (the batch tail's self-join is increment-bounded already).
+    * Cross pairs dropped by the cap are dropped HERE too — accepted
+    * approximate maintenance at degenerate dup density, full parity
+    * everywhere else (the cap never binds at driver SFs). */
+  private val cappedIncrementalClustersOracleSql: String =
+    s"""WITH RECURSIVE st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+${minhashSideCtes("a", "st")},
+${minhashSideCtes("b", "inc")},
+$cappedStateBndCte,
+${crossVerifyCtes(0.5, "abndc")},
+scd AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM abnd l JOIN abnd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+sintr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM scd c
+  JOIN ash x ON x.doc_id = c.id1 JOIN ash y ON y.doc_id = c.id2 AND x.shingle = y.shingle
+  GROUP BY 1, 2),
+snd AS (SELECT id1, id2 FROM sintr JOIN szA s1 ON s1.doc_id = id1 JOIN szA s2 ON s2.doc_id = id2
+  WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5),
+icd AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM bbnd l JOIN bbnd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+iintr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM icd c
+  JOIN bsh x ON x.doc_id = c.id1 JOIN bsh y ON y.doc_id = c.id2 AND x.shingle = y.shingle
+  GROUP BY 1, 2),
+ind AS (SELECT id1, id2 FROM iintr JOIN szB s1 ON s1.doc_id = id1 JOIN szB s2 ON s2.doc_id = id2
+  WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5),
+alle AS (SELECT id1, id2 FROM snd UNION SELECT id1, id2 FROM vf UNION SELECT id1, id2 FROM ind),
+e AS (SELECT id1 AS a, id2 AS b FROM alle UNION SELECT id2, id1 FROM alle),
+n AS (SELECT DISTINCT a AS node FROM e),
+walk(node, lbl) AS (SELECT node, node FROM n
+  UNION SELECT e.a, w.lbl FROM walk w JOIN e ON e.b = w.node)
+SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
+
   /** pipe_incremental_crawl oracle: the SEQUENTIAL batch equivalent of
     * the composed daily-crawl pass — exact digest gate (in-batch
     * min-id winners anti-joined against the day-1 digests), LSH
@@ -2130,6 +2171,42 @@ FROM comp GROUP BY 1""") { (s, d) =>
       Dedup.incrementalClusters(state, pairs)
     },
 
+    // The CAPPED streamed incremental-cluster variant — the scale-safe
+    // deployment shape (st_er_probe's precedent applied to clusters):
+    // the live collision gate runs WITH the state-side band-bucket
+    // budget ([[lshBandBucketCap]], st_lsh_probe's cap), so a
+    // degenerate state bucket (boilerplate band, mass duplication) is
+    // dropped ONCE on the static side instead of fanning every arriving
+    // doc out bucket-size-fold — per-arrival probe cost stays bounded
+    // at ANY duplication density (the uncapped twin above is the
+    // full-re-cluster parity/audit query; this is what production
+    // runs). The cap is PART OF THE SEMANTICS: the oracle re-clusters
+    // over exactly the cap-surviving cross pairs (plus full state-state
+    // and inc-inc pairs), so cap behavior is pinned by hash, never
+    // waived. At driver SFs the cap never binds and the result equals
+    // the uncapped query's.
+    Q("st_incremental_clusters_capped",
+      cappedIncrementalClustersOracleSql) { (s, d) =>
+      prepareClusterState(s, d); prepareLshState(s, d)
+      val docs = Tables.documents(s, d)
+      val state = s.read.parquet(clusterStatePath(s, d))
+      val staged = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "graft_st_cc_capped_" + d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+      ).toString
+      graft.streaming.LshProbe.candidatesOnce(s, d, lshStateTable(d),
+          bandBucketCap = Some(lshBandBucketCap))
+        .write.mode("overwrite").parquet(staged)
+      val crossCands = s.read.parquet(staged)
+        .select(col("state_id").as("id1"), col("inc_id").as("id2"))
+      val pairs = Dedup.verifyIncrementPairs(crossCands,
+        docs.filter(col("doc_id") % 3 === 2),
+        docs.filter(col("doc_id") % 3 =!= 2),
+        "doc_id", "text", numHashes = 32, rowsPerBand = 4,
+        shingleN = 2, threshold = 0.5)
+      Dedup.incrementalClusters(state, pairs)
+    },
+
     // Incremental view maintenance for AGGREGATES — the family's last
     // member (exact digests, LSH bands, centroids, clusters, now
     // partial aggregates): day-1 daily tallies persist as state; each
@@ -2168,7 +2245,11 @@ FROM comp GROUP BY 1""") { (s, d) =>
         "CAST(round(value * 100) AS BIGINT) AS cents, value FROM events) " +
         "SELECT obs_date, event_type, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(cents) AS BIGINT) / 100.0 AS total_value, " +
-        "(CAST(sum(cents) AS BIGINT) * 100 // count(value)) / 10000.0 AS avg_value " +
+        // nullif guards the all-null-value group: Spark's `div` yields
+        // NULL on a zero divisor but DuckDB's `//` ERRORS — without the
+        // guard an nv=0 group (legal: value is nullable) kills the
+        // oracle run instead of comparing NULL==NULL.
+        "(CAST(sum(cents) AS BIGINT) * 100 // nullif(count(value), 0)) / 10000.0 AS avg_value " +
         "FROM c GROUP BY 1, 2") { (s, d) =>
       prepareMetricsState(s, d)
       val state = s.read.parquet(metricsStatePath(s, d))
@@ -2218,7 +2299,7 @@ FROM comp GROUP BY 1""") { (s, d) =>
     // count reaches ceil(q·n) (integer arithmetic — no float rank).
     Q("ivm_daily_quantiles",
       "WITH c AS (SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type, " +
-        "CAST(floor(value) AS BIGINT) AS bucket FROM events), " +
+        "CAST(floor(value) AS BIGINT) AS bucket FROM events WHERE value IS NOT NULL), " +
         "h AS (SELECT obs_date, event_type, bucket, CAST(count(*) AS BIGINT) AS cnt " +
         "FROM c GROUP BY 1, 2, 3), " +
         "x AS (SELECT *, sum(cnt) OVER (PARTITION BY obs_date, event_type ORDER BY bucket) AS cum, " +
@@ -2543,7 +2624,15 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
   }
 
   private def quantBuckets(df: org.apache.spark.sql.DataFrame) =
-    df.groupBy(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+    // NULL values are dropped BEFORE bucketing (symmetrically with the
+    // oracle's WHERE value IS NOT NULL): a null bucket would otherwise
+    // ride each engine's own NULL sort order through the cumulative
+    // walk — Spark windows put NULLS FIRST, DuckDB NULLS LAST — and
+    // shift every quantile in a null-bearing group. The schema allows
+    // nulls (value is Option[Double]); parity must not hinge on
+    // fixtures happening to contain none.
+    df.filter(col("value").isNotNull)
+      .groupBy(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
         .as("obs_date"), col("event_type"),
       floor(col("value")).cast("long").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -2593,7 +2682,13 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
       joinAggPartial(ordersOld(Tables.orders(s, d)),
         lineitemOld(Tables.lineitem(s, d))),
       joinAggStatePath(s, d), "order_date", numFiles = 1,
-      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/lineitem.parquet"))
+      // BOTH source fingerprints: the persisted old⋈old aggregate
+      // derives from orders AND lineitem — a lineitem-only key would
+      // silently serve stale join state after orders alone regenerates
+      // (the exact staleness mode ensureBucketed's docs warn about).
+      srcFingerprint =
+        graft.ops.ScaleOps.fileFingerprint(s"$d/orders.parquet") + "|" +
+          graft.ops.ScaleOps.fileFingerprint(s"$d/lineitem.parquet"))
 
   /** dd_incremental_neardup's persisted LSH band-bucket state table. */
   private[graft] def lshStateTable(sfDir: String): String =

@@ -26,6 +26,17 @@ object EntityQueries {
 
   private val erBlockCap = 32
 
+  /** Derived-cap multiplier: the live block cap is
+    * greatest(erBlockCap, erCapMeanMult · mean block size), the
+    * corpus-derived bound [[EntityResolution.blockedCandidates]]
+    * computes per pass — er_blocking_audit's own numbers wired into the
+    * cap choice, so mass duplication (every block dense) degrades
+    * gracefully instead of zeroing the pass, while a degenerate key
+    * (one block far above mult × the mean) stays capped. Never binds
+    * differently from the fixed floor at driver SFs (mean block size
+    * ≈ 2 there). */
+  private val erCapMeanMult = 4
+
   /** The dirty feed + normalized keys + blocked/verified matches, as
     * shared DuckDB CTEs (`k` = keyed records, `m` = verified pairs). */
   private val erCtes: String =
@@ -40,9 +51,11 @@ k AS (SELECT rid, nation, name, lower(name) AS norm,
   regexp_replace(name, '[^0-9]', '', 'g') AS digits FROM d),
 p AS (SELECT rid, 0 AS pass, digits AS bk FROM k
   UNION ALL SELECT rid, 1, CAST(nation AS VARCHAR) || ':' || substr(digits,1,8) FROM k),
+pcap AS (SELECT pass, greatest($erBlockCap, $erCapMeanMult * count(*) // count(DISTINCT bk)) AS cap
+  FROM p GROUP BY pass),
 pc AS (SELECT rid, pass, bk FROM
-  (SELECT *, count(*) OVER (PARTITION BY pass, bk) AS bsz FROM p)
-  WHERE bsz <= $erBlockCap),
+  (SELECT *, count(*) OVER (PARTITION BY pass, bk) AS bsz FROM p) pw
+  JOIN pcap USING (pass) WHERE bsz <= cap),
 cand AS (SELECT DISTINCT l.rid AS rid1, r.rid AS rid2
   FROM pc l JOIN pc r ON l.pass = r.pass AND l.bk = r.bk AND l.rid < r.rid),
 m AS (SELECT rid1, rid2, CAST(levenshtein(k1.norm, k2.norm) AS BIGINT) AS name_dist
@@ -95,15 +108,12 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
     val a = c.select((col("c_custkey") * 2).as("rid"), col("c_name").as("name"),
       col("c_nationkey").as("nation"))
     val b = c.select((col("c_custkey") * 2 + 1).as("rid"),
-      when(col("c_custkey") % 3 === 0, lower(col("c_name")))
-        .when(col("c_custkey") % 3 === 1,
-          concat(expr("substring(c_name, 1, 8)"), lit("-"), expr("substring(c_name, 10)")))
-        .otherwise(expr("substring(c_name, 1, length(c_name) - 1)")).as("name"),
+      EntityResolution.dirtyNameVariant(col("c_custkey"), col("c_name")).as("name"),
       col("c_nationkey").as("nation"))
     graft.ops.CacheOnce.swap("er-keyed-records",
       a.unionByName(b).select(col("rid"), col("nation"), col("name"),
         lower(col("name")).as("norm"),
-        regexp_replace(col("name"), "[^0-9]", "").as("digits")))
+        EntityResolution.nameDigits(col("name")).as("digits")))
   }
 
   /** Split of the dirty feed for the incremental path: an ENTITY is in
@@ -115,10 +125,9 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
     * single-column band_key convention, so the persisted state can
     * bucket on exactly the probe-join column. */
   private def passKeyRows(k: DataFrame): DataFrame =
-    k.select(col("rid"), concat(lit("0:"), col("digits")).as("bkey"))
-      .unionByName(k.select(col("rid"),
-        concat(lit("1:"), col("nation").cast("string"), lit(":"),
-          expr("substring(digits, 1, 8)")).as("bkey")))
+    EntityResolution.compositeBlockKeys(col("nation"), col("digits"))
+      .map(bk => k.select(col("rid"), bk.as("bkey")))
+      .reduce(_.unionByName(_))
 
   private[queries] def erKeyStateTable(d: String): String =
     s"graft_er_keys_${d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
@@ -161,9 +170,7 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
       graft.dedup.Dedup.connectedComponents(
         EntityResolution.verifyByEditDistance(
           EntityResolution.blockedCandidates(stateK, "rid",
-            passKeys = Seq(col("digits"),
-              concat(col("nation").cast("string"), lit(":"),
-                expr("substring(digits, 1, 8)")))),
+            passKeys = EntityResolution.blockPassKeys(col("nation"), col("digits"))),
           stateK, "rid", "norm", Seq("nation"), maxDist = 1),
         ("rid1", "rid2")))
   }
@@ -171,10 +178,8 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
   private def matches(s: SparkSession, d: String): DataFrame = {
     val k = keyedRecords(s, d)
     val cands = EntityResolution.blockedCandidates(k, "rid",
-      passKeys = Seq(col("digits"),
-        concat(col("nation").cast("string"), lit(":"),
-          expr("substring(digits, 1, 8)"))),
-      blockCap = Some(erBlockCap))
+      passKeys = EntityResolution.blockPassKeys(col("nation"), col("digits")),
+      derivedCap = Some((erBlockCap, erCapMeanMult)))
     EntityResolution.verifyByEditDistance(cands, k, "rid", "norm",
       exactCols = Seq("nation"), maxDist = 1)
   }
@@ -191,29 +196,33 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
     // passes with: per pass, the records covered, block count, the
     // candidate-pair volume the pass would generate UNCAPPED (sum of
     // c·(c−1)/2 over blocks — the number the block cap exists to
-    // bound), and the largest block (the degenerate-key detector).
+    // bound), the largest block (the degenerate-key detector), and the
+    // DERIVED CAP the live blocking pass actually applies
+    // (greatest(floor, mult · mean block size) — the audit's own
+    // numbers are the cap choice, closing the tune-the-cap loop).
     // Driver-bounded output: one row per pass.
     Q("er_blocking_audit",
       s"""WITH $erCtes
 SELECT pass, CAST(sum(c) AS BIGINT) AS n_records,
   CAST(count(*) AS BIGINT) AS n_blocks,
   CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_candidate_pairs,
-  CAST(max(c) AS BIGINT) AS max_block
+  CAST(max(c) AS BIGINT) AS max_block,
+  CAST(greatest($erBlockCap, $erCapMeanMult * sum(c) // count(*)) AS BIGINT) AS derived_cap
 FROM (SELECT pass, bk, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2)
 GROUP BY 1""") { (s, d) =>
       val k = keyedRecords(s, d)
-      Seq(
-        (0L, col("digits")),
-        (1L, concat(col("nation").cast("string"), lit(":"),
-          expr("substring(digits, 1, 8)")))).map { case (i, key) =>
+      EntityResolution.blockPassKeys(col("nation"), col("digits"))
+        .zipWithIndex.map { case (key, i) =>
         k.select(key.cast("string").as("bk")).filter(col("bk").isNotNull)
           .groupBy(col("bk")).agg(count(lit(1)).as("c"))
           .agg(sum(col("c")).as("n_records"),
             count(lit(1)).as("n_blocks"),
             expr("sum(c * (c - 1) div 2)").as("n_candidate_pairs"),
-            max(col("c")).as("max_block"))
-          .select(lit(i).as("pass"), col("n_records"), col("n_blocks"),
-            col("n_candidate_pairs"), col("max_block"))
+            max(col("c")).as("max_block"),
+            greatest(lit(erBlockCap.toLong),
+              expr(s"$erCapMeanMult * sum(c) div count(1)")).as("derived_cap"))
+          .select(lit(i.toLong).as("pass"), col("n_records"), col("n_blocks"),
+            col("n_candidate_pairs"), col("max_block"), col("derived_cap"))
       }.reduce(_.unionByName(_))
     },
 
@@ -267,11 +276,15 @@ FROM comp GROUP BY 1""") { (s, d) =>
     // aggregation state) and probe the persisted bucketed key state
     // with a stateless stream-static join; the settled distinct equals
     // the batch cross-candidate set at any arrival order. The state
-    // side carries the SAME block cap as the batch blocking pass
-    // (st_lsh_probe's bandBucketCap shape) — never binds at driver SFs,
-    // binds deliberately at copy-density stress fixtures, where an
-    // uncapped probe floods the sink cap+-fold per arrival. Oracle =
-    // the state-capped state-vs-increment blocking join.
+    // side carries the same DERIVED block cap as the batch blocking
+    // pass (greatest(floor, mult · mean state block size) — the
+    // blocking audit's own numbers): never binds at driver SFs; at
+    // copy-density stress fixtures it rides the density so the probe
+    // degrades gracefully instead of zeroing, while an uncapped probe
+    // would flood the sink cap+-fold per arrival (the r12 JVM-kill
+    // incident) and a FIXED cap zeroes every block. Oracle = the
+    // state-capped state-vs-increment blocking join with the same
+    // derivation.
     Q("st_er_probe",
       s"""WITH a AS (SELECT c_custkey*2 AS rid, c_name AS name, c_nationkey AS nation FROM customer),
 b AS (SELECT c_custkey*2+1 AS rid,
@@ -286,13 +299,13 @@ p AS (SELECT rid, '0:' || digits AS bkey FROM k
 st AS (SELECT rid, bkey FROM p WHERE (rid // 2) % 3 <> 2),
 stc AS (SELECT rid, bkey FROM
   (SELECT *, count(*) OVER (PARTITION BY bkey) AS bsz FROM st)
-  WHERE bsz <= $erBlockCap),
+  WHERE bsz <= (SELECT greatest($erBlockCap, $erCapMeanMult * count(*) // count(DISTINCT bkey)) FROM st)),
 inc AS (SELECT rid, bkey FROM p WHERE (rid // 2) % 3 = 2)
 SELECT DISTINCT stc.rid AS state_rid, inc.rid AS inc_rid
 FROM stc JOIN inc ON stc.bkey = inc.bkey""") { (s, d) =>
       prepareErState(s, d)
       graft.streaming.ErProbe.candidatesOnce(s, d, erKeyStateTable(d),
-        blockCap = Some(erBlockCap))
+        derivedBlockCap = Some((erBlockCap, erCapMeanMult)))
     },
 
     // Survivorship: per entity cluster, elect the canonical record by a

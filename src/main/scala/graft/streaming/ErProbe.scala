@@ -31,29 +31,34 @@ object ErProbe {
     * cap+-fold into the sink — the static side drops such buckets
     * once, before the stream ever joins (windowed count keyed on the
     * bucketed column, no exchange). Without it, a 30-copy-density
-    * fixture floods the sink with tens of millions of candidates. */
+    * fixture floods the sink with tens of millions of candidates.
+    * `derivedBlockCap` = (floor, multOfMeanBlock) replaces the fixed
+    * cap with the corpus-derived bound (greatest(floor, mult · mean
+    * state block size), a 1-row broadcast over the state table) — mass
+    * duplication raises the cap with the density instead of zeroing
+    * the probe, while a degenerate key far above mult × the mean stays
+    * capped. Mutually exclusive with `blockCap`. */
   def candidatesOnce(spark: SparkSession, sfDir: String,
                      stateTable: String,
-                     blockCap: Option[Int] = None): DataFrame = {
+                     blockCap: Option[Int] = None,
+                     derivedBlockCap: Option[(Int, Int)] = None): DataFrame = {
+    require(blockCap.isEmpty || derivedBlockCap.isEmpty,
+      "blockCap and derivedBlockCap are mutually exclusive")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
 
-    // The same dirty-variant surgery and composite pass keys as the
-    // batch path (EntityQueries) — the sketch parameters are one unit;
-    // a drifting key format would find zero collisions and silently
-    // accept every record.
-    val name2 = when(col("c_custkey") % 3 === 0, lower(col("c_name")))
-      .when(col("c_custkey") % 3 === 1,
-        concat(expr("substring(c_name, 1, 8)"), lit("-"), expr("substring(c_name, 10)")))
-      .otherwise(expr("substring(c_name, 1, length(c_name) - 1)"))
-    def keysOf(rid: org.apache.spark.sql.Column, nm: org.apache.spark.sql.Column) = {
-      val digits = regexp_replace(nm, "[^0-9]", "")
-      Seq(
-        struct(rid.as("inc_rid"), concat(lit("0:"), digits).as("bkey")),
-        struct(rid.as("inc_rid"),
-          concat(lit("1:"), col("c_nationkey").cast("string"), lit(":"),
-            substring(digits, 1, 8)).as("bkey")))
-    }
+    // Dirty-variant surgery and composite pass keys come from the ONE
+    // shared builder ([[graft.ops.EntityResolution]]) the batch path
+    // and the persisted key state also use — the sketch parameters are
+    // one unit; a drifting key format would find zero collisions and
+    // silently accept every record. Only the DuckDB oracle SQL remains
+    // an independent copy, on purpose.
+    import graft.ops.EntityResolution
+    val name2 = EntityResolution.dirtyNameVariant(col("c_custkey"), col("c_name"))
+    def keysOf(rid: org.apache.spark.sql.Column, nm: org.apache.spark.sql.Column) =
+      EntityResolution
+        .compositeBlockKeys(col("c_nationkey"), EntityResolution.nameDigits(nm))
+        .map(bk => struct(rid.as("inc_rid"), bk.as("bkey")))
 
     val stream = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(customerSchema))
@@ -67,10 +72,17 @@ object ErProbe {
       .join({
         val st = ss.table(stateTable)
           .select(col("rid").as("state_rid"), col("bkey"))
-        blockCap.fold(st) { cap =>
-          val w = org.apache.spark.sql.expressions.Window.partitionBy("bkey")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("bkey")
+        val fixed = blockCap.fold(st) { cap =>
           st.withColumn("_bsz", count(lit(1)).over(w))
             .filter(col("_bsz") <= cap).drop("_bsz")
+        }
+        derivedBlockCap.fold(fixed) { case (floor, mult) =>
+          val capDf = st.agg(greatest(lit(floor.toLong),
+            expr(s"$mult * count(1) div count(DISTINCT bkey)")).as("_cap"))
+          st.withColumn("_bsz", count(lit(1)).over(w))
+            .crossJoin(broadcast(capDf))
+            .filter(col("_bsz") <= col("_cap")).drop("_bsz", "_cap")
         }
       }, Seq("bkey"))
       .select(col("state_rid"), col("inc_rid"))
