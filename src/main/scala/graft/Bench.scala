@@ -52,6 +52,41 @@ object Bench {
     } else {
       System.err.println(s"[bench] warmup SKIPPED: $warmDir is not a directory — all timings are cold-JVM")
     }
+    // Page-cache pre-touch of the timed SF tree + thermal self-report
+    // (round-12 triage: the driver record read 162 s where warm local
+    // runs read 104 s, and every delta collapsed under warm reps — the
+    // parquet tree had re-chilled between passes on the driver host).
+    // The probe reads ONE file cold-ish and reports its MB/s (a cached
+    // tree reads at GB/s, a cold disk at ~100-500 MB/s), then the sweep
+    // pulls every byte of the tree through the page cache so the warm
+    // pass below really is warm. Both numbers land in the bench record
+    // header, so a hot-vs-cold record is self-describing instead of
+    // burning a triage cycle per round.
+    def sweepBytes(fs: Seq[java.io.File]): (Double, Long) = {
+      val buf = new Array[Byte](1 << 20)
+      val t0 = System.nanoTime()
+      var n = 0L
+      fs.foreach { f =>
+        val in = new java.io.FileInputStream(f)
+        try {
+          var r = in.read(buf)
+          while (r >= 0) { n += r; r = in.read(buf) }
+        } finally in.close()
+      }
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val sfFiles = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet")).toSeq
+      .sortBy(_.getName)
+    val (coldSec, coldBytes) = sweepBytes(sfFiles.take(1))
+    val (sweepSec, sweepedBytes) = sweepBytes(sfFiles)
+    def mbs(sec: Double, bytes: Long): Double =
+      if (sec > 0) bytes / 1e6 / sec else 0.0
+    val thermal = s""""pretouch":{"probe_mb_s":${mbs(coldSec, coldBytes).round},""" +
+      s""""sweep_mb_s":${mbs(sweepSec, sweepedBytes).round},""" +
+      s""""bytes":$sweepedBytes}"""
+    System.err.println(s"[bench] pre-touch: probe ${mbs(coldSec, coldBytes).round} MB/s, " +
+      s"sweep ${mbs(sweepSec, sweepedBytes).round} MB/s over $sweepedBytes bytes")
     // One-time layout prep at the TIMED SF (bucketed CTAS), outside the
     // timed bodies: the layout claim is "write once, join forever", so
     // the bench measures the steady state, not the one-time write.
@@ -116,7 +151,7 @@ object Bench {
     val nFailed = results.values.count(_.isLeft)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$thermal,"queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
     // Log capture tail-truncates stdout in practice, so the full record
     // is ALSO written durably — to the env-pointed path AND to
     // BENCH_FULL.json in the working directory, where a repo checkout
@@ -159,7 +194,7 @@ object Bench {
           case (k, Right(sec)) => s""""${esc(k)}":${fmt(sec)}"""
           case (k, Left(err)) => s""""${esc(k)}":{"err":"${esc(err)}"}"""
         }
-        val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
+        val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,$thermal,"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
         val sb = new StringBuilder(head)
         var first = true
         frags.foreach { f =>

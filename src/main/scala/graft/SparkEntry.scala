@@ -210,5 +210,7 @@ object SparkEntry {
     CorpusQueries.prepareQuantState(spark, sfDir)
     EntityQueries.prepareErState(spark, sfDir)
     EntityQueries.prepareErFullClusters(spark, sfDir)
+    CorpusQueries.preparePageRankState(spark, sfDir)
+    RelationalQueries.prepareScd2AggState(spark, sfDir)
   }
 }

@@ -79,6 +79,85 @@ object PageRank {
     last.select(col("id"), round(col("r"), roundTo).as("rank"))
   }
 
+  /** Incremental PageRank — the graph family's operational member
+    * (digests, bands, centroids, clusters, aggregates and ER all have
+    * one): ranks persist from the accepted corpus's graph, the crawl
+    * increment contributes new edges, and the refresh RE-ITERATES over
+    * the merged graph SEEDED from the persisted ranks — `iters` cheap
+    * supersteps instead of the full from-uniform trajectory (warm-start
+    * convergence: the seed is already near the merged fixpoint wherever
+    * the increment didn't touch).
+    *
+    * Scale shape: `stateEdges` is the PERSISTED edge state — a table
+    * bucketed AND sorted on `src` — and every superstep's big join
+    * (edges ⋈ per-node rank/out-degree contributions) is pinned
+    * sort-merge so the |E|-sized state rides its bucketing through
+    * EVERY superstep with no exchange: per round, only node-sized
+    * frames (ranks, degrees) and the keyed message aggregate move.
+    * Increment edges join separately and the two message streams merge
+    * in the dst aggregate — unioning the edge FRAMES first would erase
+    * the state side's partitioning and re-shuffle the whole graph per
+    * superstep, the exact cost the persisted layout exists to avoid.
+    * Out-degrees are recomputed over the merged graph (an increment
+    * edge at a state node changes its degree — stale state degrees
+    * would leak rank mass).
+    *
+    * The persisted seed is the checkpoint ROUNDING boundary: state
+    * ranks are stored at their published precision (pageRank's
+    * `roundTo`), so the refresh trajectory is an exact algebraic
+    * function of (state graph, increment edges, superstep counts) that
+    * an ANSI engine reproduces by unrolling both phases — the
+    * registered oracle does precisely that. New nodes (no persisted
+    * rank) seed at 1/N of the merged graph. Same symmetric-graph
+    * contract as [[pageRank]], enforced the same way. */
+  def incrementalPageRank(stateEdges: DataFrame, incEdges: DataFrame,
+                          stateRanks: DataFrame, iters: Int = 2,
+                          damping: Double = 0.85, roundTo: Int = 6): DataFrame = {
+    require(iters >= 1, "incrementalPageRank needs at least one iteration")
+    val incE = graft.ops.CacheOnce.swap("ipr-inc-edges", incEdges)
+    // Merged out-degrees: the state side's aggregate rides the bucketing
+    // (no exchange), and the merge with the increment's degrees is a
+    // node-sized full-outer join PINNED sort-merge on the state side —
+    // a union+re-aggregate here would put a shuffle between the
+    // bucketed scan and its consuming join, which is exactly what the
+    // executed-plan REQUIRE rejects.
+    val deg = graft.ops.CacheOnce.swap("ipr-deg",
+      stateEdges.groupBy(col("src")).agg(count(lit(1)).as("_sd")).hint("merge")
+        .join(incE.groupBy(col("src")).agg(count(lit(1)).as("_id")),
+          Seq("src"), "full_outer")
+        .select(col("src"),
+          (coalesce(col("_sd"), lit(0L)) + coalesce(col("_id"), lit(0L))).as("_deg")))
+    val nDangling = stateEdges.select(col("dst").as("src"))
+      .unionByName(incE.select(col("dst").as("src"))).distinct()
+      .join(deg, Seq("src"), "left_anti").count()
+    require(nDangling == 0,
+      s"incrementalPageRank: $nDangling dangling node(s) — symmetrize() both edge frames first")
+    val nDf = deg.agg(count(lit(1)).cast("double").as("_n"))
+    val init = deg.select(col("src").as("id"))
+      .join(stateRanks.select(col("id"), col("rank").as("_seed")), Seq("id"), "left")
+      .crossJoin(broadcast(nDf))
+      .select(col("id"), coalesce(col("_seed"), lit(1.0) / col("_n")).as("r"))
+    val last = (1 to iters).foldLeft(init) { (ranks, _) =>
+      // Per-node contribution r/outdeg, computed ONCE per round on the
+      // node-sized frame then routed along BOTH edge frames — cached,
+      // because its two message-branch references would otherwise
+      // re-execute every earlier superstep per branch (2^iters plan
+      // duplication).
+      val rpd = graft.ops.CacheOnce.swap("ipr-rpd",
+        ranks.join(deg, ranks("id") === deg("src"))
+          .select(col("src"), (col("r") / col("_deg")).as("_rpd")))
+      val msgs = stateEdges.hint("merge").join(rpd, Seq("src"))
+        .select(col("dst"), col("_rpd"))
+        .unionByName(incE.join(rpd, Seq("src")).select(col("dst"), col("_rpd")))
+      msgs.groupBy(col("dst"))
+        .agg(sum(col("_rpd")).as("_m"))
+        .crossJoin(broadcast(nDf))
+        .select(col("dst").as("id"),
+          (lit(1.0 - damping) / col("_n") + lit(damping) * col("_m")).as("r"))
+    }
+    last.select(col("id"), round(col("r"), roundTo).as("rank"))
+  }
+
   /** Undirected helper: symmetrize an (id1, id2) pair list into the
     * directed `src`/`dst` edge list [[pageRank]] consumes. */
   def symmetrize(pairs: DataFrame, id1: String = "id1", id2: String = "id2"): DataFrame =

@@ -62,6 +62,23 @@ object PlanChecks {
       case _               => false
     }
 
+  /** All joins whose two subtrees scan files matching `fragA` and
+    * `fragB` respectively (either orientation) — the delta-join-rule
+    * counting witness: an IVM merge plan joining table A against table
+    * B more often than its delta terms allow is recomputing history. */
+  def joinsBetween(plan: SparkPlan, fragA: String,
+                   fragB: String): Seq[BaseJoinExec] = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(walk)
+    def scansOf(p: SparkPlan): Set[String] = walk(p).collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.mkString(",")
+    }.toSet
+    walk(plan).collect {
+      case j: BaseJoinExec
+        if scansOf(j).exists(_.contains(fragA)) &&
+           scansOf(j).exists(_.contains(fragB)) => j
+    }
+  }
+
   /** REQUIREs that a bucketed file scan exists in `plan` and that NO
     * shuffle exchange sits between the join consuming it and the scan —
     * i.e. the persisted state enters its probe join riding its

@@ -395,12 +395,46 @@ iintr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM icd c
   GROUP BY 1, 2),
 ind AS (SELECT id1, id2 FROM iintr JOIN szB s1 ON s1.doc_id = id1 JOIN szB s2 ON s2.doc_id = id2
   WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5),
-alle AS (SELECT id1, id2 FROM snd UNION SELECT id1, id2 FROM vf UNION SELECT id1, id2 FROM ind),
-e AS (SELECT id1 AS a, id2 AS b FROM alle UNION SELECT id2, id1 FROM alle),
+alle AS MATERIALIZED (SELECT id1, id2 FROM snd UNION SELECT id1, id2 FROM vf UNION SELECT id1, id2 FROM ind),
+e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM alle UNION SELECT id2, id1 FROM alle),
 n AS (SELECT DISTINCT a AS node FROM e),
 walk(node, lbl) AS (SELECT node, node FROM n
   UNION SELECT e.a, w.lbl FROM walk w JOIN e ON e.b = w.node)
 SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
+
+  /** pg_incremental_pagerank oracle: the FULL unrolled recompute of
+    * both trajectory phases — 3 from-uniform supersteps over the STATE
+    * graph (docs % 3 != 2; pairwise near-dup restriction makes it the
+    * full graph's induced subgraph), the 6-decimal checkpoint rounding
+    * (exactly what the persisted rank state holds), then `sr`-seeded
+    * supersteps over the MERGED graph with merged out-degrees and
+    * merged-N teleport, new nodes at 1/N. Teleport constants use the
+    * same explicit DOUBLE casts as pg_pagerank's oracle so both engines
+    * share bit-identical IEEE constants. */
+  private val incrementalPageRankOracleSql: String = {
+    def step(ed: String, deg: String, nn: String, prev: String, next: String) =
+      s"""$next AS (SELECT e.dst AS id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM $nn) +
+  0.85 * sum(p.r / d.dg) AS r FROM $ed e JOIN $prev p ON p.id = e.src
+  JOIN $deg d ON d.src = e.src GROUP BY 1)"""
+    s"""WITH ${minhashMd5Ctes("documents", 0.5)},
+eds AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM nd WHERE id1 % 3 <> 2 AND id2 % 3 <> 2
+  UNION ALL SELECT id2, id1 FROM nd WHERE id1 % 3 <> 2 AND id2 % 3 <> 2),
+degs AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM eds GROUP BY 1),
+nns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM degs),
+s0 AS (SELECT src AS id, 1.0 / (SELECT n FROM nns) AS r FROM degs),
+${step("eds", "degs", "nns", "s0", "s1")},
+${step("eds", "degs", "nns", "s1", "s2")},
+${step("eds", "degs", "nns", "s2", "s3")},
+sr AS (SELECT id, round(r, 6) AS r FROM s3),
+edm AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM nd UNION ALL SELECT id2, id1 FROM nd),
+degm AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM edm GROUP BY 1),
+nnm AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM degm),
+q0 AS (SELECT d.src AS id, coalesce(sr.r, 1.0 / (SELECT n FROM nnm)) AS r
+  FROM degm d LEFT JOIN sr ON sr.id = d.src),
+${step("edm", "degm", "nnm", "q0", "q1")},
+${step("edm", "degm", "nnm", "q1", "q2")}
+SELECT id AS doc_id, round(r, 6) AS rank FROM q2"""
+  }
 
   /** pipe_incremental_crawl oracle: the SEQUENTIAL batch equivalent of
     * the composed daily-crawl pass — exact digest gate (in-batch
@@ -2207,6 +2241,40 @@ FROM comp GROUP BY 1""") { (s, d) =>
       Dedup.incrementalClusters(state, pairs)
     },
 
+    // Incremental PageRank — the graph family's operational member,
+    // completing the set (digests, bands, centroids, clusters,
+    // aggregates, ER all maintain state; now centrality does too): the
+    // accepted corpus's near-dup EDGES persist bucketed+sorted on src
+    // and its RANKS persist as the 6-decimal checkpoint; the refresh
+    // computes only the increment's pair feed (the same O(increment)
+    // band-state probe as dd_incremental_clusters) and re-iterates 2
+    // supersteps over the merged graph SEEDED from the stored ranks —
+    // warm-start refresh, never the full from-uniform trajectory. The
+    // |E|-sized edge state enters EVERY superstep join exchange-free
+    // (REQUIREd from the executed plan, every bucketed path); per
+    // round only node-sized frames and the keyed message aggregate
+    // move. Oracle = the full unrolled recompute of both phases with
+    // bit-identical teleport constants.
+    Q("pg_incremental_pagerank", incrementalPageRankOracleSql) { (s, d) =>
+      preparePageRankState(s, d); prepareLshState(s, d)
+      val docs = Tables.documents(s, d)
+      val stateEdges = s.table(pgEdgeStateTable(d))
+      val stateRanks = s.read.parquet(rankStatePath(s, d))
+      val incPairs = Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 3 === 2),
+        docs.filter(col("doc_id") % 3 =!= 2),
+        s.table(lshStateTable(d)),
+        "doc_id", "text", numHashes = 32, rowsPerBand = 4,
+        shingleN = 2, threshold = 0.5, bandBucketCap = None)
+      val out = graft.graph.PageRank.incrementalPageRank(
+          stateEdges, graft.graph.PageRank.symmetrize(incPairs),
+          stateRanks, iters = 2, damping = 0.85, roundTo = 6)
+        .select(col("id").as("doc_id"), col("rank"))
+      graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
+        out.queryExecution.executedPlan, "PageRank edge/LSH state")
+      out
+    },
+
     // Incremental view maintenance for AGGREGATES — the family's last
     // member (exact digests, LSH bands, centroids, clusters, now
     // partial aggregates): day-1 daily tallies persist as state; each
@@ -2706,6 +2774,48 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
       graft.dedup.Dedup.bandKeys(sets, "doc_id", 32, 4),
       lshStateTable(d), "band_key", 32,
       srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"))
+  }
+
+  /** pg_incremental_pagerank's persisted EDGE state table: the accepted
+    * corpus's symmetrized near-dup edges, bucketed AND sorted on `src`
+    * — the probe-join column of every PageRank superstep, so the
+    * |E|-sized frame rides its layout through every refresh round with
+    * no exchange. */
+  private[graft] def pgEdgeStateTable(sfDir: String): String =
+    s"graft_pg_edges_${sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
+
+  /** pg_incremental_pagerank's persisted RANK state path (one row per
+    * state-graph node, the 6-decimal checkpoint the refresh seeds
+    * from). */
+  private[queries] def rankStatePath(s: org.apache.spark.sql.SparkSession,
+                                     d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_pg_ranks_$tag").toString
+  }
+
+  /** One-time edge-state CTAS + from-uniform rank trajectory over it
+    * ("rank once, refresh forever"): the edge state is the bucketed
+    * symmetrized near-dup graph of the accepted docs, and the rank
+    * state is pageRank(3 supersteps) over EXACTLY that table — computed
+    * from the persisted frame, so seed and state can never drift.
+    * Idempotent per (table/path, documents fingerprint). */
+  def preparePageRankState(s: org.apache.spark.sql.SparkSession,
+                           d: String): Unit = {
+    val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
+    graft.ops.ScaleOps.ensureBucketed(
+      graft.graph.PageRank.symmetrize(
+        graft.dedup.Dedup.minhashNearDupsMd5(
+          Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2),
+          "doc_id", "text",
+          numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)),
+      pgEdgeStateTable(d), "src", 32, srcFingerprint = fp)
+    // BY-NAME frame: pageRank runs its dangling-guard action at call
+    // time (the eager variant would re-rank on every freshness check).
+    graft.ops.ScaleOps.ensureSortedByLazy(s, rankStatePath(s, d),
+      "id", numFiles = 1, srcFingerprint = fp)(
+      graft.graph.PageRank.pageRank(s.table(pgEdgeStateTable(d)),
+        iters = 3, damping = 0.85, roundTo = 6))
   }
 
   /** One-time bucketed CTAS of dd_incremental's digest state

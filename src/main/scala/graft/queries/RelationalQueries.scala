@@ -39,6 +39,60 @@ object RelationalQueries {
         .select(col("c_custkey") + 2000000, col("c_acctbal"), col("c_mktsegment")))
   }
 
+  // ---- SCD2 × IVM composition (ivm_scd2_agg) ----------------------
+
+  /** The v3 snapshot as a CTE (same derivation as scd2_apply's oracle)
+    * — the current dimension the composed view aggregates over. */
+  private val scd2V3Cte: String =
+    """v3 AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 1 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
+  c_mktsegment FROM v2 WHERE c_custkey % 19 <> 4
+  UNION ALL SELECT c_custkey + 2000000, c_acctbal, c_mktsegment FROM v2 WHERE c_custkey % 11 = 6)"""
+
+  private[queries] def scd2AggStatePath(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_ivm_scd2_$tag").toString
+  }
+
+  /** Balance band — the grouping attribute of the composed view. A
+    * DERIVED attribute of the TRACKED column c_acctbal, so dimension
+    * updates really do MOVE facts between groups (v2's +100 bump always
+    * crosses a 100-wide band, v3's +50 half the time) — the retro-move
+    * leg of the maintenance is exercised, not just inserts/deletes. */
+  private def balBand = floor(col("c_acctbal") / 100).cast("long").as("bal_band")
+
+  /** Facts with exact integer cents (ivm_daily_metrics' treatment). */
+  private def factCents(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  /** The open SCD2 frontier reduced to (business key, band). */
+  private def frontierBands(h: org.apache.spark.sql.DataFrame) =
+    h.filter(col("is_current")).select(col("c_custkey"), balBand)
+
+  private def scd2AggPartial(facts: org.apache.spark.sql.DataFrame,
+                             dim: org.apache.spark.sql.DataFrame) =
+    facts.join(dim, facts("o_custkey") === dim("c_custkey"))
+      .groupBy(col("bal_band"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+
+  private def h12(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.ScdOps.scd2Merge(customerV1(s, d), customerV2(s, d),
+      Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"), fromVer = 1L, toVer = 2L)
+
+  /** ivm_scd2_agg's persisted day-1 state: the composed aggregate over
+    * the OLD facts and the v2-era frontier. Fingerprinted on BOTH
+    * sources (the state derives from orders and customer alike). */
+  def prepareScd2AggState(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.ops.ScaleOps.ensureSortedBy(
+      scd2AggPartial(factCents(s, d).filter(col("o_orderkey") % 3 =!= 2),
+        frontierBands(h12(s, d))),
+      scd2AggStatePath(s, d), "bal_band", numFiles = 1,
+      srcFingerprint =
+        graft.ops.ScaleOps.fileFingerprint(s"$d/orders.parquet") + "|" +
+          graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"))
+
   private val scd2V12Ctes: String =
     """v1 AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
 v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
@@ -407,9 +461,7 @@ hop AS (SELECT ck AS c_custkey, cb AS c_acctbal, cm AS c_mktsegment, CAST(1 AS B
   FROM j WHERE NOT chg AND ck IS NOT NULL AND nk IS NOT NULL
   UNION ALL SELECT nk, nb, nm, CAST(2 AS BIGINT)
   FROM j WHERE chg OR (ck IS NULL AND nk IS NOT NULL)),
-v3 AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 1 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
-  c_mktsegment FROM v2 WHERE c_custkey % 19 <> 4
-  UNION ALL SELECT c_custkey + 2000000, c_acctbal, c_mktsegment FROM v2 WHERE c_custkey % 11 = 6),
+$scd2V3Cte,
 j2 AS (SELECT o.c_custkey AS ck, v3.c_custkey AS nk, o.c_acctbal AS cb, v3.c_acctbal AS nb,
   o.c_mktsegment AS cm, v3.c_mktsegment AS nm, o.valid_from AS cf,
   (o.c_custkey IS NOT NULL AND v3.c_custkey IS NOT NULL AND
@@ -439,6 +491,83 @@ UNION ALL SELECT nk, nb, nm, CAST(3 AS BIGINT), CAST(NULL AS BIGINT), true FROM 
         keys, tracked, fromVer = 1L, toVer = 2L)
       val h = graft.ops.ScdOps.scd2Apply(h12, customerV3(s, d), keys, tracked, newVer = 3L)
       graft.ops.ScdOps.scd2AsOf(h, ver = 2L)
+    },
+
+    // SCD2 × IVM composition — the warehouse shape neither family
+    // covers alone: a fact aggregate grouped by a DERIVED attribute of
+    // the dimension's OPEN FRONTIER (orders per 100-wide balance band
+    // of the CURRENT customer row), maintained incrementally on BOTH
+    // sides. Day-1 state persists the old-facts ⋈ v2-frontier
+    // aggregate; the refresh computes only (a) the fact delta joined to
+    // the new frontier and (b) the RETRO-MOVE leg — old facts of keys
+    // whose frontier band changed (or appeared/disappeared) emit a
+    // (-1, -cents) row at the old band and a (+1, +cents) row at the
+    // new, the abelian-group treatment dimension updates force (counts
+    // and sums subtract; insert-only IVM can't express a dimension
+    // change). The old⋈old term is never re-joined: the executed plan
+    // is REQUIREd to contain exactly TWO orders⋈customer joins (fact-Δ
+    // and retro-move) plus the state scan. Old facts join only the
+    // BROADCAST band-change delta — they never shuffle. Oracle = full
+    // recompute over the complete fact table and the v3 frontier
+    // (frontier == snapshot is scd2_asof's proven invariant).
+    Q("ivm_scd2_agg",
+      s"""WITH $scd2V12Ctes,
+$scd2V3Cte,
+f AS (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT CAST(floor(v3.c_acctbal / 100) AS BIGINT) AS bal_band,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(f.cents) AS BIGINT) / 100.0 AS total_value
+FROM f JOIN v3 ON f.o_custkey = v3.c_custkey
+GROUP BY 1""") { (s, d) =>
+      prepareScd2AggState(s, d)
+      val state = s.read.parquet(scd2AggStatePath(s, d))
+      val keys = Seq("c_custkey")
+      val tracked = Seq("c_acctbal", "c_mktsegment")
+      val h = h12(s, d)
+      val h123 = graft.ops.ScdOps.scd2Apply(h, customerV3(s, d), keys, tracked, newVer = 3L)
+      val dimOld = frontierBands(h)
+        .select(col("c_custkey"), col("bal_band").as("_ob"))
+      val dimNew = frontierBands(h123)
+      val facts = factCents(s, d)
+      // Band-change delta: keys whose CURRENT band moved, appeared or
+      // disappeared between the v2-era and v3-era frontiers — tiny next
+      // to the dimension, so it broadcasts to the old facts.
+      val dimDelta = dimOld
+        .join(dimNew.select(col("c_custkey"), col("bal_band").as("_nb")),
+          Seq("c_custkey"), "full_outer")
+        .filter(!(col("_ob") <=> col("_nb")))
+      val moves = facts.filter(col("o_orderkey") % 3 =!= 2)
+        .join(broadcast(dimDelta), col("o_custkey") === col("c_custkey"))
+        .select(explode(array(
+          when(col("_ob").isNotNull, struct(col("_ob").as("bal_band"),
+            lit(-1L).as("n"), (-col("cents")).as("cents"))),
+          when(col("_nb").isNotNull, struct(col("_nb").as("bal_band"),
+            lit(1L).as("n"), col("cents").as("cents"))))).as("_d"))
+        .filter(col("_d").isNotNull)
+        .select(col("_d.bal_band"), col("_d.n"), col("_d.cents"))
+      val adds = facts.filter(col("o_orderkey") % 3 === 2)
+        .join(dimNew, col("o_custkey") === col("c_custkey"))
+        .select(col("bal_band"), lit(1L).as("n"), col("cents"))
+      val out = state.select(col("bal_band"), col("n"), col("cents"))
+        .unionByName(adds).unionByName(moves)
+        .groupBy(col("bal_band"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("cents")).as("cents"))
+        .filter(col("n_orders") > 0)
+        .select(col("bal_band"), col("n_orders"),
+          (col("cents") / lit(100.0)).as("total_value"))
+      // Delta-rule shape REQUIREd from the executed plan: exactly the
+      // fact-delta and retro-move joins touch orders×customer — a third
+      // would mean the old-facts⋈old-frontier history term is being
+      // recomputed — and the persisted state must be IN the plan.
+      import graft.plans.PlanChecks
+      val plan = out.queryExecution.executedPlan
+      val ocJoins = PlanChecks.joinsBetween(plan, "orders", "customer")
+      require(ocJoins.size == 2,
+        s"SCD2-IVM delta rule violated: ${ocJoins.size} orders⋈customer joins " +
+          "planned, expected exactly 2 (fact-delta + retro-move; old⋈old comes from state)")
+      require(PlanChecks.fileScanPaths(plan, "graft_ivm_scd2").nonEmpty,
+        "persisted SCD2-aggregate state is not in the plan — the merge is recomputing")
+      out
     },
 
     // A5: schema dump as data (contents(con), ningaloo-etl.Rmd:55).

@@ -61,4 +61,53 @@ class PageRankSpec extends SparkSpec {
     val got = rows(PageRank.symmetrize(Seq((1L, 2L)).toDF("id1", "id2")).orderBy("src"))
     assert(got == Seq(Seq(1L, 2L), Seq(2L, 1L)))
   }
+
+  /** Two-phase reference for the incremental operator: the state
+    * trajectory from uniform, ROUNDED at the checkpoint (what the
+    * persisted state holds), then the merged-graph refresh seeded from
+    * it — new nodes at 1/N of the merged graph. */
+  private def incRef(stateEdges: Seq[(Long, Long)], incEdges: Seq[(Long, Long)],
+                     kState: Int, kInc: Int, d: Double): Map[Long, Double] = {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seed = ref(stateEdges, kState, d).map { case (k, v) => k -> r6(v) }
+    val merged = stateEdges ++ incEdges
+    val out = merged.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val n = out.size.toDouble
+    val in = merged.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val init = out.keys.map(k => k -> seed.getOrElse(k, 1.0 / n)).toMap
+    (1 to kInc).foldLeft(init) { (r, _) =>
+      in.map { case (v, srcs) =>
+        v -> ((1.0 - d) / n + d * srcs.map(u => r(u) / out(u)).sum)
+      }
+    }.map { case (k, v) => k -> r6(v) }
+  }
+
+  test("incrementalPageRank matches the two-phase reference: moved mass, " +
+    "merged components, fresh nodes seeded at 1/N") {
+    // state: a triangle {1,2,3} and a pair {4,5}; the increment bridges
+    // the components (3-4) and attaches a brand-new node 6 to the hub 2.
+    val statePairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L))
+    val incPairs = Seq((3L, 4L), (2L, 6L))
+    val stateRanks = PageRank.pageRank(sym(statePairs).toDF("src", "dst"),
+      iters = 3, damping = 0.85, roundTo = 6)
+      .withColumnRenamed("rank", "rank") // (id, rank)
+    val got = rows(PageRank.incrementalPageRank(
+        sym(statePairs).toDF("src", "dst"), sym(incPairs).toDF("src", "dst"),
+        stateRanks, iters = 2, damping = 0.85, roundTo = 6).orderBy("id"))
+      .map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Double]).toMap
+    val want = incRef(sym(statePairs), sym(incPairs), kState = 3, kInc = 2, d = 0.85)
+    assert(got == want)
+    // the fresh node landed and carries real rank
+    assert(got.contains(6L) && got(6L) > 0)
+  }
+
+  test("incrementalPageRank rejects a non-symmetric increment loudly") {
+    val stateRanks = PageRank.pageRank(sym(path).toDF("src", "dst"), iters = 1)
+    intercept[IllegalArgumentException] {
+      // (1 -> 9) one-way: 9 receives mass but never appears as a src in
+      // the merged graph — a dangling sink, same contract as pageRank
+      PageRank.incrementalPageRank(sym(path).toDF("src", "dst"),
+        Seq((1L, 9L)).toDF("src", "dst"), stateRanks, iters = 1).collect()
+    }
+  }
 }

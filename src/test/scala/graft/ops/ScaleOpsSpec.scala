@@ -117,4 +117,53 @@ class ScaleOpsSpec extends SparkSpec {
       (25L to 29L).toSeq) == ((1, 3)))
     ScaleOps.deleteLocal(new java.io.File(base))
   }
+
+  test("ensureSurgicalDelete: a footer-stats-less file ALWAYS rewrites " +
+    "(it can hide any key, so it is never trusted)") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_surgical_nostat").toString
+    val src = s"$base/src"
+    // Two range-clustered files WITH stats: keys 0..49 and 50..99.
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+      .write.parquet(src)
+    // Plus one file written WITHOUT column statistics (a foreign tool's
+    // plain write), holding keys 200..219 — the layout contract breaker
+    // the `case (_, None) => true` branch exists for.
+    val staging = s"$base/nostat_staging"
+    spark.range(200, 220).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+      .write.option("parquet.column.statistics.enabled", "false")
+      .option("compression", "none").parquet(staging)
+    val part = new java.io.File(staging).listFiles
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.copy(part.toPath, new java.io.File(src, "nostat.parquet").toPath)
+    // Fixture sanity: the injected file really reports NO key range —
+    // if a parquet upgrade starts writing stats despite the option, this
+    // fails here instead of silently testing the overlap branch.
+    val noStat = ScaleOps.fileKeyRanges(src, "k")
+      .find(_._1.getName == "nostat.parquet").get._2
+    assert(noStat.isEmpty, s"injected file unexpectedly has stats: $noStat")
+    // Delete a key that lives ONLY in the stats-less file: it must be
+    // the one rewritten (and the key really gone — the post-delete
+    // sanity REQUIRE inside the operator checks that), while both
+    // stats-bearing files copy verbatim.
+    val (rw, cp) = ScaleOps.ensureSurgicalDelete(spark, src, s"$base/dst1",
+      "k", "fpA")(Seq(205L))
+    assert(rw == 1 && cp == 2, s"expected 1 rewritten / 2 copied, got $rw/$cp")
+    val got1 = spark.read.parquet(s"$base/dst1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want1 = ((0L until 100L) ++ (200L until 220L)).filterNot(_ == 205L)
+      .map(k => (k, k * 2)).toSet
+    assert(got1 == want1)
+    // Delete a key overlapping NO stated range: the stats-less file
+    // STILL rewrites — stats absence means "could hide anything", and
+    // skipping it on "no overlap" grounds is exactly the silent
+    // retention bug the branch prevents.
+    val (rw2, cp2) = ScaleOps.ensureSurgicalDelete(spark, src, s"$base/dst2",
+      "k", "fpB")(Seq(99999L))
+    assert(rw2 == 1 && cp2 == 2,
+      s"a stats-less file must rewrite even with no range overlap, got $rw2/$cp2")
+    assert(spark.read.parquet(s"$base/dst2").count() == 120)
+    ScaleOps.deleteLocal(new java.io.File(base))
+  }
 }
