@@ -121,13 +121,43 @@ object SourceQueries {
     // actually exchange (one JSON object per line, splittable,
     // appendable). Explicit schema on read — no inference pass over a
     // large corpus, and no silent type widening.
+    // JSON-lines read on the custom DSv2 source (graft-jsonl) instead
+    // of plain spark.read.json — the feed-ingest shape the reference's
+    // GFT/WAStD HTTP pipelines imply at scale, with real column-pruning
+    // pushdown (explicit schema, no inference pass). Hash-identical to
+    // the plain-reader registration it replaces.
     Q("src_jsonl_roundtrip",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, d) =>
       val path = s"${tmpDir(d)}/nation_jsonl"
       Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
         .write.mode("overwrite").json(path)
-      s.read.schema(StructType.fromDDL(
-        "n_nationkey INT, n_name STRING, n_regionkey INT")).json(path)
+      s.read.format("graft-jsonl").schema(StructType.fromDDL(
+        "n_nationkey INT, n_name STRING, n_regionkey INT")).load(path)
+    },
+
+    // The pushdown half of the JSONL source: a selective predicate must
+    // reach the source (PushedFilters REQUIREd from the executed plan)
+    // and be evaluated on the parsed line BEFORE any row is built, and
+    // the projection must prune the read schema to the referenced
+    // columns — the two properties that make a feed source usable at
+    // corpus scale rather than a parse-everything convenience.
+    Q("src_jsonl_pushdown",
+      "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey >= 2 " +
+        "AND n_nationkey < 20") { (s, d) =>
+      val path = s"${tmpDir(d)}/nation_jsonl_pd"
+      Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").json(path)
+      val out = s.read.format("graft-jsonl").schema(StructType.fromDDL(
+          "n_nationkey INT, n_name STRING, n_regionkey INT")).load(path)
+        .filter(col("n_regionkey") >= 2 && col("n_nationkey") < 20)
+        .select("n_nationkey", "n_name")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("graft-jsonl") &&
+        plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+        s"JSONL filter pushdown regressed — the source would parse-and-ship every row:\n$plan")
+      require(plan.contains("ReadSchema: struct<n_nationkey:int,n_name:string"),
+        s"JSONL column pruning regressed — the scan materializes unused fields:\n$plan")
+      out
     },
 
     // Parquet schema EVOLUTION: a v1 snapshot (two columns) and a v2
