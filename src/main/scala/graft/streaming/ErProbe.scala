@@ -87,14 +87,31 @@ object ErProbe {
       }, Seq("bkey"))
       .select(col("state_rid"), col("inc_rid"))
 
-    val qname = "graft_stream_er_probe"
+    // FILE sink, not a memory sink: collisions append as distributed
+    // parquet and the settled distinct runs as a distributed read —
+    // the deployment shape (append sink → downstream batch), and the
+    // only shape that survives high-density fixtures (the memory sink
+    // collects every candidate to the driver; at the 30-copy fixture
+    // the derived-cap probe's ~50M-pair candidate set blew
+    // spark.driver.maxResultSize there).
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_er_probe_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_er_probe_ckpt").toString
     val query = stream.writeStream
-      .format("memory")
-      .queryName(qname)
+      .format("parquet")
+      .option("path", staged)
+      .option("checkpointLocation", ckpt)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    ss.table(qname).distinct()
+    // Explicit schema: a zero-collision drain leaves no data files and
+    // schema inference would fail on the empty sink.
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "state_rid BIGINT, inc_rid BIGINT"))
+      .parquet(staged)
+      .distinct()
   }
 }
