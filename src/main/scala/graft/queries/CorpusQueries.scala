@@ -2185,17 +2185,17 @@ FROM comp GROUP BY 1""") { (s, d) =>
       prepareClusterState(s, d); prepareLshState(s, d)
       val docs = Tables.documents(s, d)
       val state = s.read.parquet(clusterStatePath(s, d))
-      // Streamed collision gate → staging parquet → re-read in THIS
-      // session (the stream runs in its own session; a file handoff is
-      // the operational contract between the live gate and the batch
-      // merge, not a test convenience).
+      // Streamed collision gate → parquet APPEND sink → re-read in THIS
+      // session (the stream runs in its own session; the file handoff
+      // is the operational contract between the live gate and the batch
+      // merge, not a test convenience — and the sink is the stream's
+      // own, so collisions never round-trip through driver memory).
       val staged = new java.io.File(
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
         "graft_st_cc_cands_" + d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
       ).toString
-      graft.streaming.LshProbe.candidatesOnce(s, d, lshStateTable(d))
-        .write.mode("overwrite").parquet(staged)
-      val crossCands = s.read.parquet(staged)
+      val crossCands = graft.streaming.LshProbe
+        .candidatesOnce(s, d, lshStateTable(d), sinkDir = Some(staged))
         .select(col("state_id").as("id1"), col("inc_id").as("id2"))
       val pairs = Dedup.verifyIncrementPairs(crossCands,
         docs.filter(col("doc_id") % 3 === 2),
@@ -2228,10 +2228,9 @@ FROM comp GROUP BY 1""") { (s, d) =>
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
         "graft_st_cc_capped_" + d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
       ).toString
-      graft.streaming.LshProbe.candidatesOnce(s, d, lshStateTable(d),
-          bandBucketCap = Some(lshBandBucketCap))
-        .write.mode("overwrite").parquet(staged)
-      val crossCands = s.read.parquet(staged)
+      val crossCands = graft.streaming.LshProbe
+        .candidatesOnce(s, d, lshStateTable(d),
+          bandBucketCap = Some(lshBandBucketCap), sinkDir = Some(staged))
         .select(col("state_id").as("id1"), col("inc_id").as("id2"))
       val pairs = Dedup.verifyIncrementPairs(crossCands,
         docs.filter(col("doc_id") % 3 === 2),

@@ -58,14 +58,18 @@ pc AS (SELECT rid, pass, bk FROM
   JOIN pcap USING (pass) WHERE bsz <= cap),
 cand AS (SELECT DISTINCT l.rid AS rid1, r.rid AS rid2
   FROM pc l JOIN pc r ON l.pass = r.pass AND l.bk = r.bk AND l.rid < r.rid),
-m AS (SELECT rid1, rid2, CAST(levenshtein(k1.norm, k2.norm) AS BIGINT) AS name_dist
+m AS MATERIALIZED (SELECT rid1, rid2, CAST(levenshtein(k1.norm, k2.norm) AS BIGINT) AS name_dist
   FROM cand JOIN k k1 ON k1.rid = cand.rid1 JOIN k k2 ON k2.rid = cand.rid2
   WHERE k1.nation = k2.nation AND levenshtein(k1.norm, k2.norm) <= 1)"""
 
-  /** Recursive-CTE clustering over `m` (same walk as dd_dup_clusters). */
+  /** Recursive-CTE clustering over `m` (same walk as dd_dup_clusters).
+    * `m` and `e` are MATERIALIZED: the recursive walk re-derives a
+    * plain CTE per iteration, which re-runs the whole blocking +
+    * Levenshtein chain each round — intractable at the 30x fixture's
+    * derived-cap pair volume. */
   private val erCompCtes: String =
     s"""$erCtes,
-e AS (SELECT rid1 AS x, rid2 AS y FROM m UNION SELECT rid2, rid1 FROM m),
+e AS MATERIALIZED (SELECT rid1 AS x, rid2 AS y FROM m UNION SELECT rid2, rid1 FROM m),
 nn AS (SELECT DISTINCT x AS node FROM e),
 walk(node, lbl) AS (SELECT node, node FROM nn
   UNION SELECT e.x, w.lbl FROM walk w JOIN e ON e.y = w.node),
@@ -91,10 +95,10 @@ p AS (SELECT rid, 0 AS pass, digits AS bk FROM k
   UNION ALL SELECT rid, 1, CAST(nation AS VARCHAR) || ':' || substr(digits,1,8) FROM k),
 cand AS (SELECT DISTINCT l.rid AS rid1, r.rid AS rid2
   FROM p l JOIN p r ON l.pass = r.pass AND l.bk = r.bk AND l.rid < r.rid),
-m AS (SELECT rid1, rid2 FROM cand
+m AS MATERIALIZED (SELECT rid1, rid2 FROM cand
   JOIN k k1 ON k1.rid = cand.rid1 JOIN k k2 ON k2.rid = cand.rid2
   WHERE k1.nation = k2.nation AND levenshtein(k1.norm, k2.norm) <= 1),
-e AS (SELECT rid1 AS x, rid2 AS y FROM m UNION SELECT rid2, rid1 FROM m),
+e AS MATERIALIZED (SELECT rid1 AS x, rid2 AS y FROM m UNION SELECT rid2, rid1 FROM m),
 nn AS (SELECT DISTINCT x AS node FROM e),
 walk(node, lbl) AS (SELECT node, node FROM nn
   UNION SELECT e.x, w.lbl FROM walk w JOIN e ON e.y = w.node)

@@ -33,11 +33,21 @@ object LshProbe {
   /** One AvailableNow drain of the increment (doc_id % 3 = 2) against
     * `stateTable` (written by prepareLshState: (doc_id, band_key)
     * bucketed on band_key). Returns the settled DISTINCT candidate
-    * pairs (state_id, inc_id). */
+    * pairs (state_id, inc_id).
+    *
+    * `sinkDir`: when set, collisions land in a parquet APPEND sink
+    * there (fresh checkpoint per drain) and the distinct runs as a
+    * distributed read-back — the append-sink → downstream-batch
+    * deployment shape the incremental-cluster queries consume, and the
+    * only shape whose cost does not accumulate across drains in one
+    * JVM: the default memory sink pins every pre-distinct collision
+    * row on the driver until the session is GC'd, which at the
+    * 30x-density fixture grew each successive warm rep by ~40 s. */
   def candidatesOnce(spark: SparkSession, sfDir: String,
                      stateTable: String, numHashes: Int = 32,
                      rowsPerBand: Int = 4, shingleN: Int = 2,
-                     bandBucketCap: Option[Int] = None): DataFrame = {
+                     bandBucketCap: Option[Int] = None,
+                     sinkDir: Option[String] = None): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
 
@@ -83,14 +93,39 @@ object LshProbe {
       }, Seq("band_key"))
       .select(col("state_id"), col("doc_id").as("inc_id"))
 
-    val qname = "graft_stream_lsh_probe"
-    val query = stream.writeStream
-      .format("memory")
-      .queryName(qname)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    ss.table(qname).distinct()
+    sinkDir match {
+      case Some(dir) =>
+        // Overwrite semantics per drain: clear the landing and use a
+        // fresh checkpoint so re-drains (bench warm+timed passes) see
+        // only this drain's collisions.
+        val d = new java.io.File(dir)
+        if (d.exists()) graft.ops.ScaleOps.deleteLocal(d)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_lsh_probe_ckpt").toString
+        val query = stream.writeStream
+          .format("parquet")
+          .option("path", dir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        // Explicit schema: a zero-collision drain leaves no data files.
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "state_id BIGINT, inc_id BIGINT"))
+          .parquet(dir)
+          .distinct()
+      case None =>
+        val qname = "graft_stream_lsh_probe"
+        val query = stream.writeStream
+          .format("memory")
+          .queryName(qname)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        ss.table(qname).distinct()
+    }
   }
 }
