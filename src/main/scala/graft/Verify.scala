@@ -51,6 +51,16 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(q => nameFilter(q._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // AQE-final layout audit: the per-query REQUIREs assert the plan
+    // BEFORE execution; the final-plan watch re-checked every executed
+    // plan behind the async listener bus. Flush and report — loudly,
+    // so a runtime re-plan that re-shuffled watched state on its own
+    // bucket key cannot pass a silent run.
+    org.apache.spark.sql.GraftShim.flushListenerBus(spark)
+    val vio = graft.plans.PlanChecks.drainFinalPlanViolations()
+    if (vio.nonEmpty)
+      System.err.println(s"[verify] FINAL-PLAN LAYOUT VIOLATIONS: " +
+        vio.map(v => s"${v.what} (${v.fragment})").distinct.mkString("; "))
     spark.stop()
   }
 }

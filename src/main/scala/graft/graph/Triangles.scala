@@ -55,4 +55,84 @@ object Triangles {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Incremental maintenance of [[perNodeCounts]] under an edge
+    * INCREMENT — the second-order delta-join: counts are additive, and
+    * every triangle of the merged graph either lies fully in the state
+    * graph (already counted in `stateCounts`) or contains >= 1 delta
+    * edge, so the refresh enumerates ONLY delta-touching triangles,
+    * split by how many of their edges are new (the same
+    * delta-decomposition discipline as the IVM delta-join rule, one
+    * order higher):
+    *
+    *  - dEE (1 new edge): delta edge (u,v) x state neighbors w of u,
+    *    closed by state edge (v,w) — the only term that touches the
+    *    |E|-sized state adjacency, and it probes it keyed on `src`, so
+    *    the bucketed state rides its layout into a sort-merge join with
+    *    NO exchange (only the increment-sized side shuffles);
+    *  - dDE (2 new edges): the delta wedge at their shared vertex,
+    *    closed against state pairs — the delta-derived side broadcasts
+    *    (increment-bounded), the state scan feeds the probe in place;
+    *  - dDD (3 new edges): a triangle count within the delta alone,
+    *    found once at its smallest corner like the oracle's a<b<c walk.
+    *
+    * Each category enumerates every triangle exactly once (a triangle
+    * with k new edges has a unique canonical witness in category k:
+    * its one delta edge, its one shared-delta-wedge vertex, or its
+    * smallest corner), and the categories are disjoint because state
+    * and delta edge sets are disjoint — so no distinct() over triples
+    * is needed and the work is O(delta x degree), never O(|E|^1.5).
+    *
+    * `stateAdj` is the SYMMETRIZED persisted state graph (`src`,`dst`,
+    * bucketed on `src`); `deltaPairs` are the increment's verified
+    * pairs in any orientation, DISJOINT from the state pairs (the
+    * incremental pair feed guarantees it: every delta pair has an
+    * increment endpoint); `stateCounts` is the persisted (id,
+    * triangles) checkpoint over the state graph. */
+  def incrementalPerNodeCounts(stateAdj: DataFrame, deltaPairs: DataFrame,
+                               stateCounts: DataFrame): DataFrame = {
+    // Canonicalize the delta (cross pairs arrive state-id-first, not
+    // id-sorted) and persist it: the delta feeds five enumeration legs
+    // and is the product of the whole sketch+verify chain upstream.
+    val dp = graft.ops.CacheOnce.swap("itri-delta",
+      deltaPairs.select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2")).distinct())
+    val statePairs = stateAdj.filter(col("src") < col("dst"))
+    // dEE: state side keyed on src -> exchange-free bucketed probe; the
+    // close re-reads state pairs against the broadcast candidate set
+    // (increment x degree sized — the same merge-hinted-probe /
+    // broadcast-verify split the incremental near-dup feed uses).
+    val dpe = dp.select(col("id1").as("_u"), col("id2").as("_v"))
+    val candEE = stateAdj.hint("merge")
+      .join(dpe, stateAdj("src") === dpe("_u"))
+      .select(col("_u"), col("_v"), col("dst").as("_w"))
+      .filter(col("_w") =!= col("_v"))
+    val dEE = statePairs
+      .join(broadcast(candEE),
+        statePairs("src") === least(col("_v"), col("_w")) &&
+          statePairs("dst") === greatest(col("_v"), col("_w")))
+      .select(col("_u").as("a"), col("_v").as("b"), col("_w").as("c"))
+    // dDE: both new edges share a vertex s; close (x, y) in state.
+    val dAdj = dp.select(col("id1").as("s"), col("id2").as("n"))
+      .union(dp.select(col("id2").as("s"), col("id1").as("n")))
+    val wedge = dAdj.select(col("s"), col("n").as("_x"))
+      .join(dAdj.select(col("s"), col("n").as("_y")), Seq("s"))
+      .filter(col("_x") < col("_y"))
+    val dDE = statePairs
+      .join(broadcast(wedge),
+        statePairs("src") === col("_x") && statePairs("dst") === col("_y"))
+      .select(col("s").as("a"), col("_x").as("b"), col("_y").as("c"))
+    // dDD: wholly-new triangles, found at the smallest corner.
+    val dDD = dp.select(col("id1").as("s"), col("id2").as("_x"))
+      .join(dp.select(col("id1").as("s"), col("id2").as("_y")), Seq("s"))
+      .filter(col("_x") < col("_y"))
+      .join(dp, dp("id1") === col("_x") && dp("id2") === col("_y"))
+      .select(col("s").as("a"), col("_x").as("b"), col("_y").as("c"))
+    val deltaCounts = dEE.unionByName(dDE).unionByName(dDD)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    stateCounts.select(col("id"), col("triangles"))
+      .unionByName(deltaCounts)
+      .groupBy("id").agg(sum(col("triangles")).as("triangles"))
+  }
 }

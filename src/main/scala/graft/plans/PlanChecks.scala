@@ -103,4 +103,96 @@ object PlanChecks {
           "the state side re-shuffled despite its bucketing")
     }
   }
+
+  // ---- AQE-FINAL re-check -------------------------------------------
+  // requireExchangeFreeBucketedProbe asserts the plan BEFORE execution
+  // (AQE's initial plan): a runtime re-plan could, in principle, slip a
+  // shuffle under a green REQUIRE. The final-plan watch closes that
+  // window: queries register their state tables' path fragments, a
+  // QueryExecutionListener walks every successfully executed FINAL plan
+  // (kids() descends AdaptiveSparkPlanExec.executedPlan, which holds
+  // the post-replan tree), and any scan of a watched state table that
+  // feeds a join through a shuffle is RECORDED — not thrown, because
+  // listener exceptions are swallowed by the bus and delivery is async;
+  // instead Verify prints the drained list loudly and
+  // FinalPlanCheckSpec pins both the clean and the violating shape.
+
+  final case class FinalPlanViolation(what: String, fragment: String)
+
+  private val watchedFragments =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private val finalViolations =
+    new java.util.concurrent.CopyOnWriteArrayList[FinalPlanViolation]()
+  private val watchedSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Watch `pathFragment` (a state table/path name) in every plan this
+    * session executes from now on: a scan of it that reaches a join
+    * through a ShuffleExchange records a [[FinalPlanViolation]].
+    * Unlike the pre-execution REQUIRE this covers the scan whether or
+    * not the bucketed read survived (a state side demoted to a
+    * non-bucketed read and reshuffled is exactly the regression), and
+    * it sees the plan AQE actually ran. Idempotent per (session,
+    * fragment). */
+  def watchFinalPlans(spark: org.apache.spark.sql.SparkSession,
+                      pathFragment: String, what: String): Unit = {
+    watchedFragments.add((pathFragment, what))
+    if (watchedSessions.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 durationNs: Long): Unit =
+            checkFinalPlan(qe.executedPlan)
+          override def onFailure(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 exception: Exception): Unit = ()
+        })
+    }
+  }
+
+  /** Walk one (final) plan against every watched fragment — exposed for
+    * the spec, which needs synchronous assertions the async listener
+    * bus can't give. The violation is precisely "the state re-shuffled
+    * ON ITS OWN BUCKET KEY on the way into a join" — the exchange its
+    * bucketing exists to delete. A watched scan with no join above it
+    * is fine (the prep CTAS reads its own table), and a shuffle that
+    * RE-KEYS the data (degree aggregation over a union, a
+    * different-key downstream stage) is a real repartition, not a
+    * layout regression — both are deliberately not flagged, so the
+    * watch can run globally without false-positiving legitimate plans.
+    * (Conservative by name: a rename between scan and shuffle hides
+    * the match — an under-approximation, never a false alarm.) */
+  private[graft] def checkFinalPlan(plan: SparkPlan): Unit =
+    watchedFragments.forEach { case (fragment, what) =>
+      fileScanPaths(plan, fragment).foreach { case (scan, path) =>
+        val joinIdx = path.lastIndexWhere(_.isInstanceOf[BaseJoinExec])
+        val bucketCols = scan.relation.bucketSpec
+          .map(_.bucketColumnNames.toSet).getOrElse(Set.empty)
+        if (joinIdx >= 0 && bucketCols.nonEmpty) {
+          val rekeyedOnBucketCols = path.drop(joinIdx + 1).exists {
+            case sh: ShuffleExchangeLike => sh.outputPartitioning match {
+              case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+                val names = h.expressions.collect {
+                  case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+                }.toSet
+                names == bucketCols
+              case _ => false
+            }
+            case _ => false
+          }
+          if (rekeyedOnBucketCols)
+            finalViolations.add(FinalPlanViolation(what, fragment))
+        }
+      }
+    }
+
+  /** Return and clear the recorded violations. */
+  def drainFinalPlanViolations(): Seq[FinalPlanViolation] = {
+    import scala.jdk.CollectionConverters._
+    val out = finalViolations.asScala.toList
+    finalViolations.clear()
+    out
+  }
 }

@@ -402,6 +402,22 @@ walk(node, lbl) AS (SELECT node, node FROM n
   UNION SELECT e.a, w.lbl FROM walk w JOIN e ON e.b = w.node)
 SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
 
+  /** Per-node triangle counts over the full near-dup graph — shared by
+    * pg_triangles (direct) and pg_incremental_triangles (whose state +
+    * delta decomposition must reproduce the same merged-graph counts:
+    * the IVM invariant for the second-order delta-join, checked by
+    * hash). The oracle enumerates id-ordered a<b<c triples; the Spark
+    * sides use degree-oriented wedges (batch) and the three-way delta
+    * decomposition (incremental) — three algorithms, one triangle set. */
+  private val trianglesOracleSql: String =
+    s"""WITH ${minhashMd5Ctes("documents", 0.5)},
+tri AS (SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+  FROM nd e1 JOIN nd e2 ON e2.id1 = e1.id2
+  JOIN nd e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS triangles FROM (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+GROUP BY 1"""
+
   /** pg_incremental_pagerank oracle: the FULL unrolled recompute of
     * both trajectory phases — 3 from-uniform supersteps over the STATE
     * graph (docs % 3 != 2; pairwise near-dup restriction makes it the
@@ -1119,14 +1135,7 @@ SELECT id AS doc_id, round(r, 6) AS rank FROM p3"""
     // boilerplate hub cannot dominate the wedge shuffle); the oracle
     // enumerates id-ordered a<b<c triples — two different algorithms,
     // one triangle set.
-    Q("pg_triangles",
-      s"""WITH ${minhashMd5Ctes("documents", 0.5)},
-tri AS (SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
-  FROM nd e1 JOIN nd e2 ON e2.id1 = e1.id2
-  JOIN nd e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2)
-SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS triangles FROM (
-  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
-GROUP BY 1""") { (s, d) =>
+    Q("pg_triangles", trianglesOracleSql) { (s, d) =>
       val pairs = graft.ops.CacheOnce.swap("minhash-md5-neardups",
         Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
@@ -1970,6 +1979,7 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
       // its join pre-partitioned by its bucketing.
       graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
         out.queryExecution.executedPlan, "LSH state")
+      graft.plans.PlanChecks.watchFinalPlans(s, lshStateTable(d), "LSH state")
       out
     },
 
@@ -2155,6 +2165,7 @@ FROM comp GROUP BY 1""") { (s, d) =>
       import graft.plans.PlanChecks
       val plan = incPairs.queryExecution.executedPlan
       PlanChecks.requireExchangeFreeBucketedProbe(plan, "LSH state")
+      PlanChecks.watchFinalPlans(s, lshStateTable(d), "LSH state")
       val docScans = PlanChecks.fileScanPaths(plan, "documents")
       require(docScans.nonEmpty,
         "no documents scan found in the incremental pair feed plan")
@@ -2271,6 +2282,37 @@ FROM comp GROUP BY 1""") { (s, d) =>
         .select(col("id").as("doc_id"), col("rank"))
       graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
         out.queryExecution.executedPlan, "PageRank edge/LSH state")
+      graft.plans.PlanChecks.watchFinalPlans(s, pgEdgeStateTable(d), "PageRank edge state")
+      out
+    },
+
+    // Incremental TRIANGLE maintenance — counts are additive, so the
+    // refresh is the second-order delta-join: persisted per-node counts
+    // (over the state graph) plus ONLY the delta-touching triangles,
+    // enumerated by how many of their edges are new (1/2/3 — each
+    // category finds each triangle exactly once; see
+    // Triangles.incrementalPerNodeCounts). The |E|-sized edge state is
+    // touched by a single src-keyed exchange-free bucketed probe
+    // (REQUIREd); everything else that moves is increment-sized. The
+    // oracle is the full merged-graph recount (pg_triangles' own SQL):
+    // state + delta == full is the IVM invariant, checked by hash.
+    Q("pg_incremental_triangles", trianglesOracleSql) { (s, d) =>
+      prepareTriangleState(s, d); prepareLshState(s, d)
+      val docs = Tables.documents(s, d)
+      val stateAdj = s.table(pgEdgeStateTable(d))
+      val stateCounts = s.read.parquet(triangleStatePath(s, d))
+      val incPairs = Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 3 === 2),
+        docs.filter(col("doc_id") % 3 =!= 2),
+        s.table(lshStateTable(d)),
+        "doc_id", "text", numHashes = 32, rowsPerBand = 4,
+        shingleN = 2, threshold = 0.5, bandBucketCap = None)
+      val out = graft.graph.Triangles.incrementalPerNodeCounts(
+          stateAdj, incPairs, stateCounts)
+        .select(col("id").as("doc_id"), col("triangles"))
+      graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
+        out.queryExecution.executedPlan, "triangle edge/LSH state")
+      graft.plans.PlanChecks.watchFinalPlans(s, pgEdgeStateTable(d), "triangle edge state")
       out
     },
 
@@ -2791,6 +2833,35 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
     val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     new java.io.File(wh, s"graft_pg_ranks_$tag").toString
+  }
+
+  /** pg_incremental_triangles' persisted COUNT state path (one row per
+    * state-graph node in >= 1 triangle — the additive checkpoint the
+    * delta decomposition merges into). */
+  private[queries] def triangleStatePath(s: org.apache.spark.sql.SparkSession,
+                                         d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_pg_tris_$tag").toString
+  }
+
+  /** One-time triangle-count checkpoint over EXACTLY the persisted edge
+    * state ("count once, maintain forever") — computed from the state
+    * table itself so checkpoint and edges can never drift. Shares the
+    * edge-state CTAS with pg_incremental_pagerank: one graph, two
+    * maintained signals (rank + local clustering). Idempotent per
+    * (path, documents fingerprint). */
+  def prepareTriangleState(s: org.apache.spark.sql.SparkSession,
+                           d: String): Unit = {
+    preparePageRankState(s, d)
+    val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
+    // BY-NAME frame: perNodeCounts is lazy, but keep the lazy variant
+    // for freshness-check symmetry with the rank state.
+    graft.ops.ScaleOps.ensureSortedByLazy(s, triangleStatePath(s, d),
+      "id", numFiles = 1, srcFingerprint = fp)(
+      graft.graph.Triangles.perNodeCounts(
+        s.table(pgEdgeStateTable(d)).filter(col("src") < col("dst"))
+          .select(col("src").as("id1"), col("dst").as("id2"))))
   }
 
   /** One-time edge-state CTAS + from-uniform rank trajectory over it

@@ -270,6 +270,7 @@ FROM comp GROUP BY 1""") { (s, d) =>
         k, "rid", "norm", Seq("nation"), maxDist = 1)
       graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
         crossCands.queryExecution.executedPlan, "ER key state")
+      graft.plans.PlanChecks.watchFinalPlans(s, erKeyStateTable(d), "ER key state")
       graft.dedup.Dedup.incrementalClusters(
         s.read.parquet(erClusterStatePath(s, d)), pairs, ("rid1", "rid2"))
     },

@@ -104,6 +104,29 @@ j AS (SELECT v1.c_custkey AS ck, v2.c_custkey AS nk,
    (v1.c_acctbal IS DISTINCT FROM v2.c_acctbal OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment)) AS chg
   FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey)"""
 
+  /** Full v1→v2→v3 history derivation — shared by scd2_apply (batch)
+    * and st_scd2_apply (the streamed dimension feed, whose settled
+    * history must equal this batched replay by hash). */
+  private val scd2ApplyOracleSql: String =
+    s"""WITH $scd2V12Ctes,
+hcl AS (SELECT ck AS c_custkey, cb AS c_acctbal, cm AS c_mktsegment,
+  CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to, false AS is_current
+  FROM j WHERE chg OR (ck IS NOT NULL AND nk IS NULL)),
+hop AS (SELECT ck AS c_custkey, cb AS c_acctbal, cm AS c_mktsegment, CAST(1 AS BIGINT) AS valid_from
+  FROM j WHERE NOT chg AND ck IS NOT NULL AND nk IS NOT NULL
+  UNION ALL SELECT nk, nb, nm, CAST(2 AS BIGINT)
+  FROM j WHERE chg OR (ck IS NULL AND nk IS NOT NULL)),
+$scd2V3Cte,
+j2 AS (SELECT o.c_custkey AS ck, v3.c_custkey AS nk, o.c_acctbal AS cb, v3.c_acctbal AS nb,
+  o.c_mktsegment AS cm, v3.c_mktsegment AS nm, o.valid_from AS cf,
+  (o.c_custkey IS NOT NULL AND v3.c_custkey IS NOT NULL AND
+   (o.c_acctbal IS DISTINCT FROM v3.c_acctbal OR o.c_mktsegment IS DISTINCT FROM v3.c_mktsegment)) AS chg
+  FROM hop o FULL OUTER JOIN v3 ON o.c_custkey = v3.c_custkey)
+SELECT * FROM hcl
+UNION ALL SELECT ck, cb, cm, cf, CAST(3 AS BIGINT), false FROM j2 WHERE chg OR (ck IS NOT NULL AND nk IS NULL)
+UNION ALL SELECT ck, cb, cm, cf, CAST(NULL AS BIGINT), true FROM j2 WHERE NOT chg AND ck IS NOT NULL AND nk IS NOT NULL
+UNION ALL SELECT nk, nb, nm, CAST(3 AS BIGINT), CAST(NULL AS BIGINT), true FROM j2 WHERE chg OR (ck IS NULL AND nk IS NOT NULL)"""
+
   val defs: Seq[Q] = Seq(
 
     // A1: group_by + tally, the reference workhorse (ningaloo-etl.Rmd:308-311).
@@ -452,30 +475,35 @@ UNION ALL SELECT nk, nb, nm, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true
     // snapshot), never O(history)), and each open row keeps its own
     // valid_from when it closes — the composability that makes
     // one-version-at-a-time application equal any batched replay.
-    Q("scd2_apply",
-      s"""WITH $scd2V12Ctes,
-hcl AS (SELECT ck AS c_custkey, cb AS c_acctbal, cm AS c_mktsegment,
-  CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to, false AS is_current
-  FROM j WHERE chg OR (ck IS NOT NULL AND nk IS NULL)),
-hop AS (SELECT ck AS c_custkey, cb AS c_acctbal, cm AS c_mktsegment, CAST(1 AS BIGINT) AS valid_from
-  FROM j WHERE NOT chg AND ck IS NOT NULL AND nk IS NOT NULL
-  UNION ALL SELECT nk, nb, nm, CAST(2 AS BIGINT)
-  FROM j WHERE chg OR (ck IS NULL AND nk IS NOT NULL)),
-$scd2V3Cte,
-j2 AS (SELECT o.c_custkey AS ck, v3.c_custkey AS nk, o.c_acctbal AS cb, v3.c_acctbal AS nb,
-  o.c_mktsegment AS cm, v3.c_mktsegment AS nm, o.valid_from AS cf,
-  (o.c_custkey IS NOT NULL AND v3.c_custkey IS NOT NULL AND
-   (o.c_acctbal IS DISTINCT FROM v3.c_acctbal OR o.c_mktsegment IS DISTINCT FROM v3.c_mktsegment)) AS chg
-  FROM hop o FULL OUTER JOIN v3 ON o.c_custkey = v3.c_custkey)
-SELECT * FROM hcl
-UNION ALL SELECT ck, cb, cm, cf, CAST(3 AS BIGINT), false FROM j2 WHERE chg OR (ck IS NOT NULL AND nk IS NULL)
-UNION ALL SELECT ck, cb, cm, cf, CAST(NULL AS BIGINT), true FROM j2 WHERE NOT chg AND ck IS NOT NULL AND nk IS NOT NULL
-UNION ALL SELECT nk, nb, nm, CAST(3 AS BIGINT), CAST(NULL AS BIGINT), true FROM j2 WHERE chg OR (ck IS NULL AND nk IS NOT NULL)""") { (s, d) =>
+    Q("scd2_apply", scd2ApplyOracleSql) { (s, d) =>
       val keys = Seq("c_custkey")
       val tracked = Seq("c_acctbal", "c_mktsegment")
-      val h12 = graft.ops.ScdOps.scd2Merge(customerV1(s, d), customerV2(s, d),
+      val h12x = graft.ops.ScdOps.scd2Merge(customerV1(s, d), customerV2(s, d),
         keys, tracked, fromVer = 1L, toVer = 2L)
-      graft.ops.ScdOps.scd2Apply(h12, customerV3(s, d), keys, tracked, newVer = 3L)
+      graft.ops.ScdOps.scd2Apply(h12x, customerV3(s, d), keys, tracked, newVer = 3L)
+    },
+
+    // §2.11 streaming SCD2 maintenance — the dimension FEED: snapshots
+    // v2 and v3 arrive as ordered files, each micro-batch folds its
+    // snapshot(s) into the versioned history via the same scd2Apply the
+    // batch path uses (one operator, two drivers). The settled final
+    // history must equal the batched v1→v2→v3 replay — scd2_apply's own
+    // oracle — which pins BOTH the streaming plumbing and scd2Apply's
+    // one-at-a-time == batched composability by hash.
+    Q("st_scd2_apply", scd2ApplyOracleSql) { (s, d) =>
+      val keys = Seq("c_custkey")
+      val tracked = Seq("c_acctbal", "c_mktsegment")
+      val tag = "scd2_feed_" + d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+      val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet") +
+        ":v2v3feed:v1"
+      val init = customerV1(s, d)
+        .withColumn("valid_from", lit(1L))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+      graft.streaming.ScdApplyStream.applyOnce(s, tag, fp, init, initVer = 1L,
+        Seq(2L -> customerV2(s, d), 3L -> customerV3(s, d)),
+        keys, tracked,
+        "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING")
     },
 
     // SCD2 time travel: reconstructing AS OF version 2 from the

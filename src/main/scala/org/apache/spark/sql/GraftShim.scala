@@ -23,4 +23,12 @@ object GraftShim {
            Seq[Expression] => Expression)): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(fd._1, fd._2, fd._3)
+
+  /** Block until the shared listener bus has delivered every queued
+    * event — the synchronization point that makes a
+    * QueryExecutionListener-based check (PlanChecks.watchFinalPlans)
+    * deterministic to drain. `listenerBus.waitUntilEmpty()` is
+    * `private[spark]`, hence this lives here. */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

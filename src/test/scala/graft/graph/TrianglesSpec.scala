@@ -39,6 +39,36 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("property: incremental counts == full recount on arbitrary state/delta splits") {
+    val gen = Gen.listOfN(40, for {
+      a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    (1L to 6L).foreach { seed =>
+      val all = gen.apply(Gen.Parameters.default, Seed(seed)).get.toSet
+      // Arbitrary disjoint split — INCLUDING delta edges between two
+      // state nodes (the general dEE case the corpus deployment never
+      // produces), and with delta orientation scrambled to exercise the
+      // canonicalization.
+      val (state, delta0) = all.partition { case (a, b) => (a * 7 + b) % 3 != 0 }
+      val delta = delta0.map { case (a, b) => if ((a + b) % 2 == 0) (b, a) else (a, b) }
+      val stateAdj = PageRank.symmetrize(state.toSeq.toDF("id1", "id2"))
+      val stateCounts = Triangles.perNodeCounts(state.toSeq.toDF("id1", "id2"))
+      val got = Triangles.incrementalPerNodeCounts(
+          stateAdj, delta.toSeq.toDF("id1", "id2"), stateCounts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref(all), s"seed=$seed state=$state delta=$delta0")
+    }
+  }
+
+  test("incremental with empty delta returns the state counts unchanged") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("id1", "id2")
+    val counts = Triangles.perNodeCounts(k4)
+    val got = Triangles.incrementalPerNodeCounts(
+        PageRank.symmetrize(k4), Seq.empty[(Long, Long)].toDF("id1", "id2"), counts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("a hub star with one closing edge yields exactly one triangle") {
     // hub 1 connected to 2..9, plus edge (2,3): only {1,2,3} closes.
     val star = (2L to 9L).map(1L -> _) :+ (2L, 3L)
