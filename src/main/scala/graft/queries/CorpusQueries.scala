@@ -328,6 +328,20 @@ ${crossVerifyCtes(0.5)}"""
   SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM abnd)
   WHERE bsz <= $lshBandBucketCap)"""
 
+  /** DERIVED-cap state-side band CTE — the verdict-path twin of
+    * [[cappedStateBndCte]]: cap = greatest(floor, 4 · mean bucket size)
+    * recomputed from abnd itself, mirroring the persisted statistic
+    * prepareLshState writes (same rows, same integer arithmetic). At
+    * driver SFs the mean is ~1 and the floor binds — identical to the
+    * fixed CTE; at mass-duplication density the cap rides the corpus
+    * instead of zeroing the probe. */
+  private def derivedCappedStateBndCte: String =
+    s"""capv AS (SELECT greatest($lshBandBucketCap, 4 * count(*) //
+  (SELECT count(*) FROM (SELECT DISTINCT band, bh FROM abnd))) AS c FROM abnd),
+abndc AS (SELECT doc_id, band, bh FROM (
+  SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM abnd)
+  WHERE bsz <= (SELECT c FROM capv))"""
+
   /** dd_incremental_neardup oracle: state = doc_id % 3 != 2 (the day-1
     * accepted set), increment = % 3 = 2 (mirrors dd_incremental's
     * split); md5-minhash banding on both sides, band-bucket collision,
@@ -339,7 +353,7 @@ ${crossVerifyCtes(0.5)}"""
 inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
 ${minhashSideCtes("a", "st")},
 ${minhashSideCtes("b", "inc")},
-$cappedStateBndCte,
+$derivedCappedStateBndCte,
 ${crossVerifyCtes(0.5, "abndc")},
 best AS (SELECT id2, id1, jaccard FROM (
   SELECT *, row_number() OVER (PARTITION BY id2 ORDER BY jaccard DESC, id1) AS rn
@@ -1963,13 +1977,19 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
       // broadcast — forcing SMJ everywhere cost ~40% of the query.
       val docs = Tables.documents(s, d)
       prepareLshState(s, d)
+      // VERDICT path → the DERIVED cap (persisted at state-build time,
+      // read back as a 1-row checkpoint — see lshCapPath's policy
+      // note): at driver SFs the floor binds and this IS
+      // lshBandBucketCap; at mass-duplication density the cap rides
+      // the corpus instead of zeroing the probe and silently marking
+      // every increment doc unique.
       val out = Dedup.incrementalNearDups(
         docs.filter(col("doc_id") % 3 === 2),
         docs.filter(col("doc_id") % 3 =!= 2),
         s.table(lshStateTable(d)),
         "doc_id", "text", numHashes = 32, rowsPerBand = 4,
         shingleN = 2, threshold = 0.5,
-        bandBucketCap = Some(lshBandBucketCap))
+        bandBucketCap = Some(lshDerivedCap(s, d)))
       // Downstream stages (pair distinct, Jaccard verify, witness
       // window) shuffle legitimately ABOVE the probe join, so a blanket
       // "no exchange over the scan" check would always fail. The layout
@@ -1981,6 +2001,33 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
         out.queryExecution.executedPlan, "LSH state")
       graft.plans.PlanChecks.watchFinalPlans(s, lshStateTable(d), "LSH state")
       out
+    },
+
+    // Band-bucket blocking audit for the LSH family — er_blocking_audit's
+    // treatment applied to the near-dup state: bucket count, the
+    // candidate-pair volume an UNCAPPED probe would generate (sum of
+    // c·(c−1)/2 — the number every cap exists to bound), the largest
+    // bucket (degenerate-band detector), and the DERIVED verdict-path
+    // cap the live probe actually applies (greatest(floor, 4 · mean) —
+    // the audit's own numbers are the cap choice, closing the
+    // tune-the-cap loop for this family too). Driver-bounded: one row.
+    Q("dd_band_audit",
+      s"""WITH st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
+${minhashSideCtes("a", "st")},
+bk AS (SELECT band, bh, CAST(count(*) AS BIGINT) AS c FROM abnd GROUP BY 1, 2)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_candidate_pairs,
+  CAST(max(c) AS BIGINT) AS max_bucket,
+  CAST(greatest($lshBandBucketCap, 4 * sum(c) // count(*)) AS BIGINT) AS derived_cap
+FROM bk""") { (s, d) =>
+      prepareLshState(s, d)
+      s.table(lshStateTable(d))
+        .groupBy(col("band_key")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_buckets"),
+          expr("sum(c * (c - 1) div 2)").as("n_candidate_pairs"),
+          max(col("c")).as("max_bucket"),
+          greatest(lit(lshBandBucketCap.toLong),
+            expr("4 * sum(c) div count(1)")).as("derived_cap"))
     },
 
     // The composed daily-crawl pass — the operational shape the three
@@ -2803,18 +2850,56 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
   private[graft] def lshStateTable(sfDir: String): String =
     s"graft_dd_lshstate_${sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
 
+  /** The VERDICT-path band cap, persisted at state-build time: cap =
+    * greatest([[lshBandBucketCap]], 4 · mean band-bucket size) over the
+    * persisted band table — the same audit-derived treatment the ER
+    * block cap got (EntityResolution.blockedCandidates derivedCap),
+    * applied to the LSH family. Computed ONCE when the state is built
+    * (a layout statistic, like the fingerprint — probes must stay
+    * O(increment), so they read the 1-row checkpoint instead of
+    * re-scanning the state), reported by dd_band_audit, and consumed by
+    * dd_incremental_neardup. POLICY SPLIT, deliberate: the VERDICT path
+    * derives its cap (a fixed cap inverts at high dup density — every
+    * bucket crosses it, the probe surfaces nothing, and every increment
+    * doc is silently marked unique, the worst failure an acceptance
+    * gate can have); the BUDGET paths (st_lsh_probe,
+    * st_incremental_clusters_capped, pipe_incremental_crawl) keep the
+    * fixed [[lshBandBucketCap]] — bounded per-drain cost IS their
+    * semantics. */
+  private[queries] def lshCapPath(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_dd_lshcap_$tag").toString
+  }
+
+  /** Read the persisted derived cap (1 row — driver-small by
+    * construction). */
+  private[queries] def lshDerivedCap(s: org.apache.spark.sql.SparkSession,
+                                     d: String): Int = {
+    prepareLshState(s, d)
+    s.read.parquet(lshCapPath(s, d)).head().getLong(0).toInt
+  }
+
   /** One-time bucketed CTAS of the accepted set's LSH band buckets
     * (doc_id, band_key), bucketed on band_key — the probe-join key — so
     * every later increment probes it exchange-free. Same idempotent
-    * catalog-keyed convention as [[prepareDedupState]]. */
+    * catalog-keyed convention as [[prepareDedupState]]. Also persists
+    * the derived verdict-path cap ([[lshCapPath]]) from the freshly
+    * built table, so cap and state can never drift. */
   def prepareLshState(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     val state = Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2)
     val sets = state.select(col("doc_id"),
       explode(graft.dedup.Dedup.distinctShingles(col("text"), 2)).as("shingle"))
+    val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
     graft.ops.ScaleOps.ensureBucketed(
       graft.dedup.Dedup.bandKeys(sets, "doc_id", 32, 4),
-      lshStateTable(d), "band_key", 32,
-      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"))
+      lshStateTable(d), "band_key", 32, srcFingerprint = fp)
+    graft.ops.ScaleOps.ensureSortedByLazy(s, lshCapPath(s, d),
+      "derived_cap", numFiles = 1, srcFingerprint = fp)(
+      s.table(lshStateTable(d))
+        .agg(greatest(lit(lshBandBucketCap.toLong),
+          expr("4 * count(1) div count(DISTINCT band_key)")).as("derived_cap")))
   }
 
   /** pg_incremental_pagerank's persisted EDGE state table: the accepted
