@@ -777,9 +777,85 @@ object Dedup {
     * corpus (only docs with a near-dup appear). Returns
     * (node, cluster_id). */
   def connectedComponents(pairs: DataFrame, idCols: (String, String) = ("id1", "id2"),
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50,
+                          driverCcMaxEdges: Long = 2L * 1000 * 1000): DataFrame = {
     import graft.ops.Materialize.eagerDurable
     val (c1, c2) = idCols
+    // SIZE-GATED DRIVER FAST PATH: the label-propagation loop below pays
+    // a fixed ~1.5 s/round in job-scheduling + checkpoint I/O regardless
+    // of graph size (measured flat to 300k state rows) — pure overhead
+    // when the pair graph is small. The INCREMENTAL paths feed this
+    // operator a REDUCED graph (one vertex per touched state cluster,
+    // one edge per increment pair — increment-bounded BY CONSTRUCTION,
+    // never corpus-bounded), so at any corpus scale they stay under the
+    // gate; a corpus-scale pair graph (full re-cluster) blows past it
+    // and takes the distributed loop. ≤2M edges = ≤32 MB on the driver —
+    // the same driver-small-by-construction class as the 1-row
+    // aggregates elsewhere, and the same small-graph switch GraphX-style
+    // engines make. Union-find with union-by-min-root + path
+    // compression yields EXACTLY the distributed loop's labels (every
+    // component labeled by its min node id), so oracle hashes cannot
+    // move. Long ids only (every call site today) — other types fall
+    // through to the distributed loop.
+    val longIds =
+      pairs.schema(c1).dataType == org.apache.spark.sql.types.LongType &&
+        pairs.schema(c2).dataType == org.apache.spark.sql.types.LongType
+    if (longIds) {
+      // persist BEFORE the gate count: the pair input is typically the
+      // end of an expensive verify pipeline, and without the persist the
+      // count and the collect (or the loop's first round) would run it
+      // twice.
+      val pr = pairs.select(col(c1).as("a"), col(c2).as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edgeCount = pr.count()
+      if (edgeCount <= driverCcMaxEdges) {
+        val rows = pr.collect()
+        pr.unpersist(blocking = false)
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+          math.min(edgeCount * 2 + 16, 8L * 1000 * 1000).toInt)
+        def add(x: Long): Unit =
+          if (!parent.containsKey(x)) parent.put(x, x)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+          r
+        }
+        rows.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          add(a); add(b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            // union by MIN root: the representative is always the
+            // component's smallest id — the distributed loop's fixpoint.
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+        val it = parent.keySet().iterator()
+        while (it.hasNext) { val n = it.next().longValue(); out += ((n, find(n))) }
+        return out.toSeq.toDF("node", "cluster_id")
+      }
+      // over the gate: hand the persisted frame to the loop (the first
+      // round's edge build drains the cache instead of re-running the
+      // verify pipeline) and release it once the symmetric edge set is
+      // materialized.
+      val result = connectedComponentsLoop(pr, "a", "b", maxIters)
+      pr.unpersist(blocking = false)
+      return result
+    }
+    connectedComponentsLoop(pairs, c1, c2, maxIters)
+  }
+
+  /** The distributed min-label-propagation loop behind
+    * [[connectedComponents]] — engaged when the pair graph is over the
+    * driver fast-path gate (corpus-scale re-clusters) or non-Long-keyed. */
+  private def connectedComponentsLoop(pairs: DataFrame, c1: String, c2: String,
+                                      maxIters: Int): DataFrame = {
+    import graft.ops.Materialize.eagerDurable
     val edges = pairs.select(col(c1).as("a"), col(c2).as("b"))
       .union(pairs.select(col(c2).as("a"), col(c1).as("b")))
       .distinct().persist()

@@ -7,9 +7,36 @@ import graft.dedup.Dedup
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def components(pairs: Seq[(Long, Long)], maxIters: Int = 50) =
-    Dedup.connectedComponents(pairs.toDF("id1", "id2"), maxIters = maxIters)
+  private def components(pairs: Seq[(Long, Long)], maxIters: Int = 50,
+                         gate: Long = 2L * 1000 * 1000) =
+    Dedup.connectedComponents(pairs.toDF("id1", "id2"), maxIters = maxIters,
+        driverCcMaxEdges = gate)
       .as[(Long, Long)].collect().toMap
+
+  test("property: driver union-find fast path == distributed loop on random graphs") {
+    // The size gate switches implementations; both must label every
+    // component by its min node id. Adversarial shapes: chains (worst
+    // case for naive union), stars, dense multi-merges, singletons-free
+    // edge soups. gate=0 forces the loop; the default takes the fast
+    // path for these sizes.
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { trial =>
+      val n = 8 + rnd.nextInt(30)
+      val pairs = (1 to (5 + rnd.nextInt(40))).map { _ =>
+        val a = 1L + rnd.nextInt(n); val b = 1L + rnd.nextInt(n)
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      if (pairs.nonEmpty) {
+        val fast = components(pairs)
+        val loop = components(pairs, gate = 0L)
+        assert(fast == loop, s"trial $trial: $pairs")
+      }
+    }
+    // descending chain: every union attaches the existing root under a
+    // smaller newcomer — the path-compression stress case
+    val desc = (10L until 1L by -1L).map(i => (i - 1, i))
+    assert(components(desc) == components(desc, gate = 0L))
+  }
 
   test("chain merges transitively where greedy pair rules under-merge") {
     // (2,3) and (1,3): greedy drop-larger keeps both 1 and 2; CC puts
@@ -33,7 +60,7 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("non-convergence inside maxIters fails loudly") {
     val chain = (1L until 10L).map(i => (i, i + 1))
     intercept[IllegalArgumentException] {
-      components(chain, maxIters = 2)
+      components(chain, maxIters = 2, gate = 0L) // gate=0: force the loop
     }
   }
 
@@ -41,7 +68,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
     val chain = (1L until 10L).map(i => (i, i + 1))
-    assert(components(chain).values.toSet == Set(1L))
+    assert(components(chain, gate = 0L).values.toSet == Set(1L))
     val leaked = sc.getPersistentRDDs.size - before
     // Final labels (+ nothing else) may still be pinned; the ~9 rounds
     // of a 10-node chain must not each leave a localCheckpoint behind.
@@ -57,7 +84,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     sc.setCheckpointDir(ckptDir.toString)
     try {
       val chain = (1L until 10L).map(i => (i, i + 1))
-      val got = components(chain)
+      val got = components(chain, gate = 0L) // gate=0: force the loop
       assert(got.values.toSet == Set(1L))
       val rddDirs = Option(new java.io.File(sc.getCheckpointDir.get).listFiles())
         .toSeq.flatten.filter(_.getName.startsWith("rdd-"))
