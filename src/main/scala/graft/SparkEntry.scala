@@ -201,6 +201,7 @@ object SparkEntry {
     ScaleQueries.prepare(spark, sfDir)
     CorpusQueries.prepareDedupState(spark, sfDir)
     CorpusQueries.prepareLshState(spark, sfDir)
+    CorpusQueries.prepareSimhashState(spark, sfDir)
     CorpusQueries.prepareCentroidState(spark, sfDir)
     CorpusQueries.prepareClusterState(spark, sfDir)
     CorpusQueries.prepareTallyState(spark, sfDir)

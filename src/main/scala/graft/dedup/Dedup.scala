@@ -757,6 +757,91 @@ object Dedup {
       .distinct()
   }
 
+  /** (id, sig_hi, sig_lo, mkey) Manku bucket rows over md5-twin hi/lo
+    * signature halves — the PERSISTABLE form of
+    * [[simhashNearDupsMd5]]'s bucket stage: the (combo, bkey) pair
+    * packs into ONE long (`mkey` = combo << 40 | bkey; any
+    * 3-of-6 block choice concatenates to at most 33 bits, so 40 clears
+    * it) so a state table can bucket on exactly the probe-join key.
+    * Same halved block layout and combination order as
+    * [[simhashNearDupsMd5]] — the two MUST stay in lockstep or probe
+    * and self-join find different candidate sets. */
+  def simhashMankuKeysMd5(sigs: DataFrame, idCol: String,
+                          maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+    require(blocks % 2 == 0, "md5-twin blocks must be even (split per 32-bit half)")
+    require(maxHamming < blocks, "recall guarantee needs maxHamming < blocks")
+    val m = blocks - maxHamming
+    val half = blocks / 2
+    val base32 = 32 / half
+    val extra32 = 32 % half
+    val widths = Seq.tabulate(half)(i => base32 + (if (i < extra32) 1 else 0))
+    val ranges = widths.scanLeft(0)(_ + _).zip(widths)
+    def vals(c: Column): Seq[(Column, Int)] = ranges.map { case (s, w) =>
+      (shiftright(c, s).bitwiseAND(lit((1L << w) - 1)), w)
+    }
+    val blockVals = vals(col("sig_lo")) ++ vals(col("sig_hi"))
+    sigs.select(col(idCol), col("sig_hi"), col("sig_lo"),
+        explode(array(comboKeys(blockVals, m): _*)).as("_ck"))
+      .select(col(idCol), col("sig_hi"), col("sig_lo"),
+        shiftleft(col("_ck.combo").cast("long"), 40)
+          .bitwiseOR(col("_ck.bkey")).as("mkey"))
+  }
+
+  /** Incremental SimHash near-dup dedup against persisted Manku-key
+    * state — [[incrementalNearDups]]' shape for the SimHash family,
+    * with SimHash's structural advantage: the 64-bit signature IS the
+    * verification payload, carried in the state rows themselves, so
+    * unlike the MinHash path there is NO state text rescan at all — the
+    * whole pass is one probe join over the bucketed key column plus
+    * increment-local work. The accepted set persists as (id, sig_hi,
+    * sig_lo, mkey) bucketed on `mkey` ([[simhashMankuKeysMd5]]); each
+    * increment signs only ITSELF, probes the state by mkey (state side
+    * rides its bucketing — no exchange), Hamming-verifies directly in
+    * the join output, and reports one verdict row per increment doc
+    * with a deterministic best witness (hamming asc, state id asc).
+    * `bucketCap` is the band-bucket collision budget ported to Manku
+    * buckets: a bucket over the cap is mass duplication/boilerplate and
+    * is skipped, bounding per-probe fan-out at any dup density; the
+    * windowed count keys on mkey, so the bucketed state computes it
+    * without an exchange. Returns (idCol, accepted, best_state_id,
+    * best_hamming). */
+  def incrementalSimhashNearDups(incDocs: DataFrame, stateKeys: DataFrame,
+                                 idCol: String, textCol: String,
+                                 maxHamming: Int = 3, blocks: Int = 6,
+                                 bucketCap: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val incSigs = graft.ops.CacheOnce.swap("incr-inc-simhash",
+      simhashMd5(incDocs, idCol, textCol))
+    val incKeys = simhashMankuKeysMd5(incSigs, idCol, maxHamming, blocks)
+      .select(col(idCol).as("id2"), col("sig_hi").as("h2"),
+        col("sig_lo").as("l2"), col("mkey"))
+    val cappedState = bucketCap.fold(stateKeys) { cap =>
+      val w = Window.partitionBy("mkey")
+      stateKeys.withColumn("_bsz", count(lit(1)).over(w))
+        .filter(col("_bsz") <= cap).drop("_bsz")
+    }
+    // merge-hinted probe, same policy as the MinHash incremental path:
+    // the bucketed state side stays exchange-free without a session-wide
+    // broadcast disable.
+    val verified = cappedState.hint("merge")
+      .select(col(idCol).as("id1"), col("sig_hi").as("h1"),
+        col("sig_lo").as("l1"), col("mkey"))
+      .join(incKeys, Seq("mkey"))
+      .select(col("id1"), col("id2"),
+        hammingHiLo(col("h1"), col("l1"), col("h2"), col("l2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val w = Window.partitionBy(col("id2")).orderBy(col("hamming"), col("id1"))
+    val best = verified.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("id2").as(idCol), col("id1").as("best_state_id"),
+        col("hamming").as("best_hamming"))
+    incDocs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("best_state_id").isNull.as("accepted"),
+        col("best_state_id"), col("best_hamming"))
+  }
+
   /** Connected components over a near-duplicate pair graph — the
     * cluster-resolution step after any pairwise dedup: greedy per-pair
     * survivor rules under-merge chains (pairs (b,c) and (a,c) leave both

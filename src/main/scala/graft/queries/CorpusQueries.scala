@@ -156,6 +156,76 @@ sg AS (SELECT d.doc_id, CAST(coalesce(sg0.sig_hi, 0) AS BIGINT) AS sig_hi,
   }
   private val mankuCombos: Seq[Seq[Int]] = (0 until 6).combinations(3).toSeq.map(_.toSeq)
 
+  /** [[simhashSigCte]] parameterized per side: identical md5-twin
+    * signature arithmetic over an arbitrary source CTE, names prefixed
+    * with `p` — the SimHash analog of `minhashSideCtes`, feeding the
+    * incremental probe oracle. */
+  private def simhashSideSigCtes(p: String, src: String): String =
+    s"""${p}tok AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id,
+  unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM $src WHERE length(trim(text)) > 0) u),
+${p}wds AS (SELECT doc_id, ${OracleSqlGen.hex8("h", 1)} AS whi,
+  ${OracleSqlGen.hex8("h", 9)} AS wlo FROM ${p}tok),
+${p}bits AS (SELECT doc_id, g.b AS b,
+  CASE WHEN (((CASE WHEN g.b < 32 THEN wlo >> CAST(g.b AS INT)
+    ELSE whi >> CAST(g.b - 32 AS INT) END) & 1) = 1) THEN 1 ELSE -1 END AS vote
+  FROM ${p}wds, generate_series(0, 63) g(b)),
+${p}votes AS (SELECT doc_id, b, sum(vote) AS v FROM ${p}bits GROUP BY 1, 2),
+${p}sg0 AS (SELECT doc_id,
+  sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << CAST(b - 32 AS INT)) ELSE 0 END) AS sig_hi,
+  sum(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS sig_lo
+  FROM ${p}votes GROUP BY 1),
+${p}sg AS (SELECT d.doc_id, CAST(coalesce(${p}sg0.sig_hi, 0) AS BIGINT) AS sig_hi,
+  CAST(coalesce(${p}sg0.sig_lo, 0) AS BIGINT) AS sig_lo
+  FROM $src d LEFT JOIN ${p}sg0 USING (doc_id))"""
+
+  /** One side's Manku bucket rows with the COMPOSITE key
+    * (combo << 40 | bkey — Dedup.simhashMankuKeysMd5's packing; a
+    * 3-of-6 block choice concatenates to at most 33 bits, so 40 clears
+    * it), read from `${p}sg`. */
+  private def mankuBucketUnionSql(p: String): String =
+    mankuCombos.zipWithIndex.map { case (combo, ci) =>
+      val key = combo.foldLeft("(0::BIGINT)") { (acc, bi) =>
+        s"(($acc << ${mankuWidths(bi)}) | ${mankuBlockSql(bi)})"
+      }
+      s"SELECT doc_id, sig_hi, sig_lo, ((${ci}::BIGINT << 40) | $key) AS mkey FROM ${p}sg"
+    }.mkString(" UNION ALL ")
+
+  /** dd_incremental_simhash oracle: state = doc_id % 3 != 2, increment
+    * = % 3 = 2 (the family's split); md5-twin SimHash signatures per
+    * side, Manku composite-key collision, state buckets over the
+    * DERIVED cap dropped (greatest(16, 4 · mean bucket size) — the
+    * verdict-path treatment, recomputed here from the bucket rows
+    * exactly as prepareSimhashState persists it), Hamming <= 3 verified
+    * directly from the signatures (no text re-read — SimHash's
+    * structural advantage over the MinHash twin), then a deterministic
+    * best witness (hamming asc, state id asc) and a verdict row for
+    * EVERY increment doc. Mirrors [[graft.dedup.Dedup.incrementalSimhashNearDups]]. */
+  private val incrementalSimhashSql: String =
+    s"""WITH st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+${simhashSideSigCtes("a", "st")},
+${simhashSideSigCtes("b", "inc")},
+abu AS (${mankuBucketUnionSql("a")}),
+bbu AS (${mankuBucketUnionSql("b")}),
+scapv AS (SELECT greatest(16, 4 * count(*) //
+  (SELECT count(*) FROM (SELECT DISTINCT mkey FROM abu))) AS c FROM abu),
+abuc AS (SELECT doc_id, sig_hi, sig_lo, mkey FROM (
+  SELECT *, count(*) OVER (PARTITION BY mkey) AS bsz FROM abu)
+  WHERE bsz <= (SELECT c FROM scapv)),
+cd AS (SELECT l.doc_id AS id1, l.sig_hi AS h1, l.sig_lo AS l1,
+  r.doc_id AS id2, r.sig_hi AS h2, r.sig_lo AS l2
+  FROM abuc l JOIN bbu r ON l.mkey = r.mkey),
+vf AS (SELECT DISTINCT id1, id2,
+  CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS BIGINT) AS hamming
+  FROM cd WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3),
+best AS (SELECT id2, id1, hamming FROM (
+  SELECT *, row_number() OVER (PARTITION BY id2 ORDER BY hamming, id1) AS rn
+  FROM vf) WHERE rn = 1)
+SELECT i.doc_id, best.id1 IS NULL AS accepted,
+  best.id1 AS best_state_id, best.hamming AS best_hamming
+FROM inc i LEFT JOIN best ON best.id2 = i.doc_id"""
+
   private val simhashNearDupsMd5Sql: String = {
     val unions = mankuCombos.zipWithIndex.map { case (combo, ci) =>
       val key = combo.foldLeft("(0::BIGINT)") { (acc, bi) =>
@@ -2030,6 +2100,39 @@ FROM bk""") { (s, d) =>
             expr("4 * sum(c) div count(1)")).as("derived_cap"))
     },
 
+    // Incremental SimHash near-dup dedup against persisted Manku-key
+    // state — the incremental family's SimHash member, with the
+    // family's structural twist: the signature travels IN the state
+    // rows, so verification happens inside the probe join itself and
+    // NO state text is ever re-read (the MinHash path must left-semi
+    // rescan collided docs' text for Jaccard; this path touches only
+    // the bucketed key table). Derived verdict-path cap, same policy
+    // as dd_incremental_neardup.
+    Q("dd_incremental_simhash", incrementalSimhashSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      prepareSimhashState(s, d)
+      val out = graft.dedup.Dedup.incrementalSimhashNearDups(
+        docs.filter(col("doc_id") % 3 === 2),
+        s.table(simhashStateTable(d)),
+        "doc_id", "text", maxHamming = 3, blocks = 6,
+        bucketCap = Some(simhashDerivedCap(s, d)))
+      graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
+        out.queryExecution.executedPlan, "SimHash state")
+      // The probe must not smuggle a full-corpus signature pass: the
+      // only documents scan allowed is the increment's own (% 3)
+      // split — SimHash's no-text-rescan claim, asserted from the plan.
+      val docScans = graft.plans.PlanChecks.fileScanPaths(
+        out.queryExecution.executedPlan, "documents.parquet")
+      require(docScans.nonEmpty, "increment scan missing from the probe plan")
+      docScans.foreach { case (scan, path) =>
+        require(graft.plans.PlanChecks.pathHasPredicate(scan, path, "% 3"),
+          "a documents scan without the increment split predicate — " +
+            "the SimHash probe re-read the corpus")
+      }
+      graft.plans.PlanChecks.watchFinalPlans(s, simhashStateTable(d), "SimHash state")
+      out
+    },
+
     // The composed daily-crawl pass — the operational shape the three
     // persisted-state paths exist FOR, run as ONE query over an
     // increment: exact digest gate (in-batch winners anti-joined
@@ -2900,6 +3003,44 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
       s.table(lshStateTable(d))
         .agg(greatest(lit(lshBandBucketCap.toLong),
           expr("4 * count(1) div count(DISTINCT band_key)")).as("derived_cap")))
+  }
+
+  private[graft] def simhashStateTable(sfDir: String): String =
+    s"graft_dd_simhashstate_${sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
+
+  private[queries] def simhashCapPath(s: org.apache.spark.sql.SparkSession,
+                                      d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_dd_simhashcap_$tag").toString
+  }
+
+  /** Read the persisted derived Manku-bucket cap (1 row — driver-small
+    * by construction). */
+  private[queries] def simhashDerivedCap(s: org.apache.spark.sql.SparkSession,
+                                         d: String): Int = {
+    prepareSimhashState(s, d)
+    s.read.parquet(simhashCapPath(s, d)).head().getLong(0).toInt
+  }
+
+  /** One-time bucketed CTAS of the accepted set's SimHash Manku keys
+    * (doc_id, sig_hi, sig_lo, mkey), bucketed on mkey — the probe-join
+    * key — plus the derived verdict-path bucket cap persisted from the
+    * freshly built table ([[lshCapPath]]'s policy applied to the
+    * SimHash family: the cap is a layout statistic, computed once at
+    * state-build time, so probes stay O(increment)). */
+  def prepareSimhashState(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val state = Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2)
+    val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
+    graft.ops.ScaleOps.ensureBucketed(
+      graft.dedup.Dedup.simhashMankuKeysMd5(
+        graft.dedup.Dedup.simhashMd5(state, "doc_id", "text"), "doc_id"),
+      simhashStateTable(d), "mkey", 32, srcFingerprint = fp)
+    graft.ops.ScaleOps.ensureSortedByLazy(s, simhashCapPath(s, d),
+      "derived_cap", numFiles = 1, srcFingerprint = fp)(
+      s.table(simhashStateTable(d))
+        .agg(greatest(lit(16L),
+          expr("4 * count(1) div count(DISTINCT mkey)")).as("derived_cap")))
   }
 
   /** pg_incremental_pagerank's persisted EDGE state table: the accepted
