@@ -92,4 +92,19 @@ object ScdOps {
       .filter(col("valid_from") <= ver &&
         (col("valid_to").isNull || col("valid_to") > ver))
       .drop("valid_from", "valid_to", "is_current")
+
+  /** Retention pruning: forget closed versions whose validity ended at
+    * or before `horizon`, keeping the open frontier and every row still
+    * visible to an as-of query at `horizon` or later. The contract —
+    * [[scd2AsOf]] at any version >= horizon is UNCHANGED by the prune
+    * (a row with valid_to <= horizon can satisfy `valid_to > v` for no
+    * v >= horizon, so no surviving as-of ever sees it) — is what makes
+    * this safe to run as a routine storage policy; the registered query
+    * pins it by reconstructing a snapshot from the PRUNED history
+    * against the snapshot's own derivation. A pure narrow filter: at
+    * warehouse scale this pairs with the surgical file rewrite
+    * (ScaleOps.ensureSurgicalDelete) so only files whose footer
+    * [min,max] of valid_to crosses the horizon are rewritten. */
+  def scd2Retention(history: DataFrame, horizon: Long): DataFrame =
+    history.filter(col("valid_to").isNull || col("valid_to") > horizon)
 }

@@ -104,11 +104,11 @@ j AS (SELECT v1.c_custkey AS ck, v2.c_custkey AS nk,
    (v1.c_acctbal IS DISTINCT FROM v2.c_acctbal OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment)) AS chg
   FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey)"""
 
-  /** Full v1→v2→v3 history derivation — shared by scd2_apply (batch)
-    * and st_scd2_apply (the streamed dimension feed, whose settled
-    * history must equal this batched replay by hash). */
-  private val scd2ApplyOracleSql: String =
-    s"""WITH $scd2V12Ctes,
+  /** CTE chain + final select of the full v1→v2→v3 history derivation,
+    * split so downstream oracles (retention) can wrap the history as a
+    * named CTE. */
+  private val scd2HistoryCtes: String =
+    s"""$scd2V12Ctes,
 hcl AS (SELECT ck AS c_custkey, cb AS c_acctbal, cm AS c_mktsegment,
   CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to, false AS is_current
   FROM j WHERE chg OR (ck IS NOT NULL AND nk IS NULL)),
@@ -121,11 +121,19 @@ j2 AS (SELECT o.c_custkey AS ck, v3.c_custkey AS nk, o.c_acctbal AS cb, v3.c_acc
   o.c_mktsegment AS cm, v3.c_mktsegment AS nm, o.valid_from AS cf,
   (o.c_custkey IS NOT NULL AND v3.c_custkey IS NOT NULL AND
    (o.c_acctbal IS DISTINCT FROM v3.c_acctbal OR o.c_mktsegment IS DISTINCT FROM v3.c_mktsegment)) AS chg
-  FROM hop o FULL OUTER JOIN v3 ON o.c_custkey = v3.c_custkey)
-SELECT * FROM hcl
+  FROM hop o FULL OUTER JOIN v3 ON o.c_custkey = v3.c_custkey)"""
+
+  private val scd2HistorySelect: String =
+    """SELECT * FROM hcl
 UNION ALL SELECT ck, cb, cm, cf, CAST(3 AS BIGINT), false FROM j2 WHERE chg OR (ck IS NOT NULL AND nk IS NULL)
 UNION ALL SELECT ck, cb, cm, cf, CAST(NULL AS BIGINT), true FROM j2 WHERE NOT chg AND ck IS NOT NULL AND nk IS NOT NULL
 UNION ALL SELECT nk, nb, nm, CAST(3 AS BIGINT), CAST(NULL AS BIGINT), true FROM j2 WHERE chg OR (ck IS NULL AND nk IS NOT NULL)"""
+
+  /** Full v1→v2→v3 history derivation — shared by scd2_apply (batch)
+    * and st_scd2_apply (the streamed dimension feed, whose settled
+    * history must equal this batched replay by hash). */
+  private val scd2ApplyOracleSql: String =
+    s"WITH $scd2HistoryCtes\n$scd2HistorySelect"
 
   val defs: Seq[Q] = Seq(
 
@@ -504,6 +512,29 @@ UNION ALL SELECT nk, nb, nm, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true
         Seq(2L -> customerV2(s, d), 3L -> customerV3(s, d)),
         keys, tracked,
         "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING")
+    },
+
+    // SCD2 retention: the storage-policy member of the family — forget
+    // closed versions whose validity ended at or before the horizon
+    // (here 2: the v1-era rows closed by v2's changes vanish, the
+    // frontier and every v3-era-visible row survives). The output IS
+    // the pruned history, so the hash pins exactly which rows a
+    // retention pass may forget; ScdOpsSpec pins the contract that
+    // makes the prune safe (as-of at any version >= horizon is
+    // unchanged). At warehouse scale the filter pairs with the surgical
+    // file rewrite (sc11): only files whose valid_to [min,max] crosses
+    // the horizon rewrite.
+    Q("scd2_retention",
+      s"""WITH $scd2HistoryCtes,
+h AS ($scd2HistorySelect)
+SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to, is_current
+FROM h WHERE valid_to IS NULL OR valid_to > 2""") { (s, d) =>
+      val keys = Seq("c_custkey")
+      val tracked = Seq("c_acctbal", "c_mktsegment")
+      val h12r = graft.ops.ScdOps.scd2Merge(customerV1(s, d), customerV2(s, d),
+        keys, tracked, fromVer = 1L, toVer = 2L)
+      val h = graft.ops.ScdOps.scd2Apply(h12r, customerV3(s, d), keys, tracked, newVer = 3L)
+      graft.ops.ScdOps.scd2Retention(h, horizon = 2L)
     },
 
     // SCD2 time travel: reconstructing AS OF version 2 from the

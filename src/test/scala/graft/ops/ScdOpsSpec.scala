@@ -76,6 +76,26 @@ class ScdOpsSpec extends SparkSpec {
     assert(snap(99L) == rows(v3.orderBy("k"))) // open rows cover the future
   }
 
+  test("scd2Retention: as-of at any version >= horizon is unchanged by the prune") {
+    val h12 = ScdOps.scd2Merge(v1, v2, Seq("k"), Seq("bal", "seg"), 1L, 2L)
+    val h = ScdOps.scd2Apply(h12, v3, Seq("k"), Seq("bal", "seg"), 3L)
+    Seq(1L, 2L, 3L).foreach { horizon =>
+      val pruned = ScdOps.scd2Retention(h, horizon)
+      // the contract that makes retention a safe storage policy
+      (horizon to 4L).foreach { v =>
+        assert(rows(ScdOps.scd2AsOf(pruned, v).orderBy("k")) ==
+          rows(ScdOps.scd2AsOf(h, v).orderBy("k")),
+          s"as-of $v changed after retention at $horizon")
+      }
+    }
+    // horizon 2 really forgets something: the v1-era closures
+    val p2 = ScdOps.scd2Retention(h, 2L)
+    assert(p2.count() < h.count())
+    assert(p2.filter("valid_to IS NOT NULL AND valid_to <= 2").count() == 0)
+    // and keeps every open row
+    assert(p2.filter("is_current").count() == h.filter("is_current").count())
+  }
+
   test("scd2Merge: single shuffle — one join, no second pass over the inputs") {
     val plan = ScdOps.scd2Merge(v1, v2, Seq("k"), Seq("bal", "seg"), 1L, 2L)
       .queryExecution.optimizedPlan.toString
