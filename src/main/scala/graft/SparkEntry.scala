@@ -207,6 +207,7 @@ object SparkEntry {
     CorpusQueries.prepareTallyState(spark, sfDir)
     CorpusQueries.prepareMetricsState(spark, sfDir)
     CorpusQueries.prepareUsersState(spark, sfDir)
+    CorpusQueries.prepareHllState(spark, sfDir)
     CorpusQueries.prepareJoinAggState(spark, sfDir)
     CorpusQueries.prepareQuantState(spark, sfDir)
     EntityQueries.prepareErState(spark, sfDir)

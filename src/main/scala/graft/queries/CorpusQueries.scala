@@ -2547,6 +2547,39 @@ FROM comp GROUP BY 1""") { (s, d) =>
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // IVM for COUNT DISTINCT via MERGEABLE HLL-style register state —
+    // the sketch treatment of the same aggregate ivm_daily_users
+    // maintains exactly: the support relation is O(distinct triples),
+    // which at 100 TB of events is itself corpus-sized; 64 max-registers
+    // per (day, type) are O(groups · 64) FOREVER, and registers merge by
+    // max — merge-of-sketches == sketch-of-all EXACTLY, so the
+    // full-recompute oracle pins the maintenance invariant by hash even
+    // though the estimate is approximate. Everything is deterministic
+    // integer arithmetic (md5-derived bucket/rank, fixed-point 1e-3
+    // estimate via a single integer division, raw HLL without
+    // small/large-range corrections — v_zero ships so a consumer can
+    // apply linear counting downstream); no float ever compares.
+    Q("ivm_daily_users_hll", hllUsersOracleSql) { (s, d) =>
+      prepareHllState(s, d)
+      val state = s.read.parquet(hllStatePath(s, d))
+      val incr = hllRegisters(Tables.events(s, d).filter(col("event_id") % 3 === 2))
+      val merged = state.unionByName(incr)
+        .groupBy(col("obs_date"), col("event_type"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      val out = hllPresent(merged)
+      // The register state stands in for day-1 events: any events scan
+      // in the merge plan must carry the increment split predicate.
+      val scans = graft.plans.PlanChecks.fileScanPaths(
+        out.queryExecution.executedPlan, "events.parquet")
+      require(scans.nonEmpty, "increment events scan missing from the merge plan")
+      scans.foreach { case (scan, path) =>
+        require(graft.plans.PlanChecks.pathHasPredicate(scan, path, "% 3"),
+          "an events scan without the increment split predicate — " +
+            "the HLL merge re-read day-1 events instead of the register state")
+      }
+      out
+    },
+
     // IVM for QUANTILES via mergeable sketch state — the non-algebraic
     // class: a median has no partial you can add, but a domain-bounded
     // HISTOGRAM does (bucket counts sum), and defining the quantile ON
@@ -2865,6 +2898,122 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
           .as("obs_date"), col("event_type"), col("user_id"))
         .distinct(),
       usersStatePath(s, d), "obs_date", numFiles = 1,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/events.parquet"))
+
+  // ---- ivm_daily_users_hll: deterministic HLL-register sketch ----
+  // 64 buckets (p=6) over the md5-derived 64-bit user hash, carried as
+  // two non-negative 32-bit words (the md5-twin convention — neither
+  // engine parses a >= 2^63 literal): bucket = top 6 bits of the high
+  // word, rank input w58 = the remaining 58 bits, rho = leading zeros
+  // in the 58-bit window + 1 (1..59). The estimate is raw HLL with
+  // alpha = 709/1000 at fixed-point 1e-3 via ONE integer division —
+  // ranks clamp at 40 bits (P(rho > 40) = 2^-40; both engines clamp
+  // identically, so parity is by construction) so every term and the
+  // register sum stay in BIGINT range.
+
+  /** Shared-syntax (Spark SQL == DuckDB) CASE computing rho over a
+    * 58-bit value: 59 - bit_length(w), i.e. `w >= 2^57 -> 1`, down to
+    * `w = 0 -> 59`. Generated once, used verbatim on both engines —
+    * the lockstep that makes the sketch hash-comparable. */
+  private def rhoCaseSql(w: String): String = {
+    val whens = (57 to 0 by -1).map(k =>
+      s"WHEN $w >= ${1L << k} THEN ${58 - k}").mkString(" ")
+    s"(CASE $whens ELSE 59 END)"
+  }
+
+  /** alpha_m · m² at fixed-point 1e-3 over the 2^40 rank scale:
+    * 709/1000 · 64² · 2^40 · 1000 = 709 · 2^52. */
+  private lazy val hllEstNumerator: Long = 709L << 52
+  private lazy val hllRankScale: Long = 1L << 40
+
+  /** Linear-counting lookup at fixed-point 1e-3: m · ln(m/V) for V in
+    * 1..63 — ln computed ONCE here and embedded as integer literals in
+    * shared-syntax SQL, so the correction keeps the sketch's
+    * everything-is-integers parity (no engine ever evaluates a float).
+    * V = 64 (no register touched) means zero users. */
+  private def lcCaseSql(v: String): String = {
+    val whens = (1 to 63).map { vv =>
+      val est = math.round(64.0 * math.log(64.0 / vv) * 1000.0)
+      s"WHEN $v = $vv THEN $est"
+    }.mkString(" ")
+    s"(CASE $whens ELSE 0 END)"
+  }
+
+  /** Standard HLL small-range switch at fixed-point: raw estimate up to
+    * 2.5·m (· 1000 milli) with zero registers present → linear count. */
+  private def hllEstSql(raw: String, vZero: String): String =
+    s"(CASE WHEN $vZero > 0 AND $raw <= 160000 THEN ${lcCaseSql(vZero)} ELSE $raw END)"
+
+  /** Per-(day, type, bucket) max-rank registers from raw events —
+    * the sketch builder shared by the state prep and the increment
+    * side. */
+  private[queries] def hllRegisters(events: org.apache.spark.sql.DataFrame) =
+    events
+      .select(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+          .as("obs_date"), col("event_type"),
+        md5(col("user_id").cast("string")).as("_h"))
+      .select(col("obs_date"), col("event_type"),
+        conv(substring(col("_h"), 1, 8), 16, 10).cast("long").as("_whi"),
+        conv(substring(col("_h"), 9, 8), 16, 10).cast("long").as("_wlo"))
+      .select(col("obs_date"), col("event_type"),
+        shiftright(col("_whi"), 26).as("bucket"),
+        shiftleft(col("_whi").bitwiseAND(lit((1L << 26) - 1)), 32)
+          .bitwiseOR(col("_wlo")).as("_w58"))
+      .groupBy(col("obs_date"), col("event_type"), col("bucket"))
+      .agg(max(expr(rhoCaseSql("_w58"))).as("r"))
+
+  /** Presentation over merged registers: fixed-point raw-HLL estimate +
+    * zero-register count. Absent buckets are rank-0 registers — they
+    * contribute the full 2^40 term via (64 - present) · scale. */
+  private[queries] def hllPresent(registers: org.apache.spark.sql.DataFrame) =
+    registers
+      .withColumn("_term",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - least(r, 40) AS INT))"))
+      .groupBy(col("obs_date"), col("event_type"))
+      .agg(sum(col("_term")).as("_sp"), count(lit(1)).as("_nb"))
+      .withColumn("_raw",
+        expr(s"$hllEstNumerator div (_sp + (64 - _nb) * $hllRankScale)"))
+      .withColumn("_vz", lit(64L) - col("_nb"))
+      .select(col("obs_date"), col("event_type"),
+        expr(hllEstSql("_raw", "_vz")).as("users_est_milli"),
+        col("_vz").as("v_zero"))
+
+  /** Full-recompute oracle: the SAME sketch from ALL events — exact for
+    * max-merged registers, so state + increment == full by hash. */
+  private lazy val hllUsersOracleSql: String =
+    s"""WITH c AS (SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type,
+  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+hw AS (SELECT obs_date, event_type, ${OracleSqlGen.hex8("h", 1)} AS whi,
+  ${OracleSqlGen.hex8("h", 9)} AS wlo FROM c),
+rb AS (SELECT obs_date, event_type, whi >> 26 AS bucket,
+  ((whi & ${(1L << 26) - 1}) << 32) | wlo AS w58 FROM hw),
+rr AS (SELECT obs_date, event_type, bucket, max(${rhoCaseSql("w58")}) AS r
+  FROM rb GROUP BY 1, 2, 3),
+pr AS (SELECT obs_date, event_type,
+  sum(1::BIGINT << CAST(40 - least(r, 40) AS INT)) AS sp,
+  count(*) AS nb FROM rr GROUP BY 1, 2),
+rw AS (SELECT obs_date, event_type,
+  CAST($hllEstNumerator // (sp + (64 - nb) * $hllRankScale) AS BIGINT) AS raw,
+  CAST(64 - nb AS BIGINT) AS vz FROM pr)
+SELECT obs_date, event_type,
+  CAST(${hllEstSql("raw", "vz")} AS BIGINT) AS users_est_milli,
+  vz AS v_zero
+FROM rw"""
+
+  private[queries] def hllStatePath(s: org.apache.spark.sql.SparkSession,
+                                    d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_ivm_hll_$tag").toString
+  }
+
+  /** ivm_daily_users_hll's persisted REGISTER state: day-1 events
+    * reduced to (day, type, bucket, max rank) — O(groups · 64) rows no
+    * matter how many events or users day 1 held. */
+  def prepareHllState(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.ops.ScaleOps.ensureSortedBy(
+      hllRegisters(Tables.events(s, d).filter(col("event_id") % 3 =!= 2)),
+      hllStatePath(s, d), "obs_date", numFiles = 1,
       srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/events.parquet"))
 
   /** ivm_daily_quantiles' persisted SKETCH state: per-(day, type)
