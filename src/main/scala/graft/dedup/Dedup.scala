@@ -714,6 +714,34 @@ object Dedup {
         coalesce(col("sig_lo"), lit(0L)).as("sig_lo"))
   }
 
+  /** [[simhashMd5]] computed NARROW — per-row higher-order folds over
+    * the row's own token array instead of explode + groupBy, so a
+    * STREAM can sign documents with zero aggregation state (the
+    * st_simhash_probe gate). Bit-identical to [[simhashMd5]]:
+    * same md5 word split, same vote arithmetic, same strict-positive
+    * majority; tokenless docs fold to (0, 0) because the empty array's
+    * votes are all zero. IncrementalSimhashSpec pins the equality. */
+  def simhashMd5Narrow(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = transform(TextFunctions.tokens(col(textCol)), t =>
+      struct(conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("whi"),
+        conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("wlo")))
+    df.select(col(idCol), ws.as("_ws"))
+      .withColumn("_votes", expr(
+        """aggregate(_ws, array_repeat(0L, 64),
+          |  (acc, w) -> zip_with(acc, sequence(0, 63),
+          |    (a, b) -> a + if(((if(b < 32, w.wlo >> b, w.whi >> (b - 32))) & 1L) = 1L, 1L, -1L)))"""
+          .stripMargin))
+      .select(col(idCol),
+        expr(
+          """aggregate(zip_with(slice(_votes, 33, 32), sequence(0, 31),
+            |  (v, b) -> if(v > 0, shiftleft(CAST(1 AS BIGINT), b), 0L)), 0L, (s, x) -> s | x)"""
+            .stripMargin).as("sig_hi"),
+        expr(
+          """aggregate(zip_with(slice(_votes, 1, 32), sequence(0, 31),
+            |  (v, b) -> if(v > 0, shiftleft(CAST(1 AS BIGINT), b), 0L)), 0L, (s, x) -> s | x)"""
+            .stripMargin).as("sig_lo"))
+  }
+
   /** Hamming distance over the (hi, lo) 32-bit-half signature encoding. */
   def hammingHiLo(h1: Column, l1: Column, h2: Column, l2: Column): Column =
     (bit_count(h1.bitwiseXOR(h2)) + bit_count(l1.bitwiseXOR(l2))).cast("long")

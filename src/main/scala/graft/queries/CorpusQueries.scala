@@ -226,6 +226,29 @@ SELECT i.doc_id, best.id1 IS NULL AS accepted,
   best.id1 AS best_state_id, best.hamming AS best_hamming
 FROM inc i LEFT JOIN best ON best.id2 = i.doc_id"""
 
+  /** st_simhash_probe oracle: VERIFIED (state, increment) SimHash
+    * near-dup pairs through the fixed BUDGET cap — Manku composite-key
+    * collisions between capped state buckets and the streamed
+    * increment, Hamming <= 3 applied directly (the gate needs no batch
+    * verify tail; the signature rides in the state). Mirrors
+    * [[graft.streaming.SimhashProbe.verifiedOnce]]. */
+  private lazy val simhashProbeSql: String =
+    s"""WITH st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+${simhashSideSigCtes("a", "st")},
+${simhashSideSigCtes("b", "inc")},
+abu AS (${mankuBucketUnionSql("a")}),
+bbu AS (${mankuBucketUnionSql("b")}),
+abuc AS (SELECT doc_id, sig_hi, sig_lo, mkey FROM (
+  SELECT *, count(*) OVER (PARTITION BY mkey) AS bsz FROM abu)
+  WHERE bsz <= $lshBandBucketCap),
+cd AS (SELECT l.doc_id AS state_id, l.sig_hi AS h1, l.sig_lo AS l1,
+  r.doc_id AS inc_id, r.sig_hi AS h2, r.sig_lo AS l2
+  FROM abuc l JOIN bbu r ON l.mkey = r.mkey)
+SELECT DISTINCT state_id, inc_id,
+  CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS BIGINT) AS hamming
+FROM cd WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3"""
+
   private val simhashNearDupsMd5Sql: String = {
     val unions = mankuCombos.zipWithIndex.map { case (combo, ci) =>
       val key = combo.foldLeft("(0::BIGINT)") { (acc, bi) =>
@@ -2131,6 +2154,18 @@ FROM bk""") { (s, d) =>
       }
       graft.plans.PlanChecks.watchFinalPlans(s, simhashStateTable(d), "SimHash state")
       out
+    },
+
+    // The streaming front gate of the SimHash incremental family —
+    // st_lsh_probe's shape over the Manku key state, except the gate
+    // emits VERIFIED pairs: the signature travels in the state rows,
+    // Hamming filters inside the stateless stream-static join, and no
+    // batch verify tail exists. Budget-path fixed cap (bounded
+    // per-drain cost is the gate's semantics), cap-aware oracle.
+    Q("st_simhash_probe", simhashProbeSql) { (s, d) =>
+      prepareSimhashState(s, d)
+      graft.streaming.SimhashProbe.verifiedOnce(s, d, simhashStateTable(d),
+        bucketCap = Some(lshBandBucketCap))
     },
 
     // The composed daily-crawl pass — the operational shape the three

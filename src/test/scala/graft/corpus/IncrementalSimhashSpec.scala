@@ -62,6 +62,20 @@ class IncrementalSimhashSpec extends SparkSpec {
     assert(got.length == 4)
   }
 
+  test("narrow per-row signer is bit-identical to the batch signer") {
+    // the streaming gate signs with simhashMd5Narrow; a drifting bit
+    // would probe the wrong buckets and silently accept everything
+    val all = stateDocs.union(incDocs)
+    val batch = Dedup.simhashMd5(all, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val narrow = Dedup.simhashMd5Narrow(all, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == narrow)
+    assert(batch.exists(s => s._2 != 0L || s._3 != 0L))
+    // tokenless docs sign (0, 0) on both paths
+    assert(narrow.contains((5L, 0L, 0L)) && narrow.contains((13L, 0L, 0L)))
+  }
+
   test("Manku packing: 20 combos per doc, key fits under combo<<40") {
     val keys = stateKeys.filter(col("doc_id") === 1L)
       .select(col("mkey")).as[Long].collect()
