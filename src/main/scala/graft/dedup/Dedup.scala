@@ -685,8 +685,25 @@ object Dedup {
     * md5(token) read as a big-endian 64-bit value, carried as two
     * non-negative 32-bit halves (`sig_hi` = bits 32..63, `sig_lo` = bits
     * 0..31) so neither engine ever parses a >= 2^63 literal. Tokenless
-    * documents sign as (0, 0). */
+    * documents sign as (0, 0).
+    *
+    * Computed by the native codegen [[graft.functions.SimHashMd5Packed]]
+    * expression — one primitive loop per document, PER-ROW (no explode,
+    * no groupBy), so the same signer serves batch and streaming alike.
+    * [[simhashMd5Agg]] is the composed aggregate formulation it
+    * replaced, kept as its cross-checkable twin (IncrementalSimhashSpec
+    * pins bit-equality). */
   def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val packed = graft.functions.SimHashFunctions.simhashMd5Packed(col(textCol))
+    df.select(col(idCol),
+      shiftrightunsigned(packed, 32).as("sig_hi"),
+      packed.bitwiseAND(lit(0xffffffffL)).as("sig_lo"))
+  }
+
+  /** The operator-composed (explode + 64 vote aggregates) formulation
+    * [[simhashMd5]] replaced — quadratically more expensive per token,
+    * kept as the native expression's cross-checkable twin. */
+  private[graft] def simhashMd5Agg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("_t"))
       .select(col(idCol), md5(col("_t")).as("_h"))
@@ -712,34 +729,6 @@ object Dedup {
     df.select(col(idCol)).join(sigs, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("sig_hi"), lit(0L)).as("sig_hi"),
         coalesce(col("sig_lo"), lit(0L)).as("sig_lo"))
-  }
-
-  /** [[simhashMd5]] computed NARROW — per-row higher-order folds over
-    * the row's own token array instead of explode + groupBy, so a
-    * STREAM can sign documents with zero aggregation state (the
-    * st_simhash_probe gate). Bit-identical to [[simhashMd5]]:
-    * same md5 word split, same vote arithmetic, same strict-positive
-    * majority; tokenless docs fold to (0, 0) because the empty array's
-    * votes are all zero. IncrementalSimhashSpec pins the equality. */
-  def simhashMd5Narrow(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = transform(TextFunctions.tokens(col(textCol)), t =>
-      struct(conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("whi"),
-        conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("wlo")))
-    df.select(col(idCol), ws.as("_ws"))
-      .withColumn("_votes", expr(
-        """aggregate(_ws, array_repeat(0L, 64),
-          |  (acc, w) -> zip_with(acc, sequence(0, 63),
-          |    (a, b) -> a + if(((if(b < 32, w.wlo >> b, w.whi >> (b - 32))) & 1L) = 1L, 1L, -1L)))"""
-          .stripMargin))
-      .select(col(idCol),
-        expr(
-          """aggregate(zip_with(slice(_votes, 33, 32), sequence(0, 31),
-            |  (v, b) -> if(v > 0, shiftleft(CAST(1 AS BIGINT), b), 0L)), 0L, (s, x) -> s | x)"""
-            .stripMargin).as("sig_hi"),
-        expr(
-          """aggregate(zip_with(slice(_votes, 1, 32), sequence(0, 31),
-            |  (v, b) -> if(v > 0, shiftleft(CAST(1 AS BIGINT), b), 0L)), 0L, (s, x) -> s | x)"""
-            .stripMargin).as("sig_lo"))
   }
 
   /** Hamming distance over the (hi, lo) 32-bit-half signature encoding. */

@@ -13,11 +13,10 @@ import org.apache.spark.sql.streaming.Trigger
   * downstream batch verify stage at all (the MinHash gate must hand its
   * collisions to an exact-Jaccard batch tail).
   *
-  * The signature is computed NARROW per row
-  * ([[graft.dedup.Dedup.simhashMd5Narrow]] — higher-order folds over
-  * the row's own token array, bit-identical to the batch signer), so
-  * the stream carries NO aggregation state; the only stateful thing is
-  * the append sink. Keys explode through the SAME
+  * The signer ([[graft.dedup.Dedup.simhashMd5]]) is the native codegen
+  * SimHashMd5Packed expression — strictly per-row, one primitive loop
+  * per document — so the stream carries NO aggregation state; the only
+  * stateful thing is the append sink. Keys explode through the SAME
   * [[graft.dedup.Dedup.simhashMankuKeysMd5]] the persisted state was
   * built with — sketch parameters are one unit, never mixed. */
 object SimhashProbe {
@@ -42,7 +41,7 @@ object SimhashProbe {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
 
-    val sigs = graft.dedup.Dedup.simhashMd5Narrow(
+    val sigs = graft.dedup.Dedup.simhashMd5(
       ss.readStream
         .schema(org.apache.spark.sql.types.StructType.fromDDL(docSchema))
         .option("pathGlobFilter", "documents.parquet")

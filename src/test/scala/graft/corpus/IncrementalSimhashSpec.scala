@@ -62,18 +62,21 @@ class IncrementalSimhashSpec extends SparkSpec {
     assert(got.length == 4)
   }
 
-  test("narrow per-row signer is bit-identical to the batch signer") {
-    // the streaming gate signs with simhashMd5Narrow; a drifting bit
-    // would probe the wrong buckets and silently accept everything
+  test("native codegen signer is bit-identical to the aggregate twin") {
+    // every simhash path (batch, state prep, streaming gate) signs with
+    // the native SimHashMd5Packed expression; a drifting bit would
+    // probe the wrong buckets and silently accept everything
     val all = stateDocs.union(incDocs)
-    val batch = Dedup.simhashMd5(all, "doc_id", "text")
+    val native = Dedup.simhashMd5(all, "doc_id", "text")
       .as[(Long, Long, Long)].collect().toSet
-    val narrow = Dedup.simhashMd5Narrow(all, "doc_id", "text")
+    val agg = Dedup.simhashMd5Agg(all, "doc_id", "text")
       .as[(Long, Long, Long)].collect().toSet
-    assert(batch == narrow)
-    assert(batch.exists(s => s._2 != 0L || s._3 != 0L))
+    assert(native == agg)
+    assert(native.exists(s => s._2 != 0L || s._3 != 0L))
     // tokenless docs sign (0, 0) on both paths
-    assert(narrow.contains((5L, 0L, 0L)) && narrow.contains((13L, 0L, 0L)))
+    assert(native.contains((5L, 0L, 0L)) && native.contains((13L, 0L, 0L)))
+    // halves are non-negative 32-bit values (the md5-twin encoding)
+    assert(native.forall(s => s._2 >= 0 && s._2 < (1L << 32) && s._3 >= 0 && s._3 < (1L << 32)))
   }
 
   test("Manku packing: 20 combos per doc, key fits under combo<<40") {

@@ -162,6 +162,15 @@ class CodegenGateSpec extends SparkSpec {
       SimHashFunctions.simhash64(col("s")))
   }
 
+  test("codegen gate: SimHashMd5Packed") {
+    val v = gate(rddDf("s string")(Row("some document text for hashing")),
+      SimHashFunctions.simhashMd5Packed(col("s")))
+    assert(v.asInstanceOf[Long] != 0L)
+    // blank text packs to 0 — the md5-twin tokenless contract
+    assert(gate(rddDf("s string")(Row("   ")),
+      SimHashFunctions.simhashMd5Packed(col("s"))).asInstanceOf[Long] == 0L)
+  }
+
   test("codegen gate: JpegDimsPacked") {
     val jpeg = encode(solid(64, 48, 0x336699), "jpg")
     val v = gate(rddDf("b binary")(Row(jpeg)),
