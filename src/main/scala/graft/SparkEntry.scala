@@ -208,6 +208,7 @@ object SparkEntry {
     CorpusQueries.prepareMetricsState(spark, sfDir)
     CorpusQueries.prepareUsersState(spark, sfDir)
     CorpusQueries.prepareHllState(spark, sfDir)
+    CorpusQueries.prepareBottomkState(spark, sfDir)
     CorpusQueries.prepareJoinAggState(spark, sfDir)
     CorpusQueries.prepareQuantState(spark, sfDir)
     EntityQueries.prepareErState(spark, sfDir)

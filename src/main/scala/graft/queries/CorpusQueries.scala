@@ -2615,6 +2615,46 @@ FROM comp GROUP BY 1""") { (s, d) =>
       out
     },
 
+    // IVM for a UNIFORM SAMPLE via mergeable bottom-k state — the
+    // sampling family's incremental member: a per-(day, type) uniform
+    // fixed-size sample that is STABLE under corpus growth. Rank =
+    // md5(event_id) (deterministic, uniform); the sample is the k=32
+    // rank-smallest events, and bottom-k is a mergeable sketch —
+    // bottomK(A ∪ B) == bottomK(bottomK(A) ∪ bottomK(B)) — so the
+    // state holds k rows per group FOREVER (never raw events) and the
+    // full-recompute oracle pins the merge invariant by hash.
+    // t_hash_sample is the stateless Bernoulli cousin (fixed RATE);
+    // bottom-k holds fixed SIZE, the shape eval sets and audits want.
+    Q("ivm_bottomk_sample",
+      "WITH c AS (SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type, " +
+        "event_id, md5(CAST(event_id AS VARCHAR)) AS rk FROM events), " +
+        "w AS (SELECT *, row_number() OVER (PARTITION BY obs_date, event_type " +
+        "ORDER BY rk, event_id) AS rn FROM c) " +
+        "SELECT obs_date, event_type, event_id, CAST(rn AS BIGINT) AS sample_rank " +
+        "FROM w WHERE rn <= 32") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      prepareBottomkState(s, d)
+      val state = s.read.parquet(bottomkStatePath(s, d))
+      val incr = bottomkRanked(
+        Tables.events(s, d).filter(col("event_id") % 3 === 2))
+      val g = Window.partitionBy(col("obs_date"), col("event_type"))
+        .orderBy(col("rk"), col("event_id"))
+      val out = state.unionByName(incr)
+        .withColumn("rn", row_number().over(g))
+        .filter(col("rn") <= 32)
+        .select(col("obs_date"), col("event_type"), col("event_id"),
+          col("rn").cast("long").as("sample_rank"))
+      val scans = graft.plans.PlanChecks.fileScanPaths(
+        out.queryExecution.executedPlan, "events.parquet")
+      require(scans.nonEmpty, "increment events scan missing from the merge plan")
+      scans.foreach { case (scan, path) =>
+        require(graft.plans.PlanChecks.pathHasPredicate(scan, path, "% 3"),
+          "an events scan without the increment split predicate — " +
+            "the bottom-k merge re-read day-1 events instead of the sample state")
+      }
+      out
+    },
+
     // IVM for QUANTILES via mergeable sketch state — the non-algebraic
     // class: a median has no partial you can add, but a domain-bounded
     // HISTOGRAM does (bucket counts sum), and defining the quantile ON
@@ -3034,6 +3074,37 @@ SELECT obs_date, event_type,
   CAST(${hllEstSql("raw", "vz")} AS BIGINT) AS users_est_milli,
   vz AS v_zero
 FROM rw"""
+
+  /** Per-event deterministic sample rank — md5 over the unique event
+    * id; lexicographic hex IS the rank order, shared verbatim with the
+    * oracle's md5(CAST(event_id AS VARCHAR)). */
+  private def bottomkRanked(events: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Window.partitionBy(col("obs_date"), col("event_type"))
+      .orderBy(col("rk"), col("event_id"))
+    events
+      .select(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+          .as("obs_date"), col("event_type"), col("event_id"),
+        md5(col("event_id").cast("string")).as("rk"))
+      .withColumn("_rn", row_number().over(g))
+      .filter(col("_rn") <= 32)
+      .drop("_rn")
+  }
+
+  private[queries] def bottomkStatePath(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_ivm_bottomk_$tag").toString
+  }
+
+  /** ivm_bottomk_sample's persisted state: day-1 events reduced to the
+    * 32 rank-smallest per (day, type) — k rows per group forever. */
+  def prepareBottomkState(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    graft.ops.ScaleOps.ensureSortedBy(
+      bottomkRanked(Tables.events(s, d).filter(col("event_id") % 3 =!= 2)),
+      bottomkStatePath(s, d), "obs_date", numFiles = 1,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/events.parquet"))
 
   private[queries] def hllStatePath(s: org.apache.spark.sql.SparkSession,
                                     d: String): String = {
