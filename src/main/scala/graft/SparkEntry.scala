@@ -209,6 +209,7 @@ object SparkEntry {
     CorpusQueries.prepareUsersState(spark, sfDir)
     CorpusQueries.prepareHllState(spark, sfDir)
     CorpusQueries.prepareBottomkState(spark, sfDir)
+    CorpusQueries.prepareCosineState(spark, sfDir)
     CorpusQueries.prepareJoinAggState(spark, sfDir)
     CorpusQueries.prepareQuantState(spark, sfDir)
     EntityQueries.prepareErState(spark, sfDir)

@@ -1082,4 +1082,80 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
+
+  /** (id, tb_key) sign-LSH bucket rows with the (table, bucket) pair
+    * PACKED into one long (tbl << 32 | bucket; tbl is 0-based, bucket <
+    * 2^numPlanes) — the persistable form of the multi-table bucket
+    * stage, so state tables bucket on exactly the probe-join key. */
+  def cosineBucketKeys(df: DataFrame, idCol: String, vecCol: String,
+                       numPlanes: Int = 8, numTables: Int = 4,
+                       dim: Int = 64, seed: Long = 42L): DataFrame = {
+    import graft.similarity.Similarity
+    Similarity.bucketTables(
+        df.filter(Similarity.l2norm(col(vecCol)) > 0),
+        idCol, vecCol, numPlanes, numTables, dim, seed)
+      .select(col(idCol),
+        shiftleft(col("tbl").cast("long"), 32)
+          .bitwiseOR(col("bucket")).as("tb_key"))
+  }
+
+  /** Incremental embedding-cosine near-dup dedup against persisted
+    * sign-LSH bucket state — [[incrementalNearDups]]' shape for the
+    * EMBEDDING modality, completing the family (exact digests, MinHash
+    * bands, SimHash Manku keys, and now cosine buckets all probe
+    * persisted state O(increment)). The accepted set's (id, tb_key)
+    * bucket rows persist bucketed on tb_key; each increment buckets
+    * only ITSELF, probes the state exchange-free (merge-hinted), and
+    * exact-cosine verifies the collisions — state vectors are re-read
+    * ONLY for ids that collided (left-semi prune, the MinHash text
+    * treatment applied to vectors). Zero-norm vectors never pair
+    * (cosine undefined) but still get a verdict row. Returns one row
+    * per increment vector: (idCol, accepted, best_state_id,
+    * best_cosine), best witness deterministic (cosine desc, state id
+    * asc). */
+  def incrementalCosineNearDups(incVecs: DataFrame, stateVecs: DataFrame,
+                                stateBuckets: DataFrame, idCol: String,
+                                vecCol: String, threshold: Double,
+                                numPlanes: Int = 8, numTables: Int = 4,
+                                dim: Int = 64, seed: Long = 42L,
+                                bucketCap: Option[Int] = None): DataFrame = {
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val incBase = graft.ops.CacheOnce.swap("incr-inc-cosvecs",
+      incVecs.filter(Similarity.l2norm(col(vecCol)) > 0)
+        .select(col(idCol), col(vecCol),
+          Similarity.l2norm(col(vecCol)).as("_n")))
+    val incKeys = graft.ops.CacheOnce.swap("incr-inc-cosbuckets",
+      cosineBucketKeys(incBase, idCol, vecCol, numPlanes, numTables, dim, seed)
+        .withColumnRenamed(idCol, "id2"))
+    val capped = bucketCap.fold(stateBuckets) { cap =>
+      val w = Window.partitionBy("tb_key")
+      stateBuckets.withColumn("_bsz", count(lit(1)).over(w))
+        .filter(col("_bsz") <= cap).drop("_bsz")
+    }
+    val cands = capped.hint("merge")
+      .select(col(idCol).as("id1"), col("tb_key"))
+      .join(incKeys, Seq("tb_key"))
+      .select("id1", "id2").distinct()
+    val stateV = stateVecs
+      .join(cands.select(col("id1").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id1"), col(vecCol).as("_v1"),
+        Similarity.l2norm(col(vecCol)).as("_n1"))
+    val verified = cands
+      .join(stateV, Seq("id1"))
+      .join(incBase.select(col(idCol).as("id2"), col(vecCol).as("_v2"),
+        col("_n").as("_n2")), Seq("id2"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("_v1"), col("_v2")) / (col("_n1") * col("_n2")), 4))
+      .filter(col("cosine") >= threshold)
+    val w = Window.partitionBy(col("id2")).orderBy(desc("cosine"), col("id1"))
+    val best = verified.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("id2").as(idCol), col("id1").as("best_state_id"),
+        col("cosine").as("best_cosine"))
+    incVecs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("best_state_id").isNull.as("accepted"),
+        col("best_state_id"), col("best_cosine"))
+  }
 }

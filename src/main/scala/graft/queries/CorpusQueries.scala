@@ -226,6 +226,17 @@ SELECT i.doc_id, best.id1 IS NULL AS accepted,
   best.id1 AS best_state_id, best.hamming AS best_hamming
 FROM inc i LEFT JOIN best ON best.id2 = i.doc_id"""
 
+  /** One side's sign-LSH bucket CTEs with the PACKED key — (tbl-1
+    * 0-based, matching Dedup.cosineBucketKeys' posexplode) << 32 |
+    * bucket — reading planes from the shared `pl` CTE. */
+  private def cosineSideBucketCtes(p: String, src: String, numPlanes: Int,
+                                   numTables: Int, dim: Int): String =
+    s"""${p}dp AS (SELECT v.vec_id, t.t, p.p, ${OracleSqlGen.planeDot("v.embedding", dim)} AS dp
+  FROM $src v, generate_series(1, $numTables) t(t), generate_series(1, $numPlanes) p(p), pl),
+${p}bk AS (SELECT vec_id, (((t - 1)::BIGINT << 32) |
+  CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << CAST(p - 1 AS INT)) ELSE 0 END) AS BIGINT)) AS tb_key
+  FROM ${p}dp GROUP BY vec_id, t)"""
+
   /** st_simhash_probe oracle: VERIFIED (state, increment) SimHash
     * near-dup pairs through the fixed BUDGET cap — Manku composite-key
     * collisions between capped state buckets and the streamed
@@ -1728,6 +1739,55 @@ FROM m""") { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding", 5,
         numPlanes = Some(annPlanes), numTables = annTables,
         bucketCap = Some(annBucketCap), candidateCap = Some(annCap))
+    },
+
+    // Incremental embedding-cosine near-dup against persisted sign-LSH
+    // bucket state — the incremental family's EMBEDDING member (exact
+    // digests, MinHash bands, SimHash Manku keys, cosine buckets: every
+    // modality now probes persisted state O(increment)). State = (vec_id,
+    // tb_key) bucketed on the packed (table << 32 | bucket) probe key;
+    // the increment buckets only itself, probes exchange-free (REQUIREd),
+    // exact cosine verifies collisions with state vectors re-read only
+    // for collided ids. Derived verdict-path cap, recomputed in the
+    // oracle from the bucket rows exactly as the state prep persists it.
+    Q("dd_incremental_cosine",
+      s"""WITH anv AS (SELECT * FROM (SELECT vec_id, embedding, ${OracleSqlGen.norm("embedding", 64)} AS nrm
+  FROM embeddings WHERE vec_id % 3 != 2) WHERE nrm > 0),
+bnv AS (SELECT * FROM (SELECT vec_id, embedding, ${OracleSqlGen.norm("embedding", 64)} AS nrm
+  FROM embeddings WHERE vec_id % 3 = 2) WHERE nrm > 0),
+pl AS (SELECT ${OracleSqlGen.tablesLit(8, 4, 64, 42L)} AS tabs),
+${cosineSideBucketCtes("a", "anv", 8, 4, 64)},
+${cosineSideBucketCtes("b", "bnv", 8, 4, 64)},
+ccapv AS (SELECT greatest(16, 4 * count(*) //
+  (SELECT count(*) FROM (SELECT DISTINCT tb_key FROM abk))) AS c FROM abk),
+abkc AS (SELECT vec_id, tb_key FROM (
+  SELECT *, count(*) OVER (PARTITION BY tb_key) AS bsz FROM abk)
+  WHERE bsz <= (SELECT c FROM ccapv)),
+cd AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+  FROM abkc l JOIN bbk r ON l.tb_key = r.tb_key),
+vf AS (SELECT c.id1, c.id2,
+  round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.nrm), 4) AS cosine
+  FROM cd c JOIN anv a ON a.vec_id = c.id1 JOIN bnv b ON b.vec_id = c.id2
+  WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.nrm), 4) >= 0.3),
+best AS (SELECT id2, id1, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY id2 ORDER BY cosine DESC, id1) AS rn
+  FROM vf) WHERE rn = 1)
+SELECT i.vec_id, best.id1 IS NULL AS accepted,
+  best.id1 AS best_state_id, best.cosine AS best_cosine
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 2) i
+LEFT JOIN best ON best.id2 = i.vec_id""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      prepareCosineState(s, d)
+      val out = Dedup.incrementalCosineNearDups(
+        emb.filter(col("vec_id") % 3 === 2),
+        emb.filter(col("vec_id") % 3 =!= 2),
+        s.table(cosineStateTable(d)),
+        "vec_id", "embedding", threshold = 0.3,
+        bucketCap = Some(cosineDerivedCap(s, d)))
+      graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
+        out.queryExecution.executedPlan, "cosine LSH state")
+      graft.plans.PlanChecks.watchFinalPlans(s, cosineStateTable(d), "cosine LSH state")
+      out
     },
 
     // Embedding cosine near-dup pairs via multi-table LSH (8 planes x 4
@@ -3296,6 +3356,39 @@ FROM rw"""
       s.table(simhashStateTable(d))
         .agg(greatest(lit(16L),
           expr("4 * count(1) div count(DISTINCT mkey)")).as("derived_cap")))
+  }
+
+  private[graft] def cosineStateTable(sfDir: String): String =
+    s"graft_dd_cosinestate_${sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
+
+  private[queries] def cosineCapPath(s: org.apache.spark.sql.SparkSession,
+                                     d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_dd_cosinecap_$tag").toString
+  }
+
+  private[queries] def cosineDerivedCap(s: org.apache.spark.sql.SparkSession,
+                                        d: String): Int = {
+    prepareCosineState(s, d)
+    s.read.parquet(cosineCapPath(s, d)).head().getLong(0).toInt
+  }
+
+  /** One-time bucketed CTAS of the accepted set's sign-LSH bucket rows
+    * (vec_id, tb_key), bucketed on tb_key — the probe-join key — plus
+    * the derived verdict-path bucket cap (the lshCapPath policy applied
+    * to the embedding modality). */
+  def prepareCosineState(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val state = Tables.embeddings(s, d).filter(col("vec_id") % 3 =!= 2)
+    val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/embeddings.parquet")
+    graft.ops.ScaleOps.ensureBucketed(
+      graft.dedup.Dedup.cosineBucketKeys(state, "vec_id", "embedding"),
+      cosineStateTable(d), "tb_key", 32, srcFingerprint = fp)
+    graft.ops.ScaleOps.ensureSortedByLazy(s, cosineCapPath(s, d),
+      "derived_cap", numFiles = 1, srcFingerprint = fp)(
+      s.table(cosineStateTable(d))
+        .agg(greatest(lit(16L),
+          expr("4 * count(1) div count(DISTINCT tb_key)")).as("derived_cap")))
   }
 
   /** pg_incremental_pagerank's persisted EDGE state table: the accepted
