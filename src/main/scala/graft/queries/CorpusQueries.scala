@@ -2675,6 +2675,18 @@ FROM comp GROUP BY 1""") { (s, d) =>
       out
     },
 
+    // The sketch-IVM family's STREAMING end: events stream through the
+    // same narrow per-row rank derivation and the ONLY streaming state
+    // is the register map itself (one max row per (day, type, bucket) —
+    // bounded at groups x 64 at ANY event volume, the reason to
+    // maintain the sketch instead of the support relation). Max is
+    // commutative + idempotent, so the settled registers equal the
+    // batch sketch at any arrival order; same estimate presentation,
+    // same full-recompute oracle.
+    Q("st_hll_ingest", hllUsersOracleSql) { (s, d) =>
+      graft.streaming.HllIngest.usersOnce(s, d)
+    },
+
     // IVM for a UNIFORM SAMPLE via mergeable bottom-k state — the
     // sampling family's incremental member: a per-(day, type) uniform
     // fixed-size sample that is STABLE under corpus growth. Rank =
@@ -3079,10 +3091,12 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
   private def hllEstSql(raw: String, vZero: String): String =
     s"(CASE WHEN $vZero > 0 AND $raw <= 160000 THEN ${lcCaseSql(vZero)} ELSE $raw END)"
 
-  /** Per-(day, type, bucket) max-rank registers from raw events —
-    * the sketch builder shared by the state prep and the increment
-    * side. */
-  private[queries] def hllRegisters(events: org.apache.spark.sql.DataFrame) =
+  /** Per-row (day, type, bucket, rho) rank derivation — strictly
+    * narrow (md5 words + the generated rank CASE), so the SAME stage
+    * serves the batch sketch builder and the STREAMING register
+    * maintenance (st_hll_ingest signs rows with zero pre-aggregation
+    * state). */
+  private[graft] def hllRowRanks(events: org.apache.spark.sql.DataFrame) =
     events
       .select(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
           .as("obs_date"), col("event_type"),
@@ -3094,13 +3108,21 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
         shiftright(col("_whi"), 26).as("bucket"),
         shiftleft(col("_whi").bitwiseAND(lit((1L << 26) - 1)), 32)
           .bitwiseOR(col("_wlo")).as("_w58"))
+      .select(col("obs_date"), col("event_type"), col("bucket"),
+        expr(rhoCaseSql("_w58")).as("rho"))
+
+  /** Per-(day, type, bucket) max-rank registers from raw events —
+    * the sketch builder shared by the state prep and the increment
+    * side. */
+  private[queries] def hllRegisters(events: org.apache.spark.sql.DataFrame) =
+    hllRowRanks(events)
       .groupBy(col("obs_date"), col("event_type"), col("bucket"))
-      .agg(max(expr(rhoCaseSql("_w58"))).as("r"))
+      .agg(max(col("rho")).as("r"))
 
   /** Presentation over merged registers: fixed-point raw-HLL estimate +
     * zero-register count. Absent buckets are rank-0 registers — they
     * contribute the full 2^40 term via (64 - present) · scale. */
-  private[queries] def hllPresent(registers: org.apache.spark.sql.DataFrame) =
+  private[graft] def hllPresent(registers: org.apache.spark.sql.DataFrame) =
     registers
       .withColumn("_term",
         expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - least(r, 40) AS INT))"))
