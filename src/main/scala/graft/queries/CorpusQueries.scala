@@ -3114,7 +3114,7 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
   /** Per-(day, type, bucket) max-rank registers from raw events —
     * the sketch builder shared by the state prep and the increment
     * side. */
-  private[queries] def hllRegisters(events: org.apache.spark.sql.DataFrame) =
+  private[graft] def hllRegisters(events: org.apache.spark.sql.DataFrame) =
     hllRowRanks(events)
       .groupBy(col("obs_date"), col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("r"))

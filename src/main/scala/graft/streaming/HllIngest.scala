@@ -46,4 +46,32 @@ object HllIngest {
     query.awaitTermination()
     graft.queries.CorpusQueries.hllPresent(ss.table(qname))
   }
+
+  /** Multi-micro-batch variant for the spec: drains a STAGED directory
+    * of pre-converted (ts TIMESTAMP, event_type, user_id) parquet files
+    * one file per micro-batch, so register maintenance is exercised
+    * across real batch boundaries instead of one lucky drain —
+    * arrival-order independence (max commutes) asserted, not argued. */
+  private[graft] def usersOnceStaged(spark: SparkSession,
+                                     stagedDir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = graft.queries.CorpusQueries.hllRowRanks(
+        ss.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "ts TIMESTAMP, event_type STRING, user_id BIGINT"))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stagedDir))
+      .groupBy(col("obs_date"), col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val qname = "graft_stream_hll_ingest_staged"
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.queries.CorpusQueries.hllPresent(ss.table(qname))
+  }
 }
