@@ -210,6 +210,7 @@ object SparkEntry {
     CorpusQueries.prepareHllState(spark, sfDir)
     CorpusQueries.prepareBottomkState(spark, sfDir)
     CorpusQueries.prepareCosineState(spark, sfDir)
+    CorpusQueries.prepareContamState(spark, sfDir)
     CorpusQueries.prepareJoinAggState(spark, sfDir)
     CorpusQueries.prepareQuantState(spark, sfDir)
     EntityQueries.prepareErState(spark, sfDir)

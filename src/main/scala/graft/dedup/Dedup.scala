@@ -667,6 +667,48 @@ object Dedup {
     }
   }
 
+  /** Incremental decontamination against a PERSISTED test-suite shingle
+    * index — the operational shape of [[bloomContamination]]: the eval
+    * suite is fixed and small, crawl increments arrive daily, and
+    * re-sharding the suite (or rebuilding its bloom) per increment is
+    * wasted work. The suite's distinct shingles persist ONCE as
+    * (test_id, shingle) bucketed on `shingle` — the probe-join key —
+    * and each increment explodes only ITSELF and probes the index
+    * exchange-free. `dfCap` drops state shingles whose test-side doc
+    * frequency exceeds it (stopword runs and boilerplate are
+    * non-discriminative and only fan the probe out); the windowed count
+    * keys on shingle, so the bucketed index computes it without an
+    * exchange. One verdict row per increment doc: (idCol, contaminated,
+    * best_test_id, n_shared), best witness deterministic (shared count
+    * desc, test id asc). */
+  def incrementalContamination(incDocs: DataFrame, stateShingles: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int = 3, minShared: Int = 3,
+                               dfCap: Option[Int] = None): DataFrame = {
+    val incSh = incDocs.select(col(idCol).as("inc_id"),
+      explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
+    val capped = dfCap.fold(stateShingles) { cap =>
+      val w = Window.partitionBy("shingle")
+      stateShingles.withColumn("_df", count(lit(1)).over(w))
+        .filter(col("_df") <= cap).drop("_df")
+    }
+    val pairs = capped.hint("merge")
+      .join(incSh, Seq("shingle"))
+      .groupBy(col("inc_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val w = Window.partitionBy(col("inc_id"))
+      .orderBy(desc("n_shared"), col("test_id"))
+    val best = pairs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("inc_id").as(idCol), col("test_id").as("best_test_id"),
+        col("n_shared"))
+    incDocs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("best_test_id").isNotNull.as("contaminated"),
+        col("best_test_id"), col("n_shared"))
+  }
+
   /** [[minhashNearDups]]' md5 twin — same pipeline (shared shingle set,
     * signature aggregate, banded bucket join, exact Jaccard
     * verification), oracle-reproducible end to end. */

@@ -402,6 +402,13 @@ vf AS (SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jac
   FROM intr JOIN szA s1 ON s1.doc_id = id1 JOIN szB s2 ON s2.doc_id = id2
   WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= $threshold)"""
 
+  /** Word 3-gram over a token-array column `ts` (DuckDB list ops) —
+    * shared by the bloom and incremental contamination oracles; mirrors
+    * Dedup.distinctShingles(_, 3) including the <3-token collapse. */
+  private val triShingleSql: String =
+    "list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) " +
+      "THEN x || ' ' || ts[i + 1] || ' ' || ts[i + 2] END)"
+
   private val contaminationCtes: String =
     s"""tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
 te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
@@ -1986,6 +1993,54 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
         shingleN = 2, threshold = 0.5)
     },
 
+    // Incremental decontamination against the PERSISTED test-suite
+    // shingle index — the operational member of the contamination
+    // family: the eval suite is fixed and small, crawl increments
+    // arrive daily, and re-sharding the suite (or rebuilding its
+    // bloom) per increment is wasted work. The suite's shingles persist
+    // once bucketed on the probe key; each increment explodes only
+    // itself and probes exchange-free (REQUIREd); a derived test-side
+    // doc-frequency cap drops non-discriminative boilerplate shingles.
+    // One verdict row per increment doc with a deterministic best
+    // witness, so the oracle reproduces the whole pass.
+    Q("dd_incremental_contamination",
+      s"""WITH te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 6 = 2),
+tetk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM te),
+tesh AS (SELECT DISTINCT doc_id AS test_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+    ELSE $triShingleSql END) AS shingle FROM tetk) WHERE shingle IS NOT NULL),
+intk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM inc),
+insh AS (SELECT DISTINCT doc_id AS inc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+    ELSE $triShingleSql END) AS shingle FROM intk) WHERE shingle IS NOT NULL),
+dfv AS (SELECT greatest(8, 4 * count(*) //
+  (SELECT count(DISTINCT shingle) FROM tesh)) AS c FROM tesh),
+teshc AS (SELECT test_id, shingle FROM (
+  SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM tesh)
+  WHERE df <= (SELECT c FROM dfv)),
+pairs AS (SELECT i.inc_id, t.test_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM insh i JOIN teshc t USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 3),
+best AS (SELECT inc_id, test_id, n_shared FROM (
+  SELECT *, row_number() OVER (PARTITION BY inc_id ORDER BY n_shared DESC, test_id) AS rn
+  FROM pairs) WHERE rn = 1)
+SELECT i.doc_id, best.test_id IS NOT NULL AS contaminated,
+  best.test_id AS best_test_id, best.n_shared
+FROM inc i LEFT JOIN best ON best.inc_id = i.doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      prepareContamState(s, d)
+      val out = Dedup.incrementalContamination(
+        docs.filter(col("doc_id") % 6 === 2),
+        s.table(contamStateTable(d)),
+        "doc_id", "text", shingleN = 3, minShared = 3,
+        dfCap = Some(contamDerivedCap(s, d)))
+      graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
+        out.queryExecution.executedPlan, "test-suite shingle index")
+      graft.plans.PlanChecks.watchFinalPlans(s, contamStateTable(d),
+        "test-suite shingle index")
+      out
+    },
+
     // Density-capped contamination: top-3 witnesses per test doc. The
     // full dd_contamination report is per-pair and rides dup density
     // (the r8 scale sweep measured it growing faster than its output);
@@ -3378,6 +3433,41 @@ FROM rw"""
       s.table(simhashStateTable(d))
         .agg(greatest(lit(16L),
           expr("4 * count(1) div count(DISTINCT mkey)")).as("derived_cap")))
+  }
+
+  private[graft] def contamStateTable(sfDir: String): String =
+    s"graft_dd_contamstate_${sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
+
+  private[queries] def contamCapPath(s: org.apache.spark.sql.SparkSession,
+                                     d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_dd_contamcap_$tag").toString
+  }
+
+  private[queries] def contamDerivedCap(s: org.apache.spark.sql.SparkSession,
+                                        d: String): Int = {
+    prepareContamState(s, d)
+    s.read.parquet(contamCapPath(s, d)).head().getLong(0).toInt
+  }
+
+  /** One-time bucketed CTAS of the TEST SUITE's distinct 3-shingles
+    * (test_id, shingle), bucketed on shingle — the probe-join key of
+    * incremental decontamination — plus the derived doc-frequency cap
+    * (greatest(8, 4 · mean test-side df), persisted from the freshly
+    * built index: a layout statistic, like every other derived cap). */
+  def prepareContamState(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val te = Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+    val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
+    graft.ops.ScaleOps.ensureBucketed(
+      te.select(col("doc_id").as("test_id"),
+        explode(graft.dedup.Dedup.distinctShingles(col("text"), 3)).as("shingle")),
+      contamStateTable(d), "shingle", 32, srcFingerprint = fp)
+    graft.ops.ScaleOps.ensureSortedByLazy(s, contamCapPath(s, d),
+      "derived_cap", numFiles = 1, srcFingerprint = fp)(
+      s.table(contamStateTable(d))
+        .agg(greatest(lit(8L),
+          expr("4 * count(1) div count(DISTINCT shingle)")).as("derived_cap")))
   }
 
   private[graft] def cosineStateTable(sfDir: String): String =
