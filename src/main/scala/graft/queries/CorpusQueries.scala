@@ -2170,6 +2170,41 @@ WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = w.content_hash)""") {
       out
     },
 
+    // TWO consecutive increments composed through the EVOLVING digest
+    // state — the temporal claim every single-step incremental query
+    // only argues: day-1 acceptances become day-2 state (state' =
+    // state ∪ accepted₁), and the chained result must equal the
+    // sequential replay the oracle computes from scratch. A day-2 doc
+    // duplicating a doc ACCEPTED on day 1 (not just one in the original
+    // state) is rejected — the failure mode a stale-state bug would
+    // produce is pinned by hash. In-plan state derivation (the layout
+    // story — bucketed probe, exchange counts — is dd_incremental's;
+    // this query pins COMPOSITION).
+    Q("dd_incremental_chain",
+      """WITH d0 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+i1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 1),
+w1 AS (SELECT min(doc_id) AS doc_id, h FROM i1 GROUP BY h),
+a1 AS (SELECT doc_id, h FROM w1 WHERE h NOT IN (SELECT h FROM d0)),
+s1 AS (SELECT h FROM d0 UNION SELECT h FROM a1),
+i2 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2),
+w2 AS (SELECT min(doc_id) AS doc_id, h FROM i2 GROUP BY h),
+a2 AS (SELECT doc_id, h FROM w2 WHERE h NOT IN (SELECT h FROM s1))
+SELECT doc_id, CAST(1 AS BIGINT) AS day, h AS content_hash FROM a1
+UNION ALL SELECT doc_id, CAST(2 AS BIGINT), h FROM a2""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val d0 = docs.filter(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("content_hash")).distinct()
+      // day-1 acceptances feed BOTH the output and day 2's state
+      val a1 = graft.ops.CacheOnce.swap("incr-chain-a1",
+        Dedup.incrementalDedup(docs.filter(col("doc_id") % 3 === 1), d0,
+          "doc_id", "text"))
+      val s1 = d0.union(a1.select(col("content_hash")))
+      val a2 = Dedup.incrementalDedup(docs.filter(col("doc_id") % 3 === 2), s1,
+        "doc_id", "text")
+      a1.select(col("doc_id"), lit(1L).as("day"), col("content_hash"))
+        .unionByName(a2.select(col("doc_id"), lit(2L).as("day"), col("content_hash")))
+    },
+
     // Incremental NEAR-dup dedup against persisted LSH state:
     // dd_incremental's operational shape for near-duplicates. The
     // accepted set's band buckets persist bucketed on band_key (the
