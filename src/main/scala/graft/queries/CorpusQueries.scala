@@ -2732,6 +2732,57 @@ FROM comp GROUP BY 1""") { (s, d) =>
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // IVM under CORRECTIONS — the abelian-group leg for FACT
+    // restatements, the case insert-only IVM cannot express: late
+    // corrections arrive for events already folded into day-1 state
+    // (value += 10 on event_id % 7 = 3, synthesized in-plan so the
+    // oracle reproduces it), and the maintenance applies signed DELTAS
+    // to the persisted partials instead of rescanning day-1 events —
+    // counts unchanged, cents += 1000 per corrected row (round(x*100)
+    // is exactly linear under the +10 shift, so the delta is an
+    // integer constant, no float drift). Oracle = full recompute over
+    // the corrected events; state + deltas == full is the
+    // abelian-group invariant, by hash. The ivm_scd2_agg retro-move
+    // covered dimension changes; this covers the facts themselves.
+    Q("ivm_corrections",
+      "WITH ev AS (SELECT ts, event_type, " +
+        "CASE WHEN event_id % 7 = 3 AND value IS NOT NULL THEN value + 10 ELSE value END AS value " +
+        "FROM events WHERE event_id % 3 <> 2), " +
+        "c AS (SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents, value FROM ev) " +
+        "SELECT obs_date, event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cents) AS BIGINT) / 100.0 AS total_value, " +
+        "(CAST(sum(cents) AS BIGINT) * 100 // nullif(count(value), 0)) / 10000.0 AS avg_value " +
+        "FROM c GROUP BY 1, 2") { (s, d) =>
+      prepareMetricsState(s, d)
+      val state = s.read.parquet(metricsStatePath(s, d))
+      val deltas = Tables.events(s, d)
+        .filter(col("event_id") % 3 =!= 2 && col("event_id") % 7 === 3 &&
+          col("value").isNotNull)
+        .groupBy(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+          .as("obs_date"), col("event_type"))
+        .agg(lit(0L).as("n"), lit(0L).as("nv"),
+          (count(lit(1)) * 1000L).as("cents"))
+      val out = state.unionByName(deltas)
+        .groupBy(col("obs_date"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("nv")).as("nv"),
+          sum(col("cents")).as("cents"))
+        .select(col("obs_date"), col("event_type"), col("n"),
+          (col("cents") / lit(100.0)).as("total_value"),
+          (expr("cents * 100 div nv") / lit(10000.0)).as("avg_value"))
+      // day-1 raw events must never rescan: the only events scan is the
+      // corrections split (% 7 narrows it past the day-1 predicate).
+      val scans = graft.plans.PlanChecks.fileScanPaths(
+        out.queryExecution.executedPlan, "events.parquet")
+      require(scans.nonEmpty, "corrections scan missing from the merge plan")
+      scans.foreach { case (scan, path) =>
+        require(graft.plans.PlanChecks.pathHasPredicate(scan, path, "% 7"),
+          "an events scan without the corrections split predicate — " +
+            "the merge re-read day-1 events instead of applying deltas")
+      }
+      out
+    },
+
     // IVM for COUNT DISTINCT via MERGEABLE HLL-style register state —
     // the sketch treatment of the same aggregate ivm_daily_users
     // maintains exactly: the support relation is O(distinct triples),
