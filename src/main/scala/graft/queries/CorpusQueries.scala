@@ -2732,6 +2732,42 @@ FROM comp GROUP BY 1""") { (s, d) =>
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // A rollup view maintained FROM another view's state — the
+    // materialized-view-over-materialized-view shape: monthly metrics
+    // derive from the DAILY partials (day-1 persisted state + the
+    // increment's own day partials), so the monthly refresh has NO
+    // raw-event term at all — the coarser grain re-aggregates the finer
+    // grain's monoid partials, which is the whole point of keeping
+    // partials instead of presentations. Oracle = full recompute at
+    // month grain over all events.
+    Q("ivm_monthly_rollup",
+      "WITH c AS (SELECT CAST(date_trunc('month', CAST(ts + INTERVAL 8 HOUR AS DATE)) AS DATE) AS obs_month, " +
+        "event_type, CAST(round(value * 100) AS BIGINT) AS cents, value FROM events) " +
+        "SELECT obs_month, event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cents) AS BIGINT) / 100.0 AS total_value " +
+        "FROM c GROUP BY 1, 2") { (s, d) =>
+      prepareMetricsState(s, d)
+      val state = s.read.parquet(metricsStatePath(s, d))
+      val incr = Tables.events(s, d).filter(col("event_id") % 3 === 2)
+        .groupBy(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
+          .as("obs_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("value")).as("nv"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val out = state.unionByName(incr)
+        .groupBy(trunc(col("obs_date"), "month").as("obs_month"), col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          (sum(col("cents")) / lit(100.0)).as("total_value"))
+      val scans = graft.plans.PlanChecks.fileScanPaths(
+        out.queryExecution.executedPlan, "events.parquet")
+      require(scans.nonEmpty, "increment events scan missing from the rollup plan")
+      scans.foreach { case (scan, path) =>
+        require(graft.plans.PlanChecks.pathHasPredicate(scan, path, "% 3"),
+          "an events scan without the increment split predicate — " +
+            "the monthly rollup re-read day-1 events instead of the daily partials")
+      }
+      out
+    },
+
     // IVM under CORRECTIONS — the abelian-group leg for FACT
     // restatements, the case insert-only IVM cannot express: late
     // corrections arrive for events already folded into day-1 state
