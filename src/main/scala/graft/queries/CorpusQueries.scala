@@ -2041,6 +2041,36 @@ FROM inc i LEFT JOIN best ON best.inc_id = i.doc_id""") { (s, d) =>
       out
     },
 
+    // Index-quality audit for the contamination family — dd_band_audit's
+    // treatment applied to the test-suite shingle index: row/shingle
+    // counts, the doc-frequency distribution's head (max df), how many
+    // index rows the derived cap actually drops (the boilerplate mass),
+    // and the derived cap itself — the audit's own numbers ARE the cap
+    // choice, closing the tune-the-cap loop for this family too.
+    // Driver-bounded: one row.
+    Q("dd_contam_audit",
+      s"""WITH te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+tetk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM te),
+tesh AS (SELECT DISTINCT doc_id AS test_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+    ELSE $triShingleSql END) AS shingle FROM tetk) WHERE shingle IS NOT NULL),
+df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS c FROM tesh GROUP BY 1),
+capv AS (SELECT greatest(8, 4 * sum(c) // count(*)) AS cap FROM df)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(max(c) AS BIGINT) AS max_df,
+  CAST(sum(CASE WHEN c > (SELECT cap FROM capv) THEN c ELSE 0 END) AS BIGINT) AS n_hot_rows,
+  CAST((SELECT cap FROM capv) AS BIGINT) AS derived_cap
+FROM df""") { (s, d) =>
+      prepareContamState(s, d)
+      val df = s.table(contamStateTable(d))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+      val cap = contamDerivedCap(s, d).toLong
+      df.agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_shingles"),
+        max(col("c")).as("max_df"),
+        sum(when(col("c") > cap, col("c")).otherwise(lit(0L))).as("n_hot_rows"),
+        lit(cap).as("derived_cap"))
+    },
+
     // Density-capped contamination: top-3 witnesses per test doc. The
     // full dd_contamination report is per-pair and rides dup density
     // (the r8 scale sweep measured it growing faster than its output);
