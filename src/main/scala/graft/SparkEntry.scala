@@ -215,6 +215,7 @@ object SparkEntry {
     CorpusQueries.prepareQuantState(spark, sfDir)
     EntityQueries.prepareErState(spark, sfDir)
     EntityQueries.prepareErFullClusters(spark, sfDir)
+    EntityQueries.prepareErSurvState(spark, sfDir)
     CorpusQueries.preparePageRankState(spark, sfDir)
     RelationalQueries.prepareScd2AggState(spark, sfDir)
   }

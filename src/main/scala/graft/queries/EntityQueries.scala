@@ -153,6 +153,32 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
     new java.io.File(wh, s"graft_er_cc_full_$tag").toString
   }
 
+  /** er_incremental_survivorship's persisted CANONICAL map over the
+    * day-1 cluster state — one (cluster_id, canonical_rid,
+    * canonical_name) row per state cluster, elected once at state-build
+    * time; increments re-elect only the clusters they dirty. */
+  private[queries] def erSurvStatePath(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_er_surv_$tag").toString
+  }
+
+  def prepareErSurvState(s: SparkSession, d: String): Unit = {
+    prepareErState(s, d)
+    graft.ops.ScaleOps.ensureSortedByLazy(s, erSurvStatePath(s, d),
+      "cluster_id", numFiles = 1,
+      srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"))(
+      EntityResolution.survivorship(
+        s.read.parquet(erClusterStatePath(s, d))
+          .join(keyedRecords(s, d).select(col("rid").as("node"), col("name")),
+            Seq("node"))
+          .select(col("cluster_id"), col("node").as("rid"), col("name")),
+        "rid", "cluster_id",
+        preference = when(col("name").rlike("^Customer#[0-9]+$"), 0).otherwise(1))
+        .select(col("cluster_id"), col("rid").as("canonical_rid"),
+          col("name").as("canonical_name")))
+  }
+
   def prepareErFullClusters(s: SparkSession, d: String): Unit =
     graft.ops.ScaleOps.ensureSortedByLazy(s, erFullClusterPath(s, d),
       "node", numFiles = 1,
@@ -333,5 +359,67 @@ SELECT cluster_id, rid AS canonical_rid, name AS canonical_name FROM (
         preference = when(col("name").rlike("^Customer#[0-9]+$"), 0).otherwise(1))
         .select(col("cluster_id"), col("rid").as("canonical_rid"),
           col("name").as("canonical_name"))
+    },
+
+    // Incremental survivorship — the ER family's last batch-only
+    // member made operational: canonicals persist per day-1 cluster,
+    // the increment's cluster update (the same O(increment) probe +
+    // merge er_incremental_clusters runs) marks DIRTY clusters (every
+    // new/relabeled node's new id AND its old id — a merged-away
+    // cluster's stale canonical must drop, a winning cluster that
+    // gained members must re-elect because a new member can win the
+    // preference), re-elects ONLY those, and every untouched cluster's
+    // canonical rides from state verbatim (elections depend only on
+    // membership, and untouched membership is unchanged). The result
+    // must equal the full election over the full match graph — the
+    // SAME oracle er_survivorship answers, so composition is pinned by
+    // hash, not argued.
+    Q("er_incremental_survivorship",
+      s"""WITH RECURSIVE $erCompCtes
+SELECT cluster_id, rid AS canonical_rid, name AS canonical_name FROM (
+  SELECT comp.cluster_id, k.rid, k.name,
+    row_number() OVER (PARTITION BY comp.cluster_id ORDER BY
+      CASE WHEN regexp_full_match(k.name, 'Customer#[0-9]+') THEN 0 ELSE 1 END,
+      k.rid) AS rn
+  FROM comp JOIN k ON k.rid = comp.node) WHERE rn = 1""") { (s, d) =>
+      prepareErState(s, d); prepareErSurvState(s, d)
+      val k = keyedRecords(s, d)
+      val incKeys = graft.ops.CacheOnce.swap("er-inc-keys",
+        passKeyRows(k.filter(incPred)))
+      val crossCands = s.table(erKeyStateTable(d)).hint("merge")
+        .select(col("rid").as("rid1"), col("bkey"))
+        .join(incKeys.select(col("rid").as("rid2"), col("bkey")), Seq("bkey"))
+        .select("rid1", "rid2").distinct()
+      val selfCands = incKeys.select(col("rid").as("rid1"), col("bkey"))
+        .join(incKeys.select(col("rid").as("rid2"), col("bkey")), Seq("bkey"))
+        .filter(col("rid1") < col("rid2"))
+        .select("rid1", "rid2").distinct()
+      val pairs = EntityResolution.verifyByEditDistance(
+        crossCands.unionByName(selfCands).distinct(),
+        k, "rid", "norm", Seq("nation"), maxDist = 1)
+      val state = s.read.parquet(erClusterStatePath(s, d))
+      // shared key with er_incremental_clusters: one merged map per
+      // session no matter which of the two queries runs first
+      val updated = graft.ops.CacheOnce.swap("er-inc-updated",
+        graft.dedup.Dedup.incrementalClusters(state, pairs, ("rid1", "rid2")))
+      val changed = updated
+        .join(state.withColumnRenamed("cluster_id", "_old"), Seq("node"), "left")
+        .filter(col("_old").isNull || col("_old") =!= col("cluster_id"))
+      val dirty = changed.select(col("cluster_id"))
+        .union(changed.filter(col("_old").isNotNull)
+          .select(col("_old").as("cluster_id")))
+        .distinct()
+      val survState = s.read.parquet(erSurvStatePath(s, d))
+      val untouched = survState
+        .join(broadcast(dirty), Seq("cluster_id"), "left_anti")
+      val reElected = EntityResolution.survivorship(
+        updated.join(broadcast(dirty), Seq("cluster_id"), "left_semi")
+          .join(k.select(col("rid").as("node"), col("name")), Seq("node"))
+          .select(col("cluster_id"), col("node").as("rid"), col("name")),
+        "rid", "cluster_id",
+        preference = when(col("name").rlike("^Customer#[0-9]+$"), 0).otherwise(1))
+        .select(col("cluster_id"), col("rid").as("canonical_rid"),
+          col("name").as("canonical_name"))
+      untouched.unionByName(reElected)
     })
 }
