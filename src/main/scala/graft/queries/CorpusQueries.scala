@@ -623,6 +623,71 @@ LEFT JOIN acc ON acc.doc_id = i.doc_id
 LEFT JOIN asg ON asg.vec_id = i.doc_id"""
   }
 
+  /** pipe_crawl_guarded oracle: [[pipeIncrementalCrawlSql]] with the
+    * CONTAMINATION GATE inserted between the exact-digest gate and the
+    * near-dup probe — exact survivors screen against the test-suite
+    * shingle index (derived df cap, >= 3 shared shingles rejects), and
+    * only clean docs reach the LSH probe and centroid assignment. */
+  private val pipeCrawlGuardedSql: String = {
+    def dot(a: String, b: String) = OracleSqlGen.dot(a, b, 64)
+    s"""WITH d1 AS (SELECT md5(text) AS content_hash FROM documents WHERE doc_id % 3 != 2),
+d2 AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 3 = 2),
+xw AS (SELECT content_hash, min(doc_id) AS doc_id FROM d2 GROUP BY 1),
+xs AS (SELECT doc_id FROM xw
+  WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.content_hash = xw.content_hash)),
+st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+incx AS (SELECT i.* FROM inc i JOIN xs ON xs.doc_id = i.doc_id),
+te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+tetk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM te),
+tesh AS (SELECT DISTINCT doc_id AS test_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+    ELSE $triShingleSql END) AS shingle FROM tetk) WHERE shingle IS NOT NULL),
+gdfv AS (SELECT greatest(8, 4 * count(*) //
+  (SELECT count(DISTINCT shingle) FROM tesh)) AS c FROM tesh),
+teshc AS (SELECT test_id, shingle FROM (
+  SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM tesh)
+  WHERE df <= (SELECT c FROM gdfv)),
+xtk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM incx),
+xsh AS (SELECT DISTINCT doc_id AS inc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+    ELSE $triShingleSql END) AS shingle FROM xtk) WHERE shingle IS NOT NULL),
+cont AS (SELECT DISTINCT inc_id AS doc_id FROM (
+  SELECT i.inc_id, t.test_id FROM xsh i JOIN teshc t USING (shingle)
+  GROUP BY 1, 2 HAVING count(*) >= 3)),
+cln AS (SELECT xs.doc_id FROM xs
+  WHERE NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = xs.doc_id)),
+incc AS (SELECT i.* FROM inc i JOIN cln ON cln.doc_id = i.doc_id),
+${minhashSideCtes("a", "st")},
+${minhashSideCtes("b", "incc")},
+$cappedStateBndCte,
+${crossVerifyCtes(0.5, "abndc")},
+best AS (SELECT id2, id1 FROM (
+  SELECT *, row_number() OVER (PARTITION BY id2 ORDER BY jaccard DESC, id1) AS rn
+  FROM vf) WHERE rn = 1),
+acc AS (SELECT i.doc_id FROM incc i LEFT JOIN best ON best.id2 = i.doc_id
+  WHERE best.id1 IS NULL),
+${OracleSqlGen.nvCte(64)},
+tnv AS (SELECT * FROM nv WHERE vec_id % 3 != 2),
+${kmeansTrainCtes(8, 2, 64, "tnv")},
+iv AS (SELECT nv.* FROM nv JOIN acc ON acc.doc_id = nv.vec_id),
+fs AS (SELECT v.vec_id, c.cell,
+  ${dot("v.embedding", "c.cv")} / (v.nrm * sqrt(${dot("c.cv", "c.cv")})) AS sim FROM iv v, fc c),
+asg AS (SELECT vec_id, cell FROM (SELECT fs.*,
+  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM fs) WHERE rn = 1)
+SELECT i.doc_id,
+  CASE WHEN xs.doc_id IS NULL THEN 'exact_dup'
+       WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+       WHEN acc.doc_id IS NULL THEN 'near_dup'
+       ELSE 'accepted' END AS verdict,
+  CAST(asg.cell AS BIGINT) AS cell
+FROM inc i
+LEFT JOIN xs ON xs.doc_id = i.doc_id
+LEFT JOIN cont ON cont.doc_id = i.doc_id
+LEFT JOIN acc ON acc.doc_id = i.doc_id
+LEFT JOIN asg ON asg.vec_id = i.doc_id"""
+  }
+
   /** st_lsh_probe oracle: the CANDIDATE set of the incremental
     * near-dup pass — band-equality collisions between the persisted
     * state and the streamed increment, before Jaccard verification.
@@ -2358,6 +2423,68 @@ FROM bk""") { (s, d) =>
     // with a nonzero embedding. One verdict row per increment doc
     // ('exact_dup' / 'near_dup' / 'accepted') + the accepted doc's
     // cell. The oracle is the sequential batch equivalent end to end.
+    // The GUARDED daily crawl — pipe_incremental_crawl with the
+    // contamination gate inserted where a production pipeline puts it:
+    // exact survivors screen against the persisted test-suite shingle
+    // index (derived df cap) BEFORE any near-dup work, because a doc
+    // that leaks eval data must be rejected even when it is a perfectly
+    // novel document; only clean docs pay the LSH probe and centroid
+    // assignment. Four persisted states, one pass, one verdict row per
+    // increment doc: exact_dup / contaminated / near_dup / accepted.
+    Q("pipe_crawl_guarded", pipeCrawlGuardedSql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      prepareDedupState(s, d); prepareContamState(s, d)
+      prepareLshState(s, d); prepareCentroidState(s, d)
+      val docs = Tables.documents(s, d)
+      val inc = docs.filter(col("doc_id") % 3 === 2)
+      val exactAcc = graft.ops.CacheOnce.swap("pipe-g-exact-acc",
+        Dedup.incrementalDedup(inc, s.table(dedupStateTable(d)),
+          "doc_id", "text").select(col("doc_id")))
+      val contamV = graft.ops.CacheOnce.swap("pipe-g-contam",
+        Dedup.incrementalContamination(
+          inc.join(exactAcc, Seq("doc_id"), "left_semi"),
+          s.table(contamStateTable(d)),
+          "doc_id", "text", shingleN = 3, minShared = 3,
+          dfCap = Some(contamDerivedCap(s, d))))
+      val clean = contamV.filter(!col("contaminated")).select(col("doc_id"))
+      val ndVerdicts = graft.ops.CacheOnce.swap("pipe-g-nd-verdicts",
+        Dedup.incrementalNearDups(
+          inc.join(clean, Seq("doc_id"), "left_semi"),
+          docs.filter(col("doc_id") % 3 =!= 2), s.table(lshStateTable(d)),
+          "doc_id", "text", numHashes = 32, rowsPerBand = 4, shingleN = 2,
+          threshold = 0.5, bandBucketCap = Some(lshBandBucketCap)))
+      val ndAcc = ndVerdicts.filter(col("accepted")).select(col("doc_id"))
+      val cents = s.read.parquet(centroidStatePath(s, d))
+      val cn = cents.select(col("vec_id").as("cell"), col("embedding").as("cv"),
+        Similarity.l2norm(col("embedding")).as("_cn"))
+      val vecs = Tables.embeddings(s, d)
+        .join(ndAcc.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.l2norm(col("embedding")).as("_n"))
+        .filter(col("_n") > 0)
+      val sims = vecs.crossJoin(broadcast(cn))
+        .select(col("vec_id"), col("cell"),
+          (Similarity.dot(col("embedding"), col("cv")) /
+            (col("_n") * col("_cn"))).as("sim"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cell"))
+      val assigned = sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      inc.select(col("doc_id"))
+        .join(exactAcc.withColumn("_x", lit(true)), Seq("doc_id"), "left")
+        .join(contamV.select(col("doc_id"), col("contaminated").as("_c")),
+          Seq("doc_id"), "left")
+        .join(ndVerdicts.select(col("doc_id"), col("accepted").as("_nd")),
+          Seq("doc_id"), "left")
+        .join(assigned, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("_x").isNull, "exact_dup")
+            .when(col("_c"), "contaminated")
+            .when(!col("_nd"), "near_dup")
+            .otherwise("accepted").as("verdict"),
+          col("cell").cast("long").as("cell"))
+    },
+
     Q("pipe_incremental_crawl", pipeIncrementalCrawlSql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       prepareDedupState(s, d); prepareLshState(s, d); prepareCentroidState(s, d)
