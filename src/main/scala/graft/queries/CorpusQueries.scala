@@ -3009,6 +3009,17 @@ FROM comp GROUP BY 1""") { (s, d) =>
       out
     },
 
+    // The sampling family's streaming end — and a different streaming-
+    // state SHAPE than the register max-merge: a k-smallest list is
+    // not an aggregate Spark knows, so it lives in CUSTOM keyed state
+    // (mapGroupsWithState), bounded at k rows per key at any volume;
+    // per-batch merge is sort-and-truncate (the same mergeability the
+    // batch IVM leans on, exercised across real batch boundaries).
+    // Settled sample == the batch bottom-k, same oracle.
+    Q("st_bottomk_ingest", bottomkOracleSql) { (s, d) =>
+      graft.streaming.BottomkIngest.sampleOnce(s, d)
+    },
+
     // The sketch-IVM family's STREAMING end: events stream through the
     // same narrow per-row rank derivation and the ONLY streaming state
     // is the register map itself (one max row per (day, type, bucket) —
@@ -3031,13 +3042,7 @@ FROM comp GROUP BY 1""") { (s, d) =>
     // full-recompute oracle pins the merge invariant by hash.
     // t_hash_sample is the stateless Bernoulli cousin (fixed RATE);
     // bottom-k holds fixed SIZE, the shape eval sets and audits want.
-    Q("ivm_bottomk_sample",
-      "WITH c AS (SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type, " +
-        "event_id, md5(CAST(event_id AS VARCHAR)) AS rk FROM events), " +
-        "w AS (SELECT *, row_number() OVER (PARTITION BY obs_date, event_type " +
-        "ORDER BY rk, event_id) AS rn FROM c) " +
-        "SELECT obs_date, event_type, event_id, CAST(rn AS BIGINT) AS sample_rank " +
-        "FROM w WHERE rn <= 32") { (s, d) =>
+    Q("ivm_bottomk_sample", bottomkOracleSql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       prepareBottomkState(s, d)
       val state = s.read.parquet(bottomkStatePath(s, d))
@@ -3490,6 +3495,17 @@ SELECT obs_date, event_type,
   CAST(${hllEstSql("raw", "vz")} AS BIGINT) AS users_est_milli,
   vz AS v_zero
 FROM rw"""
+
+  /** Full-recompute bottom-k oracle — shared by the batch IVM query
+    * and the streamed custom-state maintenance (st_bottomk_ingest):
+    * both must settle to exactly this sample. */
+  private lazy val bottomkOracleSql: String =
+    "WITH c AS (SELECT CAST(ts + INTERVAL 8 HOUR AS DATE) AS obs_date, event_type, " +
+      "event_id, md5(CAST(event_id AS VARCHAR)) AS rk FROM events), " +
+      "w AS (SELECT *, row_number() OVER (PARTITION BY obs_date, event_type " +
+      "ORDER BY rk, event_id) AS rn FROM c) " +
+      "SELECT obs_date, event_type, event_id, CAST(rn AS BIGINT) AS sample_rank " +
+      "FROM w WHERE rn <= 32"
 
   /** Per-event deterministic sample rank — md5 over the unique event
     * id; lexicographic hex IS the rank order, shared verbatim with the
