@@ -30,13 +30,33 @@ object BottomkIngest {
   def sampleOnce(spark: SparkSession, sfDir: String, k: Int = 32): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    import ss.implicits._
-
-    val rows = ss.readStream
+    val raw = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(Tables.eventsRawSchema))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", expr(Tables.eventsTsExpr(ss, sfDir)))
+    drain(ss, raw, k, "graft_stream_bottomk")
+  }
+
+  /** Multi-micro-batch variant for the spec: pre-converted staged files,
+    * one per trigger — the k-list's cross-batch sort-and-truncate merge
+    * exercised on real partial states. */
+  private[graft] def sampleOnceStaged(spark: SparkSession, stagedDir: String,
+                                      k: Int = 32): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val raw = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "ts TIMESTAMP, event_type STRING, event_id BIGINT"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+    drain(ss, raw, k, "graft_stream_bottomk_staged")
+  }
+
+  private def drain(ss: SparkSession, raw: DataFrame, k: Int,
+                    qname: String): DataFrame = {
+    import ss.implicits._
+    val rows = raw
       .select(graft.ops.ColumnOps.toLocalDate(col("ts"), "Australia/Perth")
           .as("obs_date"), col("event_type"), col("event_id"),
         md5(col("event_id").cast("string")).as("rk"))
@@ -60,7 +80,6 @@ object BottomkIngest {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)(
         Encoders.product[BkState], Encoders.product[BkEmit])
 
-    val qname = "graft_stream_bottomk"
     val query = stream.writeStream
       .format("memory")
       .queryName(qname)
