@@ -1862,6 +1862,35 @@ LEFT JOIN best ON best.id2 = i.vec_id""") { (s, d) =>
       out
     },
 
+    // The cosine family's streamed front gate — completes the probe
+    // symmetry (MinHash, SimHash, ER keys, cosine buckets all have
+    // one). Arriving vectors bucket per row (the embedding rides
+    // THROUGH the key explosion — no self-join back to the stream),
+    // probe the bucketed state stream-static under the budget cap, and
+    // verify cosine in-stream against the static state vectors: like
+    // the SimHash gate, no batch verify tail. Cap-aware oracle.
+    Q("st_cosine_probe",
+      s"""WITH anv AS (SELECT * FROM (SELECT vec_id, embedding, ${OracleSqlGen.norm("embedding", 64)} AS nrm
+  FROM embeddings WHERE vec_id % 3 != 2) WHERE nrm > 0),
+bnv AS (SELECT * FROM (SELECT vec_id, embedding, ${OracleSqlGen.norm("embedding", 64)} AS nrm
+  FROM embeddings WHERE vec_id % 3 = 2) WHERE nrm > 0),
+pl AS (SELECT ${OracleSqlGen.tablesLit(8, 4, 64, 42L)} AS tabs),
+${cosineSideBucketCtes("a", "anv", 8, 4, 64)},
+${cosineSideBucketCtes("b", "bnv", 8, 4, 64)},
+abkc AS (SELECT vec_id, tb_key FROM (
+  SELECT *, count(*) OVER (PARTITION BY tb_key) AS bsz FROM abk)
+  WHERE bsz <= $lshBandBucketCap)
+SELECT DISTINCT l.vec_id AS state_id, r.vec_id AS inc_id,
+  round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.nrm), 4) AS cosine
+FROM abkc l JOIN bbk r ON l.tb_key = r.tb_key
+JOIN anv a ON a.vec_id = l.vec_id JOIN bnv b ON b.vec_id = r.vec_id
+WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.nrm), 4) >= 0.3""") { (s, d) =>
+      prepareCosineState(s, d)
+      graft.streaming.CosineProbe.verifiedOnce(s, d, cosineStateTable(d),
+        Tables.embeddings(s, d).filter(col("vec_id") % 3 =!= 2),
+        threshold = 0.3, bucketCap = Some(lshBandBucketCap))
+    },
+
     // Embedding cosine near-dup pairs via multi-table LSH (8 planes x 4
     // tables, inlined into the oracle), exact cosine >= 0.3 verification.
     Q("dd_cosine_neardups",
