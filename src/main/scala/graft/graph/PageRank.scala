@@ -127,11 +127,22 @@ object PageRank {
           Seq("src"), "full_outer")
         .select(col("src"),
           (coalesce(col("_sd"), lit(0L)) + coalesce(col("_id"), lit(0L))).as("_deg")))
-    val nDangling = stateEdges.select(col("dst").as("src"))
-      .unionByName(incE.select(col("dst").as("src"))).distinct()
-      .join(deg, Seq("src"), "left_anti").count()
-    require(nDangling == 0,
-      s"incrementalPageRank: $nDangling dangling node(s) — symmetrize() both edge frames first")
+    // Symmetric-graph contract, enforced IN-PLAN instead of by a
+    // separate count() action: the dangling count rides as a broadcast
+    // 1-row guard crossJoined under the result, and raise_error fires
+    // during the single output action if any dst never appears as a
+    // src. Same loud failure as the batch path's driver require, minus
+    // one full pipeline execution per refresh (~1 s warm at sf0.1 —
+    // the count was the pair feed's first action).
+    val dangleGuard = broadcast(
+      stateEdges.select(col("dst").as("src"))
+        .unionByName(incE.select(col("dst").as("src"))).distinct()
+        .join(deg, Seq("src"), "left_anti")
+        .agg(count(lit(1)).as("_nd"))
+        .select(when(col("_nd") > 0, raise_error(concat(
+            lit("incrementalPageRank: "), col("_nd").cast("string"),
+            lit(" dangling node(s) — symmetrize() both edge frames first"))))
+          .otherwise(lit(true)).as("_ok")))
     val nDf = deg.agg(count(lit(1)).cast("double").as("_n"))
     val init = deg.select(col("src").as("id"))
       .join(stateRanks.select(col("id"), col("rank").as("_seed")), Seq("id"), "left")
@@ -156,6 +167,7 @@ object PageRank {
           (lit(1.0 - damping) / col("_n") + lit(damping) * col("_m")).as("r"))
     }
     last.select(col("id"), round(col("r"), roundTo).as("rank"))
+      .crossJoin(dangleGuard).filter(col("_ok")).drop("_ok")
   }
 
   /** Undirected helper: symmetrize an (id1, id2) pair list into the

@@ -103,11 +103,19 @@ class PageRankSpec extends SparkSpec {
 
   test("incrementalPageRank rejects a non-symmetric increment loudly") {
     val stateRanks = PageRank.pageRank(sym(path).toDF("src", "dst"), iters = 1)
-    intercept[IllegalArgumentException] {
+    // The incremental guard is IN-PLAN (raise_error under a broadcast
+    // 1-row crossJoin — no separate count() action per refresh), so the
+    // failure surfaces as a runtime error at the output action, not a
+    // driver require at build time. Still loud, still named.
+    val e = intercept[Exception] {
       // (1 -> 9) one-way: 9 receives mass but never appears as a src in
       // the merged graph — a dangling sink, same contract as pageRank
       PageRank.incrementalPageRank(sym(path).toDF("src", "dst"),
         Seq((1L, 9L)).toDF("src", "dst"), stateRanks, iters = 1).collect()
     }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dangling node")),
+      s"expected the dangling-node message, got: ${messages(e).mkString(" | ")}")
   }
 }
