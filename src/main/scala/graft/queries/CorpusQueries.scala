@@ -2954,6 +2954,48 @@ FROM comp GROUP BY 1""") { (s, d) =>
       out
     },
 
+    // Maintained data-quality profile — dq_profile's operational shape:
+    // per-column row/null counts are monoids and the distinct count
+    // rides the SAME deterministic HLL registers as
+    // ivm_daily_users_hll, keyed by column — state is O(cols + cols x
+    // 64) no matter the corpus size, and a 100 TB profile refresh
+    // touches only the increment. Counts exact, distinct at 1e-3
+    // fixed point with the LC small-range switch; oracle = the full
+    // profile recompute (monoid merge + register max-merge == full).
+    Q("dq_incremental_profile", dqIncProfileSql) { (s, d) =>
+      prepareDqProfState(s, d)
+      val docs = Tables.documents(s, d)
+      val inc = docs.filter(col("doc_id") % 3 === 2)
+      val counts = s.read.parquet(dqProfCountsPath(s, d))
+        .unionByName(dqProfCounts(inc))
+        .groupBy(col("col_name"))
+        .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_nulls")).as("n_nulls"))
+      val regs = s.read.parquet(dqProfRegsPath(s, d))
+        .unionByName(dqProfRegisters(inc))
+        .groupBy(col("col_name"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      val est = regs
+        .withColumn("_term",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - least(r, 40) AS INT))"))
+        .groupBy(col("col_name"))
+        .agg(sum(col("_term")).as("_sp"), count(lit(1)).as("_nb"))
+        .withColumn("_raw",
+          expr(s"$hllEstNumerator div (_sp + (64 - _nb) * $hllRankScale)"))
+        .withColumn("_vz", lit(64L) - col("_nb"))
+        .select(col("col_name"),
+          expr(hllEstSql("_raw", "_vz")).as("distinct_est_milli"))
+      val out = counts.join(est, Seq("col_name"))
+      val scans = graft.plans.PlanChecks.fileScanPaths(
+        out.queryExecution.executedPlan, "documents.parquet")
+      require(scans.nonEmpty, "increment documents scan missing from the profile plan")
+      scans.foreach { case (scan, path) =>
+        require(graft.plans.PlanChecks.pathHasPredicate(scan, path, "% 3"),
+          "a documents scan without the increment split predicate — " +
+            "the profile refresh re-read day-1 documents instead of the state")
+      }
+      out
+    },
+
     // IVM under CORRECTIONS — the abelian-group leg for FACT
     // restatements, the case insert-only IVM cannot express: late
     // corrections arrive for events already folded into day-1 state
@@ -3757,6 +3799,94 @@ FROM rw"""
       s.table(simhashStateTable(d))
         .agg(greatest(lit(16L),
           expr("4 * count(1) div count(DISTINCT mkey)")).as("derived_cap")))
+  }
+
+  // ---- dq_incremental_profile: maintained per-column profile ----
+
+  private lazy val dqProfCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Long form of the documents table for profiling: one (col_name,
+    * string-rendered value) row per column per doc — null preserved,
+    * so null accounting rides count(*) - count(v) on both engines. */
+  private def dqProfLong(docs: org.apache.spark.sql.DataFrame) =
+    dqProfCols.map(c => docs.select(lit(c).as("col_name"),
+        col(c).cast("string").as("v")))
+      .reduce(_.unionByName(_))
+
+  /** Per-column monoid count partials. */
+  private def dqProfCounts(docs: org.apache.spark.sql.DataFrame) =
+    dqProfLong(docs).groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_nulls"))
+
+  /** Per-(column, bucket) HLL max-rank registers over non-null values
+    * — the same deterministic sketch ivm_daily_users_hll rides, keyed
+    * by column. */
+  private def dqProfRegisters(docs: org.apache.spark.sql.DataFrame) =
+    dqProfLong(docs).filter(col("v").isNotNull)
+      .select(col("col_name"), md5(col("v")).as("_h"))
+      .select(col("col_name"),
+        conv(substring(col("_h"), 1, 8), 16, 10).cast("long").as("_whi"),
+        conv(substring(col("_h"), 9, 8), 16, 10).cast("long").as("_wlo"))
+      .select(col("col_name"),
+        shiftright(col("_whi"), 26).as("bucket"),
+        shiftleft(col("_whi").bitwiseAND(lit((1L << 26) - 1)), 32)
+          .bitwiseOR(col("_wlo")).as("_w58"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(expr(rhoCaseSql("_w58"))).as("r"))
+
+  private[queries] def dqProfCountsPath(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_dq_profcnt_$tag").toString
+  }
+
+  private[queries] def dqProfRegsPath(s: org.apache.spark.sql.SparkSession,
+                                      d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_dq_profregs_$tag").toString
+  }
+
+  /** dq_incremental_profile's persisted state: per-column count
+    * partials + per-(column, bucket) HLL registers over day-1 docs —
+    * O(cols) + O(cols x 64) rows no matter the corpus size. */
+  def prepareDqProfState(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val day1 = Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2)
+    val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
+    graft.ops.ScaleOps.ensureSortedBy(dqProfCounts(day1),
+      dqProfCountsPath(s, d), "col_name", numFiles = 1, srcFingerprint = fp)
+    graft.ops.ScaleOps.ensureSortedBy(dqProfRegisters(day1),
+      dqProfRegsPath(s, d), "col_name", numFiles = 1, srcFingerprint = fp)
+  }
+
+  /** dq_incremental_profile oracle: the SAME profile recomputed over
+    * ALL documents — counts are monoids and registers max-merge, so
+    * state + increment == full by hash. */
+  private lazy val dqIncProfileSql: String = {
+    val unions = dqProfCols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM documents")
+      .mkString(" UNION ALL ")
+    s"""WITH u AS ($unions),
+cnt AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count(v) AS BIGINT) AS n_nulls FROM u GROUP BY 1),
+hw AS (SELECT col_name, ${OracleSqlGen.hex8("h", 1)} AS whi,
+  ${OracleSqlGen.hex8("h", 9)} AS wlo FROM (
+  SELECT col_name, md5(v) AS h FROM u WHERE v IS NOT NULL)),
+rb AS (SELECT col_name, whi >> 26 AS bucket,
+  ((whi & ${(1L << 26) - 1}) << 32) | wlo AS w58 FROM hw),
+rr AS (SELECT col_name, bucket, max(${rhoCaseSql("w58")}) AS r
+  FROM rb GROUP BY 1, 2),
+pr AS (SELECT col_name,
+  sum(1::BIGINT << CAST(40 - least(r, 40) AS INT)) AS sp,
+  count(*) AS nb FROM rr GROUP BY 1),
+rw AS (SELECT col_name,
+  CAST($hllEstNumerator // (sp + (64 - nb) * $hllRankScale) AS BIGINT) AS raw,
+  CAST(64 - nb AS BIGINT) AS vz FROM pr)
+SELECT c.col_name, c.n_rows, c.n_nulls,
+  CAST(${hllEstSql("raw", "vz")} AS BIGINT) AS distinct_est_milli
+FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
   }
 
   private[graft] def contamStateTable(sfDir: String): String =
