@@ -109,12 +109,24 @@ object PageRank {
     * an ANSI engine reproduces by unrolling both phases — the
     * registered oracle does precisely that. New nodes (no persisted
     * rank) seed at 1/N of the merged graph. Same symmetric-graph
-    * contract as [[pageRank]], enforced the same way. */
+    * contract as [[pageRank]]; the in-plan guard checks the INCREMENT
+    * side only (see below) — `stateEdges` must be a [[symmetrize]]
+    * output (the state builder's CTAS guarantees it), because a state
+    * dst scan would cost |E| per refresh to re-prove a build-time
+    * invariant. */
   def incrementalPageRank(stateEdges: DataFrame, incEdges: DataFrame,
                           stateRanks: DataFrame, iters: Int = 2,
                           damping: Double = 0.85, roundTo: Int = 6): DataFrame = {
     require(iters >= 1, "incrementalPageRank needs at least one iteration")
-    val incE = graft.ops.CacheOnce.swap("ipr-inc-edges", incEdges)
+    // TRUNCATED, not just cached: the increment feed is typically a
+    // deep plan (LSH probe + verify) referenced by deg, the dangle
+    // guard and every superstep's message branch — cached execution is
+    // deduped, but the ANALYZED tree would still ride into each
+    // reference and Catalyst analysis of the composed refresh plan
+    // dominated the warm runtime (measured ~10 s of a 13 s refresh at
+    // sf0.1; graft.ProfPageRank). After truncation each reference is
+    // one LogicalRDD leaf.
+    val incE = graft.ops.CacheOnce.swapTruncated("ipr-inc-edges", incEdges)
     // Merged out-degrees: the state side's aggregate rides the bucketing
     // (no exchange), and the merge with the increment's degrees is a
     // node-sized full-outer join PINNED sort-merge on the state side —
@@ -131,12 +143,17 @@ object PageRank {
     // separate count() action: the dangling count rides as a broadcast
     // 1-row guard crossJoined under the result, and raise_error fires
     // during the single output action if any dst never appears as a
-    // src. Same loud failure as the batch path's driver require, minus
-    // one full pipeline execution per refresh (~1 s warm at sf0.1 —
-    // the count was the pair feed's first action).
+    // src. INCREMENT-SIDED on purpose: the guard scans only the
+    // increment's dsts (increment-sized distinct) — a state dst check
+    // would re-scan and shuffle ~|E| rows per refresh for a contract
+    // the EDGE STATE satisfies by construction (the state table is a
+    // [[symmetrize]] output written at state-build time, and a
+    // symmetric frame cannot hold a dst absent from src). A
+    // non-symmetric INCREMENT — the input that actually varies per
+    // refresh — still fails loudly: any inc dst missing from the
+    // merged degree frame never appears as a src on either side.
     val dangleGuard = broadcast(
-      stateEdges.select(col("dst").as("src"))
-        .unionByName(incE.select(col("dst").as("src"))).distinct()
+      incE.select(col("dst").as("src")).distinct()
         .join(deg, Seq("src"), "left_anti")
         .agg(count(lit(1)).as("_nd"))
         .select(when(col("_nd") > 0, raise_error(concat(
@@ -148,13 +165,18 @@ object PageRank {
       .join(stateRanks.select(col("id"), col("rank").as("_seed")), Seq("id"), "left")
       .crossJoin(broadcast(nDf))
       .select(col("id"), coalesce(col("_seed"), lit(1.0) / col("_n")).as("r"))
-    val last = (1 to iters).foldLeft(init) { (ranks, _) =>
+    val last = (1 to iters).foldLeft(init) { (ranks, i) =>
       // Per-node contribution r/outdeg, computed ONCE per round on the
       // node-sized frame then routed along BOTH edge frames — cached,
       // because its two message-branch references would otherwise
       // re-execute every earlier superstep per branch (2^iters plan
-      // duplication).
-      val rpd = graft.ops.CacheOnce.swap("ipr-rpd",
+      // duplication). Keyed PER SUPERSTEP: under one shared name,
+      // CacheOnce's per-name LRU (maxPerName = 4) would unpersist the
+      // earliest rounds' frames at iters >= 5 BEFORE the single
+      // terminal action runs, silently reintroducing the exponential
+      // re-execution the cache exists to prevent (PageRankSpec pins
+      // iters = 6 linear via a stage-count listener).
+      val rpd = graft.ops.CacheOnce.swap(s"ipr-rpd-$i",
         ranks.join(deg, ranks("id") === deg("src"))
           .select(col("src"), (col("r") / col("_deg")).as("_rpd")))
       val msgs = stateEdges.hint("merge").join(rpd, Seq("src"))

@@ -45,10 +45,45 @@ object CacheOnce {
       }
     }
 
+  /** [[swap]] + eager PLAN truncation, for frames consumed by
+    * iterative plan builders (an incremental PageRank's pair feed, a
+    * propagation loop's edge delta). Caching alone only dedups
+    * EXECUTION — every downstream reference still embeds the frame's
+    * full analyzed tree, so the driver's Catalyst analysis cost grows
+    * as (tree size × references), and a 2-superstep refresh over a
+    * deep LSH-verify feed spends 10+ s in plan analysis while its
+    * tasks run ~1 s (measured; graft.ProfPageRank). Here the frame is
+    * materialized once ([[Materialize.eagerDurable]] — a LogicalRDD
+    * leaf) and memoized under the same (name, semantic hash) key, so
+    * repeat calls return the truncated frame without re-executing, and
+    * every downstream reference costs the analyzer a single leaf node.
+    * EAGER (the data computes at call time, not at the terminal
+    * action); eviction frees the checkpoint blocks via
+    * [[Materialize.release]]. */
+  def swapTruncated(name: String, df: DataFrame): DataFrame = synchronized {
+    val key = (name, df.queryExecution.analyzed.semanticHash())
+    liveT.get(key) match {
+      case Some(t) => t
+      case None =>
+        val t = Materialize.eagerDurable(df)
+        liveT(key) = t
+        val mine = liveT.keys.filter(_._1 == name).toSeq
+        if (mine.size > maxPerName) {
+          val victim = mine.head
+          liveT.remove(victim).foreach(Materialize.release)
+        }
+        t
+    }
+  }
+
+  private val liveT = scala.collection.mutable.LinkedHashMap.empty[(String, Int), DataFrame]
+
   /** Drop and unpersist every cached plan under `name`. */
   def release(name: String): Unit = synchronized {
     live.keys.filter(_._1 == name).toSeq
       .foreach(k => live.remove(k).foreach(_.unpersist()))
+    liveT.keys.filter(_._1 == name).toSeq
+      .foreach(k => liveT.remove(k).foreach(Materialize.release))
   }
 }
 

@@ -3968,8 +3968,8 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
   /** pg_incremental_pagerank's persisted RANK state path (one row per
     * state-graph node, the 6-decimal checkpoint the refresh seeds
     * from). */
-  private[queries] def rankStatePath(s: org.apache.spark.sql.SparkSession,
-                                     d: String): String = {
+  private[graft] def rankStatePath(s: org.apache.spark.sql.SparkSession,
+                                   d: String): String = {
     val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     new java.io.File(wh, s"graft_pg_ranks_$tag").toString

@@ -101,6 +101,46 @@ class PageRankSpec extends SparkSpec {
     assert(got.contains(6L) && got(6L) > 0)
   }
 
+  test("incrementalPageRank at iters = 6 stays linear: per-superstep cache " +
+    "keys outlive CacheOnce's per-name LRU") {
+    // Under ONE shared cache name, CacheOnce keeps only maxPerName = 4
+    // plans — at iters >= 5 the earliest supersteps' r/deg frames would
+    // be unpersisted BEFORE the terminal action, re-expanding the
+    // 2^iters lineage. Per-superstep keys pin every round; the stage
+    // count submitted by the action is the observable (an exponential
+    // re-execution at iters = 6 submits hundreds of stages, the linear
+    // plan a few dozen).
+    val statePairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L))
+    val incPairs = Seq((3L, 4L), (2L, 6L))
+    val stateRanks = PageRank.pageRank(sym(statePairs).toDF("src", "dst"),
+      iters = 3, damping = 0.85, roundTo = 6)
+    val submitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        submitted.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got = try {
+      val out = rows(PageRank.incrementalPageRank(
+          sym(statePairs).toDF("src", "dst"), sym(incPairs).toDF("src", "dst"),
+          stateRanks, iters = 6, damping = 0.85, roundTo = 6).orderBy("id"))
+        .map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Double]).toMap
+      // listener delivery is async: poll until the count settles
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (submitted.get() != last && System.nanoTime() < deadline) {
+        last = submitted.get(); Thread.sleep(200)
+      }
+      out
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got == incRef(sym(statePairs), sym(incPairs), kState = 3, kInc = 6, d = 0.85))
+    assert(submitted.get() < 120,
+      s"expected a linear superstep plan (< 120 stages), got ${submitted.get()} — " +
+        "per-superstep rpd frames were evicted before the action")
+  }
+
   test("incrementalPageRank rejects a non-symmetric increment loudly") {
     val stateRanks = PageRank.pageRank(sym(path).toDF("src", "dst"), iters = 1)
     // The incremental guard is IN-PLAN (raise_error under a broadcast
