@@ -676,21 +676,47 @@ object Dedup {
     * and each increment explodes only ITSELF and probes the index
     * exchange-free. `dfCap` drops state shingles whose test-side doc
     * frequency exceeds it (stopword runs and boilerplate are
-    * non-discriminative and only fan the probe out); the windowed count
-    * keys on shingle, so the bucketed index computes it without an
-    * exchange. One verdict row per increment doc: (idCol, contaminated,
+    * non-discriminative and only fan the probe out); with `dfCol` the
+    * per-shingle doc frequency was persisted INTO the index at build
+    * time and the cap is a scan predicate, otherwise a windowed count
+    * (keyed on shingle, so the bucketed index computes it without an
+    * exchange — but it rescans |state| per refresh). `bloom`, built over
+    * the capped index at state-build time, cuts the increment's shingles
+    * in their scan stage — same verdict either way (no false negatives).
+    * One verdict row per increment doc: (idCol, contaminated,
     * best_test_id, n_shared), best witness deterministic (shared count
     * desc, test id asc). */
   def incrementalContamination(incDocs: DataFrame, stateShingles: DataFrame,
                                idCol: String, textCol: String,
                                shingleN: Int = 3, minShared: Int = 3,
-                               dfCap: Option[Int] = None): DataFrame = {
-    val incSh = incDocs.select(col(idCol).as("inc_id"),
+                               dfCap: Option[Int] = None,
+                               dfCol: Option[String] = None,
+                               bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    // Bloom prefilter (the bloomContamination machinery composed into the
+    // incremental probe): the filter is built ONCE at state-build time
+    // over the CAPPED suite shingle set and rides the plan to every
+    // executor, so increment shingles that cannot possibly match any
+    // joinable state row die in their scan stage — before the probe
+    // join's exchange ever sees them. No false negatives, so the verdict
+    // is EXACTLY the unfiltered probe's (bloom false positives just join
+    // zero state rows); hashes cannot move.
+    val incShAll = incDocs.select(col(idCol).as("inc_id"),
       explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
-    val capped = dfCap.fold(stateShingles) { cap =>
-      val w = Window.partitionBy("shingle")
-      stateShingles.withColumn("_df", count(lit(1)).over(w))
-        .filter(col("_df") <= cap).drop("_df")
+    val incSh = bloom.fold(incShAll) { b =>
+      incShAll.filter(graft.functions.BloomFunctions.mightContainString(b, col("shingle")))
+    }
+    val capped = dfCap.fold(dfCol.fold(stateShingles)(c => stateShingles.drop(c))) { cap =>
+      dfCol match {
+        // df persisted as a state column at build time: the cap becomes a
+        // scan-level predicate (parquet row-group skippable) instead of an
+        // |state|-sized window recomputed per refresh — the dominant 30x
+        // cost term of the windowed shape (SCALE.md round-13: 29.6 s).
+        case Some(c) => stateShingles.filter(col(c) <= cap).drop(c)
+        case None =>
+          val w = Window.partitionBy("shingle")
+          stateShingles.withColumn("_df", count(lit(1)).over(w))
+            .filter(col("_df") <= cap).drop("_df")
+      }
     }
     val pairs = capped.hint("merge")
       .join(incSh, Seq("shingle"))

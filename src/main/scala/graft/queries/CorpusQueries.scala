@@ -2127,7 +2127,8 @@ FROM inc i LEFT JOIN best ON best.inc_id = i.doc_id""") { (s, d) =>
         docs.filter(col("doc_id") % 6 === 2),
         s.table(contamStateTable(d)),
         "doc_id", "text", shingleN = 3, minShared = 3,
-        dfCap = Some(contamDerivedCap(s, d)))
+        dfCap = Some(contamDerivedCap(s, d)),
+        dfCol = Some("df"), bloom = Some(contamStateBloom(s, d)))
       graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
         out.queryExecution.executedPlan, "test-suite shingle index")
       graft.plans.PlanChecks.watchFinalPlans(s, contamStateTable(d),
@@ -2474,7 +2475,8 @@ FROM bk""") { (s, d) =>
           inc.join(exactAcc, Seq("doc_id"), "left_semi"),
           s.table(contamStateTable(d)),
           "doc_id", "text", shingleN = 3, minShared = 3,
-          dfCap = Some(contamDerivedCap(s, d))))
+          dfCap = Some(contamDerivedCap(s, d)),
+          dfCol = Some("df"), bloom = Some(contamStateBloom(s, d))))
       val clean = contamV.filter(!col("contaminated")).select(col("doc_id"))
       val ndVerdicts = graft.ops.CacheOnce.swap("pipe-g-nd-verdicts",
         Dedup.incrementalNearDups(
@@ -3905,23 +3907,59 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
     s.read.parquet(contamCapPath(s, d)).head().getLong(0).toInt
   }
 
+  private[queries] def contamBloomPath(s: org.apache.spark.sql.SparkSession,
+                                       d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_dd_contambloom_$tag").toString
+  }
+
+  /** The persisted suite-shingle Bloom filter (built at state-build time
+    * over the CAPPED index — see [[prepareContamState]]), deserialized
+    * from its 1-row checkpoint. Driver-small: a few MB of bits at 1% fpp
+    * over the suite's distinct shingles. */
+  private[queries] def contamStateBloom(s: org.apache.spark.sql.SparkSession,
+                                        d: String): org.apache.spark.util.sketch.BloomFilter = {
+    prepareContamState(s, d)
+    graft.functions.BloomFunctions.fromHex(
+      s.read.parquet(contamBloomPath(s, d)).head().getString(0))
+  }
+
   /** One-time bucketed CTAS of the TEST SUITE's distinct 3-shingles
-    * (test_id, shingle), bucketed on shingle — the probe-join key of
-    * incremental decontamination — plus the derived doc-frequency cap
-    * (greatest(8, 4 · mean test-side df), persisted from the freshly
-    * built index: a layout statistic, like every other derived cap). */
+    * (test_id, shingle, df), bucketed on shingle — the probe-join key of
+    * incremental decontamination. Per-shingle doc frequency is computed
+    * ONCE here (the window rides the CTAS's own bucketing shuffle) and
+    * stored as an index column, so every later probe applies the cap as
+    * a scan predicate instead of re-windowing |state| per refresh. Two
+    * derived layout statistics persist beside the index: the df cap
+    * (greatest(8, 4 · mean test-side df) — 1-row checkpoint, like every
+    * other derived cap) and the capped index's shingle Bloom filter
+    * (1% fpp, hex-serialized 1-row checkpoint) that prefilters each
+    * increment's shingles in their scan stage. */
   def prepareContamState(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val te = Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
-    val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
+    // "|v2": the df-column schema change must rebuild a v1 index.
+    val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet") + "|v2"
     graft.ops.ScaleOps.ensureBucketed(
       te.select(col("doc_id").as("test_id"),
-        explode(graft.dedup.Dedup.distinctShingles(col("text"), 3)).as("shingle")),
+        explode(graft.dedup.Dedup.distinctShingles(col("text"), 3)).as("shingle"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle"))),
       contamStateTable(d), "shingle", 32, srcFingerprint = fp)
     graft.ops.ScaleOps.ensureSortedByLazy(s, contamCapPath(s, d),
       "derived_cap", numFiles = 1, srcFingerprint = fp)(
       s.table(contamStateTable(d))
         .agg(greatest(lit(8L),
           expr("4 * count(1) div count(DISTINCT shingle)")).as("derived_cap")))
+    graft.ops.ScaleOps.ensureSortedByLazy(s, contamBloomPath(s, d),
+      "bloom_hex", numFiles = 1, srcFingerprint = fp) {
+      val cap = s.read.parquet(contamCapPath(s, d)).head().getLong(0)
+      val keys = s.table(contamStateTable(d))
+        .filter(col("df") <= cap).select(col("shingle")).distinct()
+      val bf = keys.stat.bloomFilter("shingle", math.max(keys.count(), 1L), 0.01)
+      import s.implicits._
+      Seq(graft.functions.BloomFunctions.toHex(bf)).toDF("bloom_hex")
+    }
   }
 
   private[graft] def cosineStateTable(sfDir: String): String =

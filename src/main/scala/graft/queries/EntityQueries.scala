@@ -185,16 +185,44 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
       srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"))(
       graft.dedup.Dedup.connectedComponents(matches(s, d), ("rid1", "rid2")))
 
+  private[queries] def erCapPath(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"graft_er_cap_$tag").toString
+  }
+
+  /** The persisted derived block cap — greatest(floor, mult · mean state
+    * block size), a layout statistic of the key state, computed ONCE at
+    * state-build time and read back O(1) per probe (the LSH/SimHash/
+    * cosine families' cap convention; previously st_er_probe re-derived
+    * it over the whole state per run). */
+  private[queries] def erStateCap(s: SparkSession, d: String): Long = {
+    prepareErState(s, d)
+    s.read.parquet(erCapPath(s, d)).head().getLong(0)
+  }
+
   /** One-time bucketed CTAS of the ACCEPTED entities' blocking keys
-    * (bucketed on bkey — the probe-join column) and one-time clustering
+    * (rid, bkey, bsz — bucketed on bkey, the probe-join column; bsz is
+    * the block size, windowed ONCE here so cap filters are scan
+    * predicates instead of per-probe windows) and one-time clustering
     * of their match graph; each increment then probes/merges without
-    * ever re-blocking or re-clustering the stock. Same idempotent
-    * fingerprint convention as the dedup states. */
+    * ever re-blocking or re-clustering the stock. The derived block cap
+    * persists beside the state as a 1-row checkpoint ([[erStateCap]]).
+    * Same idempotent fingerprint convention as the dedup states. */
   def prepareErState(s: SparkSession, d: String): Unit = {
     val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet")
     val stateK = keyedRecords(s, d).filter(!incPred)
-    graft.ops.ScaleOps.ensureBucketed(passKeyRows(stateK),
-      erKeyStateTable(d), "bkey", 32, srcFingerprint = fp)
+    // "|v2": the bsz-column schema change must rebuild a v1 key state.
+    graft.ops.ScaleOps.ensureBucketed(
+      passKeyRows(stateK).withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bkey"))),
+      erKeyStateTable(d), "bkey", 32, srcFingerprint = fp + "|v2")
+    graft.ops.ScaleOps.ensureSortedByLazy(s, erCapPath(s, d),
+      "derived_cap", numFiles = 1, srcFingerprint = fp + "|v2")(
+      s.table(erKeyStateTable(d))
+        .agg(greatest(lit(erBlockCap.toLong),
+          expr(s"$erCapMeanMult * count(1) div count(DISTINCT bkey)"))
+          .as("derived_cap")))
     graft.ops.ScaleOps.ensureSortedByLazy(s, erClusterStatePath(s, d),
       "node", numFiles = 1, srcFingerprint = fp)(
       graft.dedup.Dedup.connectedComponents(
@@ -335,8 +363,11 @@ inc AS (SELECT rid, bkey FROM p WHERE (rid // 2) % 3 = 2)
 SELECT DISTINCT stc.rid AS state_rid, inc.rid AS inc_rid
 FROM stc JOIN inc ON stc.bkey = inc.bkey""") { (s, d) =>
       prepareErState(s, d)
+      // Cap read from its state-build checkpoint (O(1)); the block sizes
+      // were windowed into the state at CTAS — nothing state-sized is
+      // recomputed per probe. Same value the in-plan derivation produced.
       graft.streaming.ErProbe.candidatesOnce(s, d, erKeyStateTable(d),
-        derivedBlockCap = Some((erBlockCap, erCapMeanMult)))
+        persistedCap = Some(("bsz", erStateCap(s, d))))
     },
 
     // Survivorship: per entity cluster, elect the canonical record by a

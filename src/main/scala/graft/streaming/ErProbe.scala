@@ -37,13 +37,19 @@ object ErProbe {
     * state block size), a 1-row broadcast over the state table) — mass
     * duplication raises the cap with the density instead of zeroing
     * the probe, while a degenerate key far above mult × the mean stays
-    * capped. Mutually exclusive with `blockCap`. */
+    * capped. `persistedCap` = (bszCol, cap) is the O(1) shape of the
+    * same bound: the block size was windowed INTO the state at build
+    * time and the cap read back from its 1-row checkpoint
+    * (EntityQueries.erStateCap), so the filter is a scan predicate and
+    * nothing state-sized is recomputed per probe. The three cap modes
+    * are mutually exclusive. */
   def candidatesOnce(spark: SparkSession, sfDir: String,
                      stateTable: String,
                      blockCap: Option[Int] = None,
-                     derivedBlockCap: Option[(Int, Int)] = None): DataFrame = {
-    require(blockCap.isEmpty || derivedBlockCap.isEmpty,
-      "blockCap and derivedBlockCap are mutually exclusive")
+                     derivedBlockCap: Option[(Int, Int)] = None,
+                     persistedCap: Option[(String, Long)] = None): DataFrame = {
+    require(Seq(blockCap, derivedBlockCap, persistedCap).count(_.nonEmpty) <= 1,
+      "blockCap, derivedBlockCap and persistedCap are mutually exclusive")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
 
@@ -70,19 +76,28 @@ object ErProbe {
           keysOf(col("c_custkey") * 2 + 1, name2): _*)).as("k"))
       .select(col("k.inc_rid"), col("k.bkey"))
       .join({
-        val st = ss.table(stateTable)
-          .select(col("rid").as("state_rid"), col("bkey"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("bkey")
-        val fixed = blockCap.fold(st) { cap =>
-          st.withColumn("_bsz", count(lit(1)).over(w))
-            .filter(col("_bsz") <= cap).drop("_bsz")
-        }
-        derivedBlockCap.fold(fixed) { case (floor, mult) =>
-          val capDf = st.agg(greatest(lit(floor.toLong),
-            expr(s"$mult * count(1) div count(DISTINCT bkey)")).as("_cap"))
-          st.withColumn("_bsz", count(lit(1)).over(w))
-            .crossJoin(broadcast(capDf))
-            .filter(col("_bsz") <= col("_cap")).drop("_bsz", "_cap")
+        persistedCap match {
+          case Some((bszCol, cap)) =>
+            // Build-time block sizes + checkpointed cap: one pushable
+            // scan predicate, zero per-probe window/aggregate work.
+            ss.table(stateTable)
+              .filter(col(bszCol) <= cap)
+              .select(col("rid").as("state_rid"), col("bkey"))
+          case None =>
+            val st = ss.table(stateTable)
+              .select(col("rid").as("state_rid"), col("bkey"))
+            val w = org.apache.spark.sql.expressions.Window.partitionBy("bkey")
+            val fixed = blockCap.fold(st) { cap =>
+              st.withColumn("_bsz", count(lit(1)).over(w))
+                .filter(col("_bsz") <= cap).drop("_bsz")
+            }
+            derivedBlockCap.fold(fixed) { case (floor, mult) =>
+              val capDf = st.agg(greatest(lit(floor.toLong),
+                expr(s"$mult * count(1) div count(DISTINCT bkey)")).as("_cap"))
+              st.withColumn("_bsz", count(lit(1)).over(w))
+                .crossJoin(broadcast(capDf))
+                .filter(col("_bsz") <= col("_cap")).drop("_bsz", "_cap")
+            }
         }
       }, Seq("bkey"))
       .select(col("state_rid"), col("inc_rid"))

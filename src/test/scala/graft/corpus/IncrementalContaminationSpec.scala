@@ -66,4 +66,25 @@ class IncrementalContaminationSpec extends SparkSpec {
     assert(capped.head._4.getOrElse(0L) <= uncapped.head._4.getOrElse(0L),
       "cap can only reduce shared counts")
   }
+
+  test("persisted-df + bloom probe == windowed probe, verdict for verdict") {
+    // The operational shape: df stored in the index at build time (cap
+    // becomes a scan predicate) and a bloom over the capped shingle set
+    // prefiltering the increment. Must be indistinguishable from the
+    // windowed-cap reference — bloom has no false negatives and stored
+    // df == windowed df over the same index.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val idxDf = index.withColumn("df", count(lit(1)).over(w))
+    for (cap <- Seq(1, 2, 100)) {
+      val keys = idxDf.filter(col("df") <= cap).select("shingle").distinct()
+      val bf = keys.stat.bloomFilter("shingle", math.max(keys.count(), 1L), 0.01)
+      val viaState = Dedup.incrementalContamination(incDocs, idxDf, "doc_id",
+          "text", dfCap = Some(cap), dfCol = Some("df"), bloom = Some(bf))
+        .as[(Long, Boolean, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+      val viaWindow = Dedup.incrementalContamination(incDocs, index, "doc_id",
+          "text", dfCap = Some(cap))
+        .as[(Long, Boolean, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+      assert(viaState == viaWindow, s"divergence at cap=$cap")
+    }
+  }
 }
