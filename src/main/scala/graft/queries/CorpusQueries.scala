@@ -121,9 +121,32 @@ lm AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
 
   // ---- md5-twin sketch SQL (single source of truth with Dedup's twins) ----
 
+  /** The 64 per-bit set-counts of one doc's token words as ONE
+    * aggregate's columns — `c_b = Σ_tokens (word >> b) & 1` — so the
+    * SimHash vote needs NO row explosion: the former
+    * `tokens × generate_series(0,63)` bits CTE (64× the token count,
+    * then a 64×-key hash aggregate) spilled >55 GB and died at the 30×
+    * fixture; 64 accumulators in a single-pass GROUP BY doc_id is
+    * O(docs × 64) state. Bit b of the signature is set iff the vote
+    * `Σ(2·bit−1) = 2·c_b − n` is strictly positive, i.e. `2·c_b > n`. */
+  private val simhashCntCols: String =
+    (0 until 64).map { b =>
+      val w = if (b < 32) s"(wlo >> $b)" else s"(whi >> ${b - 32})"
+      s"sum($w & 1) AS c$b"
+    }.mkString(", ")
+
+  /** `sig_hi`/`sig_lo` reassembly from the 64 counts: strictly-positive
+    * majority per bit, packed into the 32-bit halves. */
+  private def simhashSigFromCnts(hi: Boolean): String = {
+    val bits = if (hi) 32 until 64 else 0 until 32
+    bits.map(b => s"CASE WHEN 2 * c$b > n THEN (1::BIGINT << ${b % 32}) ELSE 0 END")
+      .mkString("(", " + ", ")")
+  }
+
   /** Per-doc md5 SimHash as (sig_hi, sig_lo) 32-bit halves: the leading
-    * 16 hex chars parsed as two 32-bit words per token, per-bit votes by
-    * shift, strictly-positive majority, tokenless docs sign (0, 0).
+    * 16 hex chars parsed as two 32-bit words per token, per-bit
+    * strictly-positive majority via the packed 64-accumulator aggregate
+    * ([[simhashCntCols]]), tokenless docs sign (0, 0).
     * Mirrors [[Dedup.simhashMd5]] bit for bit. */
   private val simhashSigCte: String =
     s"""tok AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id,
@@ -131,15 +154,9 @@ lm AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
   FROM documents WHERE length(trim(text)) > 0) u),
 wds AS (SELECT doc_id, ${OracleSqlGen.hex8("h", 1)} AS whi,
   ${OracleSqlGen.hex8("h", 9)} AS wlo FROM tok),
-bits AS (SELECT doc_id, g.b AS b,
-  CASE WHEN (((CASE WHEN g.b < 32 THEN wlo >> CAST(g.b AS INT)
-    ELSE whi >> CAST(g.b - 32 AS INT) END) & 1) = 1) THEN 1 ELSE -1 END AS vote
-  FROM wds, generate_series(0, 63) g(b)),
-votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2),
-sg0 AS (SELECT doc_id,
-  sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << CAST(b - 32 AS INT)) ELSE 0 END) AS sig_hi,
-  sum(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS sig_lo
-  FROM votes GROUP BY 1),
+cnt AS (SELECT doc_id, count(*) AS n, $simhashCntCols FROM wds GROUP BY doc_id),
+sg0 AS (SELECT doc_id, ${simhashSigFromCnts(hi = true)} AS sig_hi,
+  ${simhashSigFromCnts(hi = false)} AS sig_lo FROM cnt),
 sg AS (SELECT d.doc_id, CAST(coalesce(sg0.sig_hi, 0) AS BIGINT) AS sig_hi,
   CAST(coalesce(sg0.sig_lo, 0) AS BIGINT) AS sig_lo
   FROM documents d LEFT JOIN sg0 USING (doc_id))"""
@@ -166,15 +183,9 @@ sg AS (SELECT d.doc_id, CAST(coalesce(sg0.sig_hi, 0) AS BIGINT) AS sig_hi,
   FROM $src WHERE length(trim(text)) > 0) u),
 ${p}wds AS (SELECT doc_id, ${OracleSqlGen.hex8("h", 1)} AS whi,
   ${OracleSqlGen.hex8("h", 9)} AS wlo FROM ${p}tok),
-${p}bits AS (SELECT doc_id, g.b AS b,
-  CASE WHEN (((CASE WHEN g.b < 32 THEN wlo >> CAST(g.b AS INT)
-    ELSE whi >> CAST(g.b - 32 AS INT) END) & 1) = 1) THEN 1 ELSE -1 END AS vote
-  FROM ${p}wds, generate_series(0, 63) g(b)),
-${p}votes AS (SELECT doc_id, b, sum(vote) AS v FROM ${p}bits GROUP BY 1, 2),
-${p}sg0 AS (SELECT doc_id,
-  sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << CAST(b - 32 AS INT)) ELSE 0 END) AS sig_hi,
-  sum(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS sig_lo
-  FROM ${p}votes GROUP BY 1),
+${p}cnt AS (SELECT doc_id, count(*) AS n, $simhashCntCols FROM ${p}wds GROUP BY doc_id),
+${p}sg0 AS (SELECT doc_id, ${simhashSigFromCnts(hi = true)} AS sig_hi,
+  ${simhashSigFromCnts(hi = false)} AS sig_lo FROM ${p}cnt),
 ${p}sg AS (SELECT d.doc_id, CAST(coalesce(${p}sg0.sig_hi, 0) AS BIGINT) AS sig_hi,
   CAST(coalesce(${p}sg0.sig_lo, 0) AS BIGINT) AS sig_lo
   FROM $src d LEFT JOIN ${p}sg0 USING (doc_id))"""
