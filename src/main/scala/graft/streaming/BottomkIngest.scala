@@ -40,11 +40,15 @@ object BottomkIngest {
 
   /** Multi-micro-batch variant for the spec: pre-converted staged files,
     * one per trigger — the k-list's cross-batch sort-and-truncate merge
-    * exercised on real partial states. */
+    * exercised on real partial states. `extraConf` lands on the cloned
+    * stream session only (the state-store-provider swap hook, same
+    * contract as LateArrivals.appendDailyTally). */
   private[graft] def sampleOnceStaged(spark: SparkSession, stagedDir: String,
-                                      k: Int = 32): DataFrame = {
+                                      k: Int = 32,
+                                      extraConf: Map[String, String] = Map.empty): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    extraConf.foreach { case (kk, v) => ss.conf.set(kk, v) }
     val raw = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "ts TIMESTAMP, event_type STRING, event_id BIGINT"))
