@@ -1167,6 +1167,23 @@ object Dedup {
           .bitwiseOR(col("bucket")).as("tb_key"))
   }
 
+  /** [[cosineBucketKeys]]' PER-ROW variant: one array<long> of the
+    * numTables packed tb_keys, as a Column — the shape a streaming gate
+    * needs (explode the keys while the row carries its own vector; a
+    * join back to the id-keyed frame would be a stream-stream join).
+    * SAME defaults, per-table seed derivation (seed + 7919·t, matching
+    * Similarity.tableData) and tbl<<32 packing as the state builder —
+    * exposed HERE so a probe can never drift from the persisted state's
+    * sketch parameters and silently zero its collisions. */
+  def cosineTbKeys(vec: Column, numPlanes: Int = 8, numTables: Int = 4,
+                   dim: Int = 64, seed: Long = 42L): Column = {
+    import graft.similarity.Similarity
+    array((0 until numTables).map { t =>
+      shiftleft(lit(t.toLong), 32).bitwiseOR(
+        Similarity.hyperplaneBucket(vec, numPlanes, dim, seed + 7919L * t))
+    }: _*)
+  }
+
   /** Incremental embedding-cosine near-dup dedup against persisted
     * sign-LSH bucket state — [[incrementalNearDups]]' shape for the
     * EMBEDDING modality, completing the family (exact digests, MinHash

@@ -184,6 +184,27 @@ object JsonlScan {
     case _ => false
   }
 
+  private def isIntegral(x: Number): Boolean = x match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
+  /** Three-way numeric compare of a parsed node against a filter value.
+    * When BOTH sides are integral the compare is EXACT (long compare,
+    * falling back to the node's sign when it exceeds 64 bits) — a
+    * double round-trip collapses BIGINTs above 2^53 onto shared
+    * doubles, and since a pushed filter drops rows before Spark's
+    * residual re-check, a false negative there is an unrecoverable
+    * wrong answer (the residual can only re-drop, never resurrect).
+    * Fractional on either side compares as double, the SQL semantic. */
+  private def cmp(n: JsonNode, x: Number): Int =
+    if (n.isIntegralNumber && isIntegral(x)) {
+      if (n.canConvertToLong) java.lang.Long.compare(n.longValue(), x.longValue())
+      // Out of long range: the sign alone orders it against any long.
+      else n.bigIntegerValue().signum()
+    } else java.lang.Double.compare(n.doubleValue(), x.doubleValue())
+
   /** Evaluates one pushed filter against the parsed line. A missing or
     * null field compares like SQL NULL: every comparison is false,
     * IsNull is true. */
@@ -192,21 +213,21 @@ object JsonlScan {
       val n = node.get(a)
       if (n == null || n.isNull) null else n
     }
-    def num(a: String): Option[Double] = Option(v(a)).collect {
-      case n if n.isNumber => n.doubleValue()
+    def numCmp(a: String, x: Number): Option[Int] = Option(v(a)).collect {
+      case n if n.isNumber => cmp(n, x)
     }
     def same(n: JsonNode, x: Any): Boolean = x match {
       case s: String => n.isTextual && n.asText == s
       case b: Boolean => n.isBoolean && n.asBoolean == b
-      case other: Number => n.isNumber && n.doubleValue() == other.doubleValue()
+      case other: Number => n.isNumber && cmp(n, other) == 0
       case _ => false
     }
     f match {
       case EqualTo(a, x) => Option(v(a)).exists(same(_, x))
-      case GreaterThan(a, x: Number) => num(a).exists(_ > x.doubleValue())
-      case GreaterThanOrEqual(a, x: Number) => num(a).exists(_ >= x.doubleValue())
-      case LessThan(a, x: Number) => num(a).exists(_ < x.doubleValue())
-      case LessThanOrEqual(a, x: Number) => num(a).exists(_ <= x.doubleValue())
+      case GreaterThan(a, x: Number) => numCmp(a, x).exists(_ > 0)
+      case GreaterThanOrEqual(a, x: Number) => numCmp(a, x).exists(_ >= 0)
+      case LessThan(a, x: Number) => numCmp(a, x).exists(_ < 0)
+      case LessThanOrEqual(a, x: Number) => numCmp(a, x).exists(_ <= 0)
       case IsNull(a) => v(a) == null
       case IsNotNull(a) => v(a) != null
       case In(a, vs) => Option(v(a)).exists(n => vs.exists(same(n, _)))
@@ -223,8 +244,11 @@ object JsonlScan {
     else field.dataType match {
       case StringType =>
         UTF8String.fromString(if (n.isTextual) n.asText else n.toString)
-      case LongType if n.isIntegralNumber => n.longValue()
-      case IntegerType if n.isIntegralNumber => n.intValue()
+      // canConvertTo* guards: Jackson's longValue()/intValue() silently
+      // WRAP out-of-range integrals, which would violate the fail-loudly
+      // contract below (an INT schema over 2^31 must error, not wrap).
+      case LongType if n.isIntegralNumber && n.canConvertToLong => n.longValue()
+      case IntegerType if n.isIntegralNumber && n.canConvertToInt => n.intValue()
       case DoubleType if n.isNumber => n.doubleValue()
       case BooleanType if n.isBoolean => n.booleanValue()
       case t => throw new IllegalArgumentException(

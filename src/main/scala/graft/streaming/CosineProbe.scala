@@ -40,20 +40,15 @@ object CosineProbe {
       .filter(Similarity.l2norm(col("embedding")) > 0)
     // the stream row carries its own embedding THROUGH the key
     // explosion (a self-join back to the stream would be a
-    // stream-stream join); per-table buckets via hyperplaneBucket with
-    // the same per-table seeds tableData bakes into the state builder
-    val tbls = (0 until 4).map { t =>
-      struct(lit(t.toLong).as("tbl"),
-        Similarity.hyperplaneBucket(col("embedding"), 8, 64,
-          42L + 7919L * t).as("bucket"))
-    }
+    // stream-stream join); keys from the ONE shared builder
+    // (Dedup.cosineTbKeys — same defaults, per-table seeds and packing
+    // as the persisted state), so the probe cannot drift from the
+    // state's sketch parameters.
     val keyed = inc.select(col("vec_id").as("inc_id"),
         col("embedding").as("_v2"),
         Similarity.l2norm(col("embedding")).as("_n2"),
-        explode(array(tbls: _*)).as("_tb"))
-      .select(col("inc_id"),
-        shiftleft(col("_tb.tbl"), 32).bitwiseOR(col("_tb.bucket")).as("tb_key"),
-        col("_v2"), col("_n2"))
+        explode(graft.dedup.Dedup.cosineTbKeys(col("embedding"))).as("tb_key"))
+      .select(col("inc_id"), col("tb_key"), col("_v2"), col("_n2"))
 
     val st = {
       val base = ss.table(stateTable)

@@ -18,8 +18,9 @@ import org.apache.spark.sql.streaming.Trigger
   * parquet dir per applied version (write-once, no read-modify-write on
   * a path being read: the append-only layout a warehouse table format
   * would give; version dirs double as time-travel checkpoints).
-  * Overwrite mode per version dir makes a replayed micro-batch
-  * idempotent. Snapshot ORDER is the stream's contract: files stage
+  * Version dirs publish by temp-write + rename, so a replayed
+  * micro-batch is idempotent AND the replay skip only ever sees
+  * completed dirs. Snapshot ORDER is the stream's contract: files stage
   * with increasing mod-times (LateArrivals.stageBatches) so the file
   * source replays versions in order, and a multi-version micro-batch
   * applies its versions ascending — either batching yields the same
@@ -70,14 +71,22 @@ object ScdApplyStream {
           val (curVer, curDir) = latestVersionDir(work)
             .getOrElse(sys.error(s"no seeded history under $work"))
           // A replayed micro-batch re-derives an already-applied
-          // version: skip — hist_<v> already exists and is final.
+          // version: skip — hist_<v> already exists and is final. That
+          // skip is only sound because hist_<v> appears ATOMICALLY: the
+          // write lands in a _tmp_ dir and renames into place, so a
+          // crash mid-write leaves no hist_<v> at all (a partial dir
+          // under the final name would be skipped forever and seed
+          // every later version from truncated history).
           if (v > curVer) {
             val hist = bs.read.parquet(curDir.toString)
             val next = graft.ops.ScdOps.scd2Apply(
               hist, batch.filter(col("_ver") === v).drop("_ver"),
               keys, tracked, newVer = v)
-            next.write.mode("overwrite")
-              .parquet(new java.io.File(work, s"hist_$v").toString)
+            val tmp = new java.io.File(work, s"_tmp_hist_$v")
+            next.write.mode("overwrite").parquet(tmp.toString)
+            val dst = new java.io.File(work, s"hist_$v")
+            if (!tmp.renameTo(dst))
+              sys.error(s"could not publish $tmp as $dst")
           }
         }
       }

@@ -64,4 +64,20 @@ class IncrementalCosineSpec extends SparkSpec {
     assert(keys.map(_ >> 32).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
     assert(keys.forall(k => (k & 0xffffffffL) < 256), "8-plane bucket fits 8 bits")
   }
+
+  test("per-row cosineTbKeys == state builder's cosineBucketKeys, key for key") {
+    // The streaming gate derives its keys from cosineTbKeys; the state
+    // is built by cosineBucketKeys. A drift in seed derivation, packing
+    // or plane data would silently zero the probe's collisions — pinned
+    // here as exact per-id key-set equality on nonzero-norm vectors.
+    val perRow = stateVecs.union(incVecs)
+      .filter(graft.similarity.Similarity.l2norm(col("embedding")) > 0)
+      .select(col("vec_id"),
+        explode(Dedup.cosineTbKeys(col("embedding"))).as("tb_key"))
+      .as[(Long, Long)].collect().toSet
+    val builder = Dedup.cosineBucketKeys(stateVecs.union(incVecs),
+        "vec_id", "embedding")
+      .as[(Long, Long)].collect().toSet
+    assert(perRow == builder && perRow.nonEmpty)
+  }
 }

@@ -69,6 +69,48 @@ class JsonlSourceSpec extends SparkSpec {
     assert(df.filter(col("k").isin(1L, 3L)).count() == 2)
   }
 
+  test("pushed BIGINT comparisons are exact above 2^53 (no double collapse)") {
+    // 2^53 and its neighbors collapse onto shared doubles; a pushed
+    // filter that compared through doubleValue() would skip matching
+    // rows AT THE SOURCE, where Spark's residual re-check cannot
+    // resurrect them. The compare must stay integral.
+    val dir = Files.createTempDirectory("graft_jsonl_bigint").toString
+    val p53 = 9007199254740992L // 2^53: (double)(2^53) == (double)(2^53+1)
+    writeLines(dir, "a.jsonl", Seq(
+      s"""{"k": 1, "v": $p53}""",
+      s"""{"k": 2, "v": ${p53 + 1}}""",
+      s"""{"k": 3, "v": ${Long.MaxValue}}""",
+      // beyond 64 bits: parses as BigInteger, must order above any long
+      s"""{"k": 4, "v": 18446744073709551616}"""))
+    // GreaterThan at 2^53: row 2 (2^53+1) matches, row 1 (2^53) must
+    // not. The <= Long.MaxValue conjunct makes the out-of-64-bit row's
+    // exclusion happen IN THE PUSHED EVAL (sign path) — it must be
+    // skipped at the source, before cell conversion would reject it.
+    val dfL = spark.read.format("graft-jsonl")
+      .schema(StructType.fromDDL("k BIGINT, v BIGINT")).load(dir)
+      .filter(col("v") > p53 && col("v") <= Long.MaxValue).select("k")
+    assert(dfL.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    val eq = spark.read.format("graft-jsonl")
+      .schema(StructType.fromDDL("k BIGINT, v BIGINT")).load(dir)
+      .filter(col("v") === (p53 + 1)).select("k")
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("explicit INT/BIGINT schema over an out-of-range integral fails loudly") {
+    val dir = Files.createTempDirectory("graft_jsonl_ovf").toString
+    writeLines(dir, "a.jsonl", Seq(s"""{"k": ${Int.MaxValue.toLong + 1}}"""))
+    val bad = spark.read.format("graft-jsonl")
+      .schema(StructType.fromDDL("k INT")).load(dir)
+    val err = intercept[Exception] { bad.collect() }
+    assert(err.getMessage.contains("cannot be read as"),
+      s"expected loud overflow, got: ${err.getMessage}")
+    writeLines(dir, "b.jsonl", Seq("""{"j": 18446744073709551616}"""))
+    val badL = spark.read.format("graft-jsonl")
+      .schema(StructType.fromDDL("j BIGINT")).load(s"$dir/b.jsonl")
+    val errL = intercept[Exception] { badL.collect() }
+    assert(errL.getMessage.contains("cannot be read as"))
+  }
+
   test("column pruning reaches the scan (ReadSchema drops unused fields)") {
     val dir = Files.createTempDirectory("graft_jsonl_prune").toString
     writeLines(dir, "a.jsonl", Seq("""{"k": 1, "s": "x", "unused": 9}"""))
