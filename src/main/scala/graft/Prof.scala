@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Dev profiler: times named queries N times in a single hot JVM.
   * `sbt "runMain graft.Prof <name>[,<name>...] [sfDir] [reps]"` —
   * a comma-separated list runs in order per rep, which is how
-  * cross-query CacheOnce sharing is measured. */
+  * cross-query CacheOnce sharing is measured. Each rep also reports
+  * stages submitted and summed executor task time: a wall-clock far
+  * above taskTime/32 with few stages is DRIVER cost (Catalyst
+  * analysis, plan strings, scheduling) — the signal that found the
+  * incremental-PageRank analysis bottleneck. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(',').toSeq
@@ -19,12 +23,26 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        stages.incrementAndGet(); ()
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null) taskMs.addAndGet(t.taskMetrics.executorRunTime)
+        ()
+      }
+    })
     (1 to reps).foreach { r =>
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
+        val (s0, t0, w0) = (stages.get(), taskMs.get(), System.nanoTime())
         val n = fn(spark, sfDir).count()
-        println(f"[prof] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        Thread.sleep(300) // drain async listener events
+        println(f"[prof] $name rep $r: ${(System.nanoTime() - w0) / 1e9}%.2f s ($n rows)  " +
+          f"stages ${stages.get() - s0}%4d  taskTime ${(taskMs.get() - t0) / 1e3}%8.1f s-cpu")
       }
     }
     spark.stop()

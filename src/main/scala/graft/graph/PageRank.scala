@@ -167,16 +167,22 @@ object PageRank {
       .select(col("id"), coalesce(col("_seed"), lit(1.0) / col("_n")).as("r"))
     val last = (1 to iters).foldLeft(init) { (ranks, i) =>
       // Per-node contribution r/outdeg, computed ONCE per round on the
-      // node-sized frame then routed along BOTH edge frames — cached,
-      // because its two message-branch references would otherwise
-      // re-execute every earlier superstep per branch (2^iters plan
-      // duplication). Keyed PER SUPERSTEP: under one shared name,
-      // CacheOnce's per-name LRU (maxPerName = 4) would unpersist the
-      // earliest rounds' frames at iters >= 5 BEFORE the single
-      // terminal action runs, silently reintroducing the exponential
-      // re-execution the cache exists to prevent (PageRankSpec pins
-      // iters = 6 linear via a stage-count listener).
-      val rpd = graft.ops.CacheOnce.swap(s"ipr-rpd-$i",
+      // node-sized frame then routed along BOTH edge frames. TRUNCATED
+      // per superstep, not just cached: with two message-branch
+      // references, a lazily-cached rpd dedups EXECUTION but the
+      // analyzed/display tree still embeds the previous superstep twice
+      // — O(2^iters) tree nodes — and at iters = 6 Spark spent ~8 min of
+      // driver CPU just BUILDING the SQLExecutionStart plan string of
+      // the nested InMemoryRelations (the batch path doesn't need this:
+      // its single message branch keeps the tree linear). Truncation
+      // makes each superstep's tree reference one LogicalRDD leaf, so
+      // plan size, analysis and display are all linear in iters — the
+      // eager node-sized materialization per round is the standard
+      // iterative-graph checkpoint cadence. Keyed PER SUPERSTEP so the
+      // per-name LRU (maxPerName = 4) never frees a round the terminal
+      // action still reads (PageRankSpec pins iters = 6 linear via a
+      // stage-count listener).
+      val rpd = graft.ops.CacheOnce.swapTruncated(s"ipr-rpd-$i",
         ranks.join(deg, ranks("id") === deg("src"))
           .select(col("src"), (col("r") / col("_deg")).as("_rpd")))
       val msgs = stateEdges.hint("merge").join(rpd, Seq("src"))

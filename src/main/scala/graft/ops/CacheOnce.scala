@@ -59,7 +59,15 @@ object CacheOnce {
     * every downstream reference costs the analyzer a single leaf node.
     * EAGER (the data computes at call time, not at the terminal
     * action); eviction frees the checkpoint blocks via
-    * [[Materialize.release]]. */
+    * [[Materialize.release]].
+    *
+    * CONTRACT, stricter than [[swap]]'s: do not hold a returned frame
+    * across more than `maxPerName` later `swapTruncated` calls under
+    * the SAME name. A plain `swap` frame evicted while still referenced
+    * silently degrades to a recompute; a truncated frame has no lineage
+    * left to recompute from, so an action over an evicted one FAILS.
+    * Current callers take one generation per state fingerprint and act
+    * before the next, so the bound is never approached. */
   def swapTruncated(name: String, df: DataFrame): DataFrame = synchronized {
     val key = (name, df.queryExecution.analyzed.semanticHash())
     liveT.get(key) match {

@@ -3928,12 +3928,21 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
   /** The persisted suite-shingle Bloom filter (built at state-build time
     * over the CAPPED index — see [[prepareContamState]]), deserialized
     * from its 1-row checkpoint. Driver-small: a few MB of bits at 1% fpp
-    * over the suite's distinct shingles. */
+    * over the suite's distinct shingles. Memoized per (checkpoint path,
+    * SOURCE fingerprint) — two probes of the same state (the incremental
+    * query + the guarded pipeline) parse the hex once, while a state
+    * rebuilt in place under a changed source still re-reads (the same
+    * staleness key `prepareContamState` itself rebuilds on). */
+  private val bloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.util.sketch.BloomFilter]
   private[queries] def contamStateBloom(s: org.apache.spark.sql.SparkSession,
                                         d: String): org.apache.spark.util.sketch.BloomFilter = {
     prepareContamState(s, d)
-    graft.functions.BloomFunctions.fromHex(
-      s.read.parquet(contamBloomPath(s, d)).head().getString(0))
+    val key = (contamBloomPath(s, d),
+      graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"))
+    bloomMemo.computeIfAbsent(key, k =>
+      graft.functions.BloomFunctions.fromHex(
+        s.read.parquet(k._1).head().getString(0)))
   }
 
   /** One-time bucketed CTAS of the TEST SUITE's distinct 3-shingles
