@@ -40,4 +40,25 @@ class CacheOnceSpec extends SparkSpec {
     frames.tail.foreach(f => assert(f.storageLevel != StorageLevel.NONE))
     CacheOnce.release("spec-bound")
   }
+
+  test("swapTruncated: leaf plan, memo hit on re-request, eager data") {
+    val deep = Seq(1, 2, 3).toDF("x").filter($"x" > 1).select(($"x" * 2).as("y"))
+    val t = CacheOnce.swapTruncated("spec-trunc", deep)
+    // the WHOLE logical plan is one LogicalRDD leaf — the property every
+    // downstream reference's analysis cost rides on
+    assert(t.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    assert(t.queryExecution.logical.children.isEmpty)
+    // same (name, plan) re-requested returns the SAME truncated frame
+    // without re-materializing
+    val t2 = CacheOnce.swapTruncated("spec-trunc",
+      Seq(1, 2, 3).toDF("x").filter($"x" > 1).select(($"x" * 2).as("y")))
+    assert(t2 eq t)
+    assert(t.as[Long].collect().sorted.toSeq == Seq(4L, 6L))
+    CacheOnce.release("spec-trunc")
+    // released: a fresh request re-materializes a NEW frame
+    val t3 = CacheOnce.swapTruncated("spec-trunc", deep)
+    assert(!(t3 eq t))
+    CacheOnce.release("spec-trunc")
+  }
 }
