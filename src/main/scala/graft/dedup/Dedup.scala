@@ -1092,9 +1092,18 @@ object Dedup {
     val (c1, c2) = idCols
     // The pair input is typically the END of a near-dup pipeline
     // (minhash + exact verify); this operator references it through the
-    // nodes/reps/edges tree ~10 times, so it is CacheOnce'd — computed
-    // once, increment-sized.
-    val pairs = graft.ops.CacheOnce.swap("incr-cluster-pairs",
+    // nodes/reps/edges tree ~10 times, so it is TRUNCATED, not just
+    // cached (CacheOnce.swapTruncated): caching dedups execution, but
+    // every reference would still embed the deep pair-feed ANALYZED
+    // tree, and this operator's output is itself consumed by multiply-
+    // referencing callers (dirty-cluster marking, re-election,
+    // streamed merges) that would each re-multiply it — the same
+    // analysis-cost class the incremental-PageRank refresh measured at
+    // ~10 s of a 13 s warm run. The eager materialization is
+    // increment-sized by construction (every caller feeds an
+    // increment-bounded pair set) and is the designated parquet-
+    // checkpoint seam at cluster scale.
+    val pairs = graft.ops.CacheOnce.swapTruncated("incr-cluster-pairs",
       newPairs.select(col(c1).as("a"), col(c2).as("b"))
         .filter(col("a") =!= col("b")))
     val nodes = pairs.select(col("a").as("node"))
