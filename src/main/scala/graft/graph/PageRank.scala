@@ -29,8 +29,9 @@ object PageRank {
     * a plain directed graph with sink nodes (a dst that never appears
     * as a src) would silently drop the sinks after one superstep and
     * never redistribute their mass — not PageRank — so the guard fails
-    * loudly instead (one anti-join count over the cached degree frame;
-    * node-cardinality work, paid once per call). Returns (id, rank)
+    * loudly instead (in-plan: a broadcast 1-row raise_error fires at
+    * the output action, costing no separate count() round per call —
+    * the incremental path's convention). Returns (id, rank)
     * with rank rounded to `roundTo` decimals (sum-order noise lives
     * ~1e-12 below it).
     *
@@ -55,12 +56,24 @@ object PageRank {
       e.groupBy(col("src")).agg(count(lit(1)).as("_deg")))
     // Contract guard (see scaladoc): every dst must appear as a src, or
     // sink mass silently vanishes and the result is not PageRank.
-    val nDangling = e.select(col("dst").as("src")).distinct()
-      .join(deg, Seq("src"), "left_anti").count()
-    require(nDangling == 0,
-      s"pageRank: $nDangling dangling node(s) — a dst never appearing as a src. " +
-        "This implementation assumes a symmetric graph (no dangling-mass " +
-        "redistribution); symmetrize() the pair list first, or add sink back-edges.")
+    // IN-PLAN like the incremental path's: the dangling count rides as
+    // a broadcast 1-row raise_error crossJoined under the result, so
+    // the check costs no separate action per call (the old count() was
+    // a full scheduling round over the cached edges before the real
+    // action ran). Batch edges are ARBITRARY caller input, so unlike
+    // incrementalPageRank the dst scan here must cover the full edge
+    // frame — but it reads the same cache the supersteps do.
+    val dangleGuard = broadcast(
+      e.select(col("dst").as("src")).distinct()
+        .join(deg, Seq("src"), "left_anti")
+        .agg(count(lit(1)).as("_nd"))
+        .select(when(col("_nd") > 0, raise_error(concat(
+            lit("pageRank: "), col("_nd").cast("string"),
+            lit(" dangling node(s) — a dst never appearing as a src; this " +
+              "implementation assumes a symmetric graph (no dangling-mass " +
+              "redistribution): symmetrize() the pair list first, or add " +
+              "sink back-edges"))))
+          .otherwise(lit(true)).as("_ok")))
     // The per-superstep constant frame: each edge with its source's
     // out-degree (recomputed per superstep from the cached edges — one
     // cheap keyed aggregate + join, no upstream recompute).
@@ -77,6 +90,7 @@ object PageRank {
           (lit(1.0 - damping) / col("_n") + lit(damping) * col("_m")).as("r"))
     }
     last.select(col("id"), round(col("r"), roundTo).as("rank"))
+      .crossJoin(dangleGuard).filter(col("_ok")).drop("_ok")
   }
 
   /** Incremental PageRank — the graph family's operational member

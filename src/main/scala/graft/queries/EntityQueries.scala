@@ -430,8 +430,14 @@ SELECT cluster_id, rid AS canonical_rid, name AS canonical_name FROM (
         k, "rid", "norm", Seq("nation"), maxDist = 1)
       val state = s.read.parquet(erClusterStatePath(s, d))
       // shared key with er_incremental_clusters: one merged map per
-      // session no matter which of the two queries runs first
-      val updated = graft.ops.CacheOnce.swap("er-inc-updated",
+      // session no matter which of the two queries runs first.
+      // TRUNCATED: the merged map is referenced by changed (x1), dirty
+      // (x2 via changed's two branches) and reElected (x1 + dirty's
+      // x2), so a lazily-cached plan would embed the whole merge tree
+      // ~6x in the final election plan; the map is state-sized, the
+      // same class the merge already writes back as the new state in
+      // production.
+      val updated = graft.ops.CacheOnce.swapTruncated("er-inc-updated",
         graft.dedup.Dedup.incrementalClusters(state, pairs, ("rid1", "rid2")))
       val changed = updated
         .join(state.withColumnRenamed("cluster_id", "_old"), Seq("node"), "left")

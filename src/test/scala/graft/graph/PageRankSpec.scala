@@ -49,10 +49,16 @@ class PageRankSpec extends SparkSpec {
   test("a plain directed graph with a sink fails loudly, not wrongly") {
     // 3 is a pure sink (dst, never src): its mass would silently vanish
     // after one superstep — the guard must reject instead of returning
-    // a non-PageRank result.
-    intercept[IllegalArgumentException] {
+    // a non-PageRank result. The guard is IN-PLAN (raise_error under a
+    // broadcast 1-row crossJoin, same as the incremental path), so the
+    // failure surfaces at the output action.
+    val err = intercept[Exception] {
       PageRank.pageRank(path.toDF("src", "dst"), iters = 1).collect()
     }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("dangling")), s"unnamed failure: $err")
     // the symmetrized version of the same graph is accepted
     assert(PageRank.pageRank(sym(path).toDF("src", "dst"), iters = 1).count() == 3)
   }
