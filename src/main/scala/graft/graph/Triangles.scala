@@ -92,9 +92,13 @@ object Triangles {
   def incrementalPerNodeCounts(stateAdj: DataFrame, deltaPairs: DataFrame,
                                stateCounts: DataFrame): DataFrame = {
     // Canonicalize the delta (cross pairs arrive state-id-first, not
-    // id-sorted) and persist it: the delta feeds five enumeration legs
-    // and is the product of the whole sketch+verify chain upstream.
-    val dp = graft.ops.CacheOnce.swap("itri-delta",
+    // id-sorted) and TRUNCATE it (swapTruncated, not swap): the delta
+    // feeds five enumeration legs — seven plan references — and is the
+    // product of the whole sketch+verify chain upstream, so a lazily
+    // cached plan would embed that chain's analyzed tree seven times
+    // in the refresh plan (the cluster family's measured analysis-cost
+    // class). Increment-bounded by construction.
+    val dp = graft.ops.CacheOnce.swapTruncated("itri-delta",
       deltaPairs.select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2")).distinct())
     val statePairs = stateAdj.filter(col("src") < col("dst"))
