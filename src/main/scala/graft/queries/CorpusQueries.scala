@@ -2801,6 +2801,14 @@ FROM comp GROUP BY 1""") { (s, d) =>
     // bit-identical teleport constants.
     Q("pg_incremental_pagerank", incrementalPageRankOracleSql) { (s, d) =>
       preparePageRankState(s, d); prepareLshState(s, d)
+      // Watches registered BEFORE the refresh is built: the pair-feed
+      // and per-superstep truncations execute the LSH probe and
+      // supersteps 1..iters-1 as EAGER jobs at plan build, and their
+      // bucketed state joins must land inside the AQE-final watch
+      // window (only superstep `iters` remains in the terminal plan
+      // the REQUIRE below inspects).
+      graft.plans.PlanChecks.watchFinalPlans(s, pgEdgeStateTable(d), "PageRank edge state")
+      graft.plans.PlanChecks.watchFinalPlans(s, lshStateTable(d), "LSH state")
       val docs = Tables.documents(s, d)
       val stateEdges = s.table(pgEdgeStateTable(d))
       val stateRanks = s.read.parquet(rankStatePath(s, d))
@@ -2816,7 +2824,6 @@ FROM comp GROUP BY 1""") { (s, d) =>
         .select(col("id").as("doc_id"), col("rank"))
       graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
         out.queryExecution.executedPlan, "PageRank edge/LSH state")
-      graft.plans.PlanChecks.watchFinalPlans(s, pgEdgeStateTable(d), "PageRank edge state")
       out
     },
 
@@ -2832,6 +2839,12 @@ FROM comp GROUP BY 1""") { (s, d) =>
     // state + delta == full is the IVM invariant, checked by hash.
     Q("pg_incremental_triangles", trianglesOracleSql) { (s, d) =>
       prepareTriangleState(s, d); prepareLshState(s, d)
+      // Registered BEFORE the refresh builds: the delta truncation
+      // executes the LSH pair feed as an EAGER job at plan build, and
+      // its bucketed band-state probe must land inside the watch window
+      // (the terminal plan only retains the dEE edge-state join).
+      graft.plans.PlanChecks.watchFinalPlans(s, pgEdgeStateTable(d), "triangle edge state")
+      graft.plans.PlanChecks.watchFinalPlans(s, lshStateTable(d), "LSH state")
       val docs = Tables.documents(s, d)
       val stateAdj = s.table(pgEdgeStateTable(d))
       val stateCounts = s.read.parquet(triangleStatePath(s, d))
@@ -2846,7 +2859,6 @@ FROM comp GROUP BY 1""") { (s, d) =>
         .select(col("id").as("doc_id"), col("triangles"))
       graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
         out.queryExecution.executedPlan, "triangle edge/LSH state")
-      graft.plans.PlanChecks.watchFinalPlans(s, pgEdgeStateTable(d), "triangle edge state")
       out
     },
 

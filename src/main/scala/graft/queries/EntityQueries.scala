@@ -414,6 +414,12 @@ SELECT cluster_id, rid AS canonical_rid, name AS canonical_name FROM (
       k.rid) AS rn
   FROM comp JOIN k ON k.rid = comp.node) WHERE rn = 1""") { (s, d) =>
       prepareErState(s, d); prepareErSurvState(s, d)
+      // Registered BEFORE the merge builds: the er-inc-updated
+      // truncation executes the key-state probe as an EAGER job at
+      // plan build, so the watch must already be live to cover it
+      // (standalone runs don't get er_incremental_clusters' own
+      // registration).
+      graft.plans.PlanChecks.watchFinalPlans(s, erKeyStateTable(d), "ER key state")
       val k = keyedRecords(s, d)
       val incKeys = graft.ops.CacheOnce.swap("er-inc-keys",
         passKeyRows(k.filter(incPred)))
