@@ -3952,6 +3952,10 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
     prepareContamState(s, d)
     val key = (contamBloomPath(s, d),
       graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"))
+    // A few MB per filter: bound the memo so a long session over many
+    // corpora/fingerprints can't pin unbounded driver memory (CacheOnce's
+    // maxPerName discipline, crudely — a clear just costs one re-read).
+    if (bloomMemo.size > 8) bloomMemo.clear()
     bloomMemo.computeIfAbsent(key, k =>
       graft.functions.BloomFunctions.fromHex(
         s.read.parquet(k._1).head().getString(0)))
