@@ -40,8 +40,11 @@ object Prof {
         val fn = SparkEntry.queries(name)
         val (s0, t0, w0) = (stages.get(), taskMs.get(), System.nanoTime())
         val n = fn(spark, sfDir).count()
+        val wall = System.nanoTime() - w0 // before the drain sleep — it is
+        // measurement overhead, not query time (sub-second queries were
+        // overstated 2x+ with the sleep inside the wall)
         Thread.sleep(300) // drain async listener events
-        println(f"[prof] $name rep $r: ${(System.nanoTime() - w0) / 1e9}%.2f s ($n rows)  " +
+        println(f"[prof] $name rep $r: ${wall / 1e9}%.2f s ($n rows)  " +
           f"stages ${stages.get() - s0}%4d  taskTime ${(taskMs.get() - t0) / 1e3}%8.1f s-cpu")
       }
     }

@@ -683,15 +683,30 @@ object Dedup {
     * exchange — but it rescans |state| per refresh). `bloom`, built over
     * the capped index at state-build time, cuts the increment's shingles
     * in their scan stage — same verdict either way (no false negatives).
-    * One verdict row per increment doc: (idCol, contaminated,
-    * best_test_id, n_shared), best witness deterministic (shared count
-    * desc, test id asc). */
+    * The filter travels WITH the cap it was built at — `(filter,
+    * bloomCap)`, `Int.MaxValue` for an uncapped build — and the probe
+    * REQUIREs `dfCap <= bloomCap`: a bloom built over a tighter index
+    * than the probe's cap has already dropped shingles the looser cap
+    * would keep joinable, which silently turns the "no false negatives"
+    * guarantee into MISSED CONTAMINATION. Enforced here, not by caller
+    * convention. One verdict row per increment doc: (idCol,
+    * contaminated, best_test_id, n_shared), best witness deterministic
+    * (shared count desc, test id asc). */
   def incrementalContamination(incDocs: DataFrame, stateShingles: DataFrame,
                                idCol: String, textCol: String,
                                shingleN: Int = 3, minShared: Int = 3,
                                dfCap: Option[Int] = None,
                                dfCol: Option[String] = None,
-                               bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+                               bloom: Option[(org.apache.spark.util.sketch.BloomFilter, Int)] = None): DataFrame = {
+    bloom.foreach { case (_, bloomCap) =>
+      val probeCap = dfCap.getOrElse(Int.MaxValue)
+      require(probeCap <= bloomCap,
+        s"incrementalContamination: bloom was built over the index capped at " +
+          s"df <= $bloomCap but the probe caps at df <= $probeCap — shingles " +
+          s"with df in ($bloomCap, $probeCap] are joinable yet bloom-dropped, " +
+          "producing FALSE NEGATIVES (missed contamination); rebuild the bloom " +
+          "at the probe's cap or tighten dfCap")
+    }
     // Bloom prefilter (the bloomContamination machinery composed into the
     // incremental probe): the filter is built ONCE at state-build time
     // over the CAPPED suite shingle set and rides the plan to every
@@ -702,7 +717,7 @@ object Dedup {
     // zero state rows); hashes cannot move.
     val incShAll = incDocs.select(col(idCol).as("inc_id"),
       explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
-    val incSh = bloom.fold(incShAll) { b =>
+    val incSh = bloom.fold(incShAll) { case (b, _) =>
       incShAll.filter(graft.functions.BloomFunctions.mightContainString(b, col("shingle")))
     }
     val capped = dfCap.fold(dfCol.fold(stateShingles)(c => stateShingles.drop(c))) { cap =>

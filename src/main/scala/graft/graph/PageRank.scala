@@ -179,6 +179,14 @@ object PageRank {
       .join(stateRanks.select(col("id"), col("rank").as("_seed")), Seq("id"), "left")
       .crossJoin(broadcast(nDf))
       .select(col("id"), coalesce(col("_seed"), lit(1.0) / col("_n")).as("r"))
+    // Superstep i's truncated frame is DEAD the moment superstep i+1's
+    // eager truncation job completes (later rpds hold their own data —
+    // a LogicalRDD leaf, no lineage back) — only the FINAL superstep's
+    // frame is read by the terminal action. Release each intermediate
+    // generation as soon as its successor materializes, or every
+    // refresh pins iters-1 eager checkpoints per state fingerprint for
+    // the session lifetime (blocks the memory manager cannot evict).
+    var prevRpd: Option[(String, DataFrame)] = None
     val last = (1 to iters).foldLeft(init) { (ranks, i) =>
       // Per-node contribution r/outdeg, computed ONCE per round on the
       // node-sized frame then routed along BOTH edge frames. TRUNCATED
@@ -199,6 +207,9 @@ object PageRank {
       val rpd = graft.ops.CacheOnce.swapTruncated(s"ipr-rpd-$i",
         ranks.join(deg, ranks("id") === deg("src"))
           .select(col("src"), (col("r") / col("_deg")).as("_rpd")))
+      // rpd-$i is materialized ⇒ rpd-$(i-1) can never be read again.
+      prevRpd.foreach { case (n, f) => graft.ops.CacheOnce.releaseEntry(n, f) }
+      prevRpd = if (i < iters) Some((s"ipr-rpd-$i", rpd)) else None
       val msgs = stateEdges.hint("merge").join(rpd, Seq("src"))
         .select(col("dst"), col("_rpd"))
         .unionByName(incE.join(rpd, Seq("src")).select(col("dst"), col("_rpd")))

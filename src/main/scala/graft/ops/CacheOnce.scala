@@ -86,6 +86,22 @@ object CacheOnce {
 
   private val liveT = scala.collection.mutable.LinkedHashMap.empty[(String, Int), DataFrame]
 
+  /** Release ONE truncated generation — the exact frame a prior
+    * [[swapTruncated]] call returned — once a later materialization has
+    * made it dead (an iterative operator's superstep i is never read
+    * again after superstep i+1's truncation job runs). Matches by
+    * reference identity on the memoized value, so a caller can only
+    * free a generation it actually holds; unknown frames are a no-op.
+    * This is the precise counterpart of the prefix-sweep [[release]]:
+    * per-superstep names (`ipr-rpd-$i`) would otherwise pin up to
+    * `maxPerName` eager checkpoints PER SUPERSTEP for the session
+    * lifetime — blocks the memory manager cannot evict. */
+  def releaseEntry(name: String, frame: DataFrame): Unit = synchronized {
+    liveT.keys.filter(_._1 == name).toSeq
+      .filter(k => liveT(k) eq frame)
+      .foreach(k => liveT.remove(k).foreach(Materialize.release))
+  }
+
   /** Drop and unpersist every cached plan under `name`. */
   def release(name: String): Unit = synchronized {
     live.keys.filter(_._1 == name).toSeq

@@ -3939,26 +3939,40 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
 
   /** The persisted suite-shingle Bloom filter (built at state-build time
     * over the CAPPED index — see [[prepareContamState]]), deserialized
-    * from its 1-row checkpoint. Driver-small: a few MB of bits at 1% fpp
-    * over the suite's distinct shingles. Memoized per (checkpoint path,
-    * SOURCE fingerprint) — two probes of the same state (the incremental
-    * query + the guarded pipeline) parse the hex once, while a state
-    * rebuilt in place under a changed source still re-reads (the same
-    * staleness key `prepareContamState` itself rebuilds on). */
-  private val bloomMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.util.sketch.BloomFilter]
+    * from its 1-row checkpoint and returned WITH the cap it was built at
+    * (the persisted derived cap — the pair [[graft.dedup.Dedup
+    * .incrementalContamination]]'s bloom parameter now requires, so a
+    * probe can never silently pair this filter with a looser cap).
+    * Driver-small: a few MB of bits at 1% fpp over the suite's distinct
+    * shingles. Memoized per (checkpoint path, SOURCE fingerprint) — two
+    * probes of the same state (the incremental query + the guarded
+    * pipeline) parse the hex once, while a state rebuilt in place under
+    * a changed source still re-reads (the same staleness key
+    * `prepareContamState` itself rebuilds on). Bounded by a synchronized
+    * insertion-order LRU (evicts only the OLDEST entry — the old
+    * size-then-clear wiped hot entries and raced concurrent rebuilds). */
+  private val bloomMemo = new java.util.LinkedHashMap[
+      (String, String), (org.apache.spark.util.sketch.BloomFilter, Int)](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String),
+          (org.apache.spark.util.sketch.BloomFilter, Int)]): Boolean = size() > 8
+  }
   private[queries] def contamStateBloom(s: org.apache.spark.sql.SparkSession,
-                                        d: String): org.apache.spark.util.sketch.BloomFilter = {
+                                        d: String): (org.apache.spark.util.sketch.BloomFilter, Int) = {
     prepareContamState(s, d)
     val key = (contamBloomPath(s, d),
       graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"))
-    // A few MB per filter: bound the memo so a long session over many
-    // corpora/fingerprints can't pin unbounded driver memory (CacheOnce's
-    // maxPerName discipline, crudely — a clear just costs one re-read).
-    if (bloomMemo.size > 8) bloomMemo.clear()
-    bloomMemo.computeIfAbsent(key, k =>
-      graft.functions.BloomFunctions.fromHex(
-        s.read.parquet(k._1).head().getString(0)))
+    bloomMemo.synchronized {
+      val hit = bloomMemo.get(key)
+      if (hit != null) hit
+      else {
+        val v = (graft.functions.BloomFunctions.fromHex(
+            s.read.parquet(key._1).head().getString(0)),
+          contamDerivedCap(s, d))
+        bloomMemo.put(key, v)
+        v
+      }
+    }
   }
 
   /** One-time bucketed CTAS of the TEST SUITE's distinct 3-shingles

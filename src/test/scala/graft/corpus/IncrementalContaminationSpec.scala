@@ -79,12 +79,36 @@ class IncrementalContaminationSpec extends SparkSpec {
       val keys = idxDf.filter(col("df") <= cap).select("shingle").distinct()
       val bf = keys.stat.bloomFilter("shingle", math.max(keys.count(), 1L), 0.01)
       val viaState = Dedup.incrementalContamination(incDocs, idxDf, "doc_id",
-          "text", dfCap = Some(cap), dfCol = Some("df"), bloom = Some(bf))
+          "text", dfCap = Some(cap), dfCol = Some("df"), bloom = Some((bf, cap)))
         .as[(Long, Boolean, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
       val viaWindow = Dedup.incrementalContamination(incDocs, index, "doc_id",
           "text", dfCap = Some(cap))
         .as[(Long, Boolean, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
       assert(viaState == viaWindow, s"divergence at cap=$cap")
     }
+  }
+
+  test("bloom built at a tighter cap than the probe's is rejected") {
+    // A bloom built over the df<=1 index paired with a df<=2 probe cap
+    // (or an uncapped probe) would silently MISS contamination on
+    // shingles with df == 2 — the library must refuse the pairing, not
+    // trust caller convention.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val idxDf = index.withColumn("df", count(lit(1)).over(w))
+    val keys = idxDf.filter(col("df") <= 1).select("shingle").distinct()
+    val bf = keys.stat.bloomFilter("shingle", math.max(keys.count(), 1L), 0.01)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalContamination(incDocs, idxDf, "doc_id", "text",
+        dfCap = Some(2), dfCol = Some("df"), bloom = Some((bf, 1)))
+    }
+    assert(e1.getMessage.contains("FALSE NEGATIVES"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalContamination(incDocs, idxDf, "doc_id", "text",
+        dfCap = None, dfCol = Some("df"), bloom = Some((bf, 1)))
+    }
+    assert(e2.getMessage.contains("bloom"))
+    // Equal caps (and a LOOSER bloom) are fine.
+    Dedup.incrementalContamination(incDocs, idxDf, "doc_id", "text",
+      dfCap = Some(1), dfCol = Some("df"), bloom = Some((bf, 1))).count()
   }
 }
