@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-STAGE skew attribution for one registered query — where [[Prof]]
+  * reports a query's aggregate wall/taskTime, this main breaks the
+  * taskTime down by stage and, within each stage, reports the max task
+  * against the stage's mean: the signature of a hot-key enumeration
+  * (one task holding a near-clique hub's whole wedge expansion) is a
+  * stage whose max-task runtime ~= the query's wall clock while the
+  * stage's other tasks finish in milliseconds. That single number is
+  * what decides between "join strategy problem" (many slow tasks, one
+  * slow stage) and "intra-task skew" (one slow task) — the r14 triangle
+  * experiments needed exactly this and inferred it indirectly.
+  *
+  * `sbt "runMain graft.ProfSkew <query> [sfDir] [reps] [topN]"` */
+object ProfSkew {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val topN = if (args.length > 3) args(3).toInt else 12
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // (stageId, attemptId) -> (numTasks, sumMs, maxMs, name)
+    val perStage = new java.util.concurrent.ConcurrentHashMap[
+      (Int, Int), (Long, Long, Long, String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null) {
+          val ms = t.taskMetrics.executorRunTime
+          perStage.merge((t.stageId, t.stageAttemptId), (1L, ms, ms, ""),
+            (a, b) => (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3), a._4))
+          ()
+        }
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val k = (s.stageInfo.stageId, s.stageInfo.attemptNumber())
+        perStage.computeIfPresent(k,
+          (_, v) => (v._1, v._2, v._3, s.stageInfo.name.takeWhile(_ != '\n').take(90)))
+        ()
+      }
+    })
+
+    val fn = SparkEntry.queries(name)
+    (1 to reps).foreach { r =>
+      perStage.clear()
+      val w0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - w0) / 1e9
+      Thread.sleep(500) // drain async listener events
+      import scala.jdk.CollectionConverters._
+      val rows = perStage.asScala.toSeq.sortBy(-_._2._2).take(topN)
+      println(f"[skew] $name rep $r: $wall%.2f s wall ($n rows), " +
+        f"${perStage.asScala.values.map(_._2).sum / 1e3}%.1f s-cpu total, " +
+        s"${perStage.size} stages — top $topN by stage taskTime:")
+      rows.foreach { case ((sid, att), (nt, sum, max, sname)) =>
+        println(f"[skew]   stage $sid%5d.$att  tasks $nt%5d  sum ${sum / 1e3}%8.1f s  " +
+          f"max-task ${max / 1e3}%7.1f s  mean ${sum / math.max(nt, 1) / 1e3}%7.2f s  $sname")
+      }
+    }
+    spark.stop()
+  }
+}

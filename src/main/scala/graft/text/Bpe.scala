@@ -43,9 +43,28 @@ object Bpe {
       .agg(sum(col("cnt")).as("c"))
   }
 
+  /** Lineage-truncation cadence of the merge loop: every this-many
+    * merges the accumulated `replace()` chain is collapsed into an
+    * eagerly-materialized vocabulary leaf, so the analyzed plan each
+    * iteration hands Catalyst stays <= this deep — without it the
+    * chain grows one projection per merge and the per-iteration
+    * analysis cost is O(merges), O(merges²) for the loop (the exact
+    * deep-plan disease the incremental-PageRank profiling pinned; at a
+    * production vocabulary of 10k+ merges it dominates training). */
+  private[text] val truncateEvery = 16
+
   /** Train `numMerges` BPE merges; returns (merge_idx, left_sym,
     * right_sym, pair_count) — highest-count pair each round, ties
-    * broken lexicographically so the merge table is deterministic. */
+    * broken lexicographically so the merge table is deterministic.
+    *
+    * Scale note: the loop is DRIVER-SEQUENCED by the algorithm itself —
+    * merge i+1's counts depend on merge i's replace — so training runs
+    * one vocabulary-sized Spark job per merge, numMerges round trips.
+    * That bound is intrinsic to exact BPE (each job is vocabulary-, not
+    * corpus-sized, and the vocabulary saturates); the avoidable cost —
+    * the replace-chain lineage deepening per merge — is bounded by
+    * [[truncateEvery]]-cadence eager truncation, keeping analysis cost
+    * per iteration O(truncateEvery) and the loop linear in merges. */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark: SparkSession = docs.sparkSession
     // The corpus collapses to the vocabulary exactly once; every
@@ -54,6 +73,11 @@ object Bpe {
     // Plain persist scoped to this call — released before returning.
     val base = vocab(docs, textCol).persist()
     var rep: DataFrame = base
+    // The previous truncation generation dies the moment the next one
+    // materializes (eager — later leaves hold their own rows); released
+    // in-loop, and the final generation on exit: the returned merge
+    // table is driver-built and references no vocabulary frame.
+    var prevTrunc: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     try {
       for (i <- 0 until numMerges) {
@@ -64,9 +88,18 @@ object Bpe {
           merges += ((i.toLong, a, b, c))
           rep = rep.select(col("cnt"),
             replace(col("rep"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("rep"))
+          if ((i + 1) % truncateEvery == 0 && i + 1 < numMerges) {
+            val t = graft.ops.Materialize.eagerDurable(rep)
+            prevTrunc.foreach(graft.ops.Materialize.release)
+            prevTrunc = Some(t)
+            rep = t
+          }
         }
       }
-    } finally base.unpersist()
+    } finally {
+      base.unpersist()
+      prevTrunc.foreach(graft.ops.Materialize.release)
+    }
     import spark.implicits._
     merges.result().toDF("merge_idx", "left_sym", "right_sym", "pair_count")
   }

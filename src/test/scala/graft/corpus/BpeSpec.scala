@@ -37,6 +37,51 @@ class BpeSpec extends SparkSpec {
     assert(first == ((0L, "x", "y", 2L)))
   }
 
+  test("trainMerges at 64+ merges keeps per-iteration analysis cost bounded " +
+    "(replace-chain lineage truncated every truncateEvery merges)") {
+    // 70 distinct single-occurrence symbols in one word: every pair
+    // counts 1, ties break lexicographically, so the trajectory runs a
+    // full 64 merges. Without the truncation cadence the analyzed plan
+    // handed to Catalyst gains one Project per merge — O(merges²)
+    // analysis for the loop; with it the deepest plan any iteration
+    // analyzes is bounded by truncateEvery, observable as a cap on the
+    // analyzed-plan node count across ALL the loop's collects.
+    val word = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ "!#$%&*+-").mkString
+    assert(word.length == 70)
+    val docs = Seq((1L, word)).toDF("doc_id", "text")
+    val maxNodes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val n = qe.analyzed.collect { case p => p }.size
+        maxNodes.getAndUpdate(m => math.max(m, n)); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got = try {
+      val out = Bpe.trainMerges(docs, "text", 64)
+        .as[(Long, String, String, Long)].collect()
+      // listener delivery is async: poll until the max settles
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (maxNodes.get() != last && System.nanoTime() < deadline) {
+        last = maxNodes.get(); Thread.sleep(200)
+      }
+      out
+    } finally spark.listenerManager.unregister(listener)
+    assert(got.length == 64, s"expected the full 64-merge trajectory, got ${got.length}")
+    // closed form for distinct count-1 symbols: lexicographic cascade
+    // starting at ('!','#') — spot-check the first merge and that every
+    // pair_count is 1 (no symbol repeats).
+    assert(got.head._2 == "!" && got.head._3 == "#" && got.forall(_._4 == 1L))
+    assert(maxNodes.get() > 0, "listener saw no plans")
+    assert(maxNodes.get() < 45,
+      s"analyzed plan grew to ${maxNodes.get()} nodes — the replace chain " +
+        "is not being truncated (O(merges²) analysis cost)")
+  }
+
   test("segment replays merges with training semantics") {
     val merges = Seq(("a", "b"), ("ab", "c"))
     val got = Seq("abc", "aab", "cab", "x")
