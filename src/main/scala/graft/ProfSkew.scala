@@ -32,6 +32,12 @@ object ProfSkew {
     // (stageId, attemptId) -> (numTasks, sumMs, maxMs, name)
     val perStage = new java.util.concurrent.ConcurrentHashMap[
       (Int, Int), (Long, Long, Long, String)]
+    // jobId -> (submittedMs, completedMs) — the driver timeline: a wall
+    // clock far beyond the union of job intervals is time spent with NO
+    // job running (Catalyst analysis, AQE re-planning, broadcast
+    // relation builds, plan checks), the cost class task metrics are
+    // blind to.
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         if (t.taskMetrics != null) {
@@ -48,11 +54,18 @@ object ProfSkew {
           (_, v) => (v._1, v._2, v._3, s.stageInfo.name.takeWhile(_ != '\n').take(90)))
         ()
       }
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.put(j.jobId, (j.time, -1L)); ()
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobs.computeIfPresent(j.jobId, (_, v) => (v._1, j.time)); ()
+      }
     })
 
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { r =>
-      perStage.clear()
+      perStage.clear(); jobs.clear()
+      val rep0 = System.currentTimeMillis()
       val w0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val wall = (System.nanoTime() - w0) / 1e9
@@ -66,6 +79,28 @@ object ProfSkew {
         println(f"[skew]   stage $sid%5d.$att  tasks $nt%5d  sum ${sum / 1e3}%8.1f s  " +
           f"max-task ${max / 1e3}%7.1f s  mean ${sum / math.max(nt, 1) / 1e3}%7.2f s  $sname")
       }
+      // Driver timeline: each job's [start, end] offset from rep start,
+      // and the idle gap since the previous job's end — a large gap is
+      // driver-side work between jobs; a large total-wall-minus-covered
+      // is the same inside/around the terminal action.
+      val tl = jobs.asScala.toSeq.sortBy(_._2._1)
+      var cursor = rep0
+      var covered = 0L
+      var gapSum = 0L
+      val gaps = Seq.newBuilder[String]
+      tl.foreach { case (jid, (js, je0)) =>
+        val je = if (je0 < 0) System.currentTimeMillis() else je0
+        val gap = js - cursor
+        if (gap > 200)
+          gaps += f"[skew]   gap ${gap / 1e3}%6.2f s before job $jid (t+${(js - rep0) / 1e3}%.2f s)"
+        covered += math.max(0L, je - math.max(js, cursor))
+        gapSum += math.max(0L, gap)
+        cursor = math.max(cursor, je)
+      }
+      println(f"[skew]   jobs ${tl.size}: covered ${covered / 1e3}%.2f s, " +
+        f"inter-job driver gaps ${gapSum / 1e3}%.2f s, " +
+        f"tail ${(rep0 + (wall * 1000).toLong - cursor) / 1e3}%.2f s; gaps > 0.2 s:")
+      gaps.result().foreach(println)
     }
     spark.stop()
   }

@@ -102,19 +102,35 @@ object Triangles {
       deltaPairs.select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2")).distinct())
     val statePairs = stateAdj.filter(col("src") < col("dst"))
-    // dEE: state side keyed on src -> exchange-free bucketed probe; the
-    // close re-reads state pairs against the broadcast candidate set
-    // (increment x degree sized — the same merge-hinted-probe /
-    // broadcast-verify split the incremental near-dup feed uses).
+    // Close-join discipline (r15, replacing r14's broadcast closes): at
+    // collision-density stress the delta-DERIVED candidate sets are NOT
+    // small — 30x measured candEE at 12.7M rows and the delta wedge set
+    // at 33.3M off a 1.35M-pair delta — and a broadcast hash relation
+    // of that size builds SINGLE-THREADED on the driver (measured: a
+    // 25 s all-cores-idle gap in a 33 s refresh; thread dumps pinned
+    // every idle second to UnsafeHashedRelation construction, while the
+    // enumeration itself ran ~1 s/leg distributed — the wall gap r14
+    // misattributed to intra-task enumeration skew). The closes are now
+    // SHUFFLED-HASH joins that BUILD on the increment-derived side —
+    // per-partition builds stay increment/numPartitions-sized at any
+    // density and construct in parallel — and STREAM the state side,
+    // which rides its src-bucketing in place (HashPartitioning(src)
+    // satisfies the (src, dst) clustering as a subset, so only the
+    // candidate side shuffles, by its src-matching key). Nothing
+    // |E|-sized moves or builds; nothing increment-derived funnels
+    // through one thread. AQE still downgrades the build to a broadcast
+    // when a small fixture makes it trivial — the adaptivity broadcast()
+    // was denying.
     val dpe = dp.select(col("id1").as("_u"), col("id2").as("_v"))
     val candEE = stateAdj.hint("merge")
       .join(dpe, stateAdj("src") === dpe("_u"))
       .select(col("_u"), col("_v"), col("dst").as("_w"))
       .filter(col("_w") =!= col("_v"))
+      .withColumn("_cx", least(col("_v"), col("_w")))
+      .withColumn("_cy", greatest(col("_v"), col("_w")))
     val dEE = statePairs
-      .join(broadcast(candEE),
-        statePairs("src") === least(col("_v"), col("_w")) &&
-          statePairs("dst") === greatest(col("_v"), col("_w")))
+      .join(candEE.hint("shuffle_hash"),
+        statePairs("src") === col("_cx") && statePairs("dst") === col("_cy"))
       .select(col("_u").as("a"), col("_v").as("b"), col("_w").as("c"))
     // dDE: both new edges share a vertex s; close (x, y) in state.
     val dAdj = dp.select(col("id1").as("s"), col("id2").as("n"))
@@ -123,14 +139,17 @@ object Triangles {
       .join(dAdj.select(col("s"), col("n").as("_y")), Seq("s"))
       .filter(col("_x") < col("_y"))
     val dDE = statePairs
-      .join(broadcast(wedge),
+      .join(wedge.hint("shuffle_hash"),
         statePairs("src") === col("_x") && statePairs("dst") === col("_y"))
       .select(col("s").as("a"), col("_x").as("b"), col("_y").as("c"))
-    // dDD: wholly-new triangles, found at the smallest corner.
+    // dDD: wholly-new triangles, found at the smallest corner. The
+    // close builds on the canonical delta itself (the one genuinely
+    // increment-sized frame here); both sides shuffle — both are
+    // increment-bounded, no bucketing to preserve.
     val dDD = dp.select(col("id1").as("s"), col("id2").as("_x"))
       .join(dp.select(col("id1").as("s"), col("id2").as("_y")), Seq("s"))
       .filter(col("_x") < col("_y"))
-      .join(dp, dp("id1") === col("_x") && dp("id2") === col("_y"))
+      .join(dp.hint("shuffle_hash"), dp("id1") === col("_x") && dp("id2") === col("_y"))
       .select(col("s").as("a"), col("_x").as("b"), col("_y").as("c"))
     val deltaCounts = dEE.unionByName(dDE).unionByName(dDD)
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))

@@ -104,6 +104,44 @@ walk(node, lbl) AS (SELECT node, node FROM nn
   UNION SELECT e.x, w.lbl FROM walk w JOIN e ON e.y = w.node)
 SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
 
+  /** er_incremental_clusters_capped's oracle — the cap-AWARE re-cluster:
+    * the walk runs over (uncapped state-vs-state matches) ∪ (cross
+    * matches whose STATE block passes the persisted derived cap) ∪
+    * (uncapped increment self-matches). Mirrors the engine exactly: the
+    * state graph was clustered uncapped at state-build time, the cap
+    * binds ONLY the per-refresh probe (st_er_probe's stc CTE, composed
+    * into the cluster merge), so the twin derives the same
+    * greatest(floor, mult · mean state block size) bound over the state
+    * keys and drops the same cross candidates. */
+  private val erIncClustersCappedOracleSql: String =
+    s"""WITH RECURSIVE a AS (SELECT c_custkey*2 AS rid, c_name AS name, c_nationkey AS nation FROM customer),
+b AS (SELECT c_custkey*2+1 AS rid,
+  CASE CAST(c_custkey % 3 AS INTEGER) WHEN 0 THEN lower(c_name)
+    WHEN 1 THEN substr(c_name,1,8) || '-' || substr(c_name,10)
+    ELSE substr(c_name,1,length(c_name)-1) END AS name,
+  c_nationkey AS nation FROM customer),
+d AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+k AS (SELECT rid, nation, name, lower(name) AS norm,
+  regexp_replace(name, '[^0-9]', '', 'g') AS digits FROM d),
+p AS (SELECT rid, '0:' || digits AS bkey FROM k
+  UNION ALL SELECT rid, '1:' || CAST(nation AS VARCHAR) || ':' || substr(digits,1,8) FROM k),
+st AS (SELECT rid, bkey FROM p WHERE (rid // 2) % 3 <> 2),
+inc AS (SELECT rid, bkey FROM p WHERE (rid // 2) % 3 = 2),
+stc AS (SELECT rid, bkey FROM
+  (SELECT *, count(*) OVER (PARTITION BY bkey) AS bsz FROM st)
+  WHERE bsz <= (SELECT greatest($erBlockCap, $erCapMeanMult * count(*) // count(DISTINCT bkey)) FROM st)),
+cand AS (SELECT l.rid AS rid1, r.rid AS rid2 FROM st l JOIN st r ON l.bkey = r.bkey AND l.rid < r.rid
+  UNION SELECT l.rid, r.rid FROM stc l JOIN inc r ON l.bkey = r.bkey
+  UNION SELECT l.rid, r.rid FROM inc l JOIN inc r ON l.bkey = r.bkey AND l.rid < r.rid),
+m AS MATERIALIZED (SELECT rid1, rid2 FROM cand
+  JOIN k k1 ON k1.rid = cand.rid1 JOIN k k2 ON k2.rid = cand.rid2
+  WHERE k1.nation = k2.nation AND levenshtein(k1.norm, k2.norm) <= 1),
+e AS MATERIALIZED (SELECT rid1 AS x, rid2 AS y FROM m UNION SELECT rid2, rid1 FROM m),
+nn AS (SELECT DISTINCT x AS node FROM e),
+walk(node, lbl) AS (SELECT node, node FROM nn
+  UNION SELECT e.x, w.lbl FROM walk w JOIN e ON e.y = w.node)
+SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
+
   /** The dirty feed with normalized match/blocking keys; CacheOnce'd —
     * it feeds both blocking passes, both verify sides, and
     * survivorship's name lookup. */
@@ -312,6 +350,44 @@ FROM comp GROUP BY 1""") { (s, d) =>
       val incKeys = graft.ops.CacheOnce.swap("er-inc-keys",
         passKeyRows(k.filter(incPred)))
       val crossCands = s.table(erKeyStateTable(d)).hint("merge")
+        .select(col("rid").as("rid1"), col("bkey"))
+        .join(incKeys.select(col("rid").as("rid2"), col("bkey")), Seq("bkey"))
+        .select("rid1", "rid2").distinct()
+      val selfCands = incKeys.select(col("rid").as("rid1"), col("bkey"))
+        .join(incKeys.select(col("rid").as("rid2"), col("bkey")), Seq("bkey"))
+        .filter(col("rid1") < col("rid2"))
+        .select("rid1", "rid2").distinct()
+      val pairs = EntityResolution.verifyByEditDistance(
+        crossCands.unionByName(selfCands).distinct(),
+        k, "rid", "norm", Seq("nation"), maxDist = 1)
+      graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
+        crossCands.queryExecution.executedPlan, "ER key state")
+      graft.plans.PlanChecks.watchFinalPlans(s, erKeyStateTable(d), "ER key state")
+      graft.dedup.Dedup.incrementalClusters(
+        s.read.parquet(erClusterStatePath(s, d)), pairs, ("rid1", "rid2"))
+    },
+
+    // The CAP-AWARE twin of er_incremental_clusters — the operational
+    // member of the pair (the uncapped query stays as the oracle-parity
+    // audit member, the split st_incremental_clusters/_capped already
+    // uses): the cross-probe rides the PERSISTED derived block cap
+    // (bsz <= cap as a scan predicate — bsz was windowed into the key
+    // state at CTAS, the cap is an O(1) 1-row checkpoint read), so a
+    // degenerate blocking key at collision density bounds the refresh
+    // at the cap instead of exploding the candidate volume (the
+    // uncapped probe's 30x price: ~15 s of oracle-parity candidates).
+    // The cap binds ONLY the per-refresh probe: the state graph
+    // clustered uncapped at build time, and increment self-pairs stay
+    // uncapped (increment-bounded by definition) — exactly what the
+    // cap-aware oracle reproduces. er_blocking_audit still reports the
+    // cap and the uncapped volume per pass.
+    Q("er_incremental_clusters_capped", erIncClustersCappedOracleSql) { (s, d) =>
+      prepareErState(s, d)
+      val k = keyedRecords(s, d)
+      val incKeys = graft.ops.CacheOnce.swap("er-inc-keys",
+        passKeyRows(k.filter(incPred)))
+      val crossCands = s.table(erKeyStateTable(d)).hint("merge")
+        .filter(col("bsz") <= erStateCap(s, d))
         .select(col("rid").as("rid1"), col("bkey"))
         .join(incKeys.select(col("rid").as("rid2"), col("bkey")), Seq("bkey"))
         .select("rid1", "rid2").distinct()
