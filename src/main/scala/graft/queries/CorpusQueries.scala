@@ -3372,7 +3372,7 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
   /** dd_incremental_clusters' persisted cluster-state path (one row per
     * clustered state doc), fingerprint-marked so a regenerated corpus
     * re-clusters instead of serving stale labels. */
-  private[queries] def clusterStatePath(s: org.apache.spark.sql.SparkSession,
+  private[graft] def clusterStatePath(s: org.apache.spark.sql.SparkSession,
                                         d: String): String = {
     val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")

@@ -60,8 +60,7 @@ object BoundedDedup {
     val staged = LateArrivals.stageBatchesCached(tag, fp,
       Seq(earliest, spacer, latest))
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     val stream = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "user_id BIGINT, vb BIGINT, event_id BIGINT, event_type STRING, ts_local TIMESTAMP"))

@@ -91,8 +91,7 @@ object CompactedLanding {
     * (covered file dropped) or duplicated (covered file also read
     * from the tail) breaks the hash. */
   def landCompactLandOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     val base = java.nio.file.Paths.get(
       s"${System.getProperty("java.io.tmpdir")}/graft_compact_live_${Integer.toHexString(sfDir.hashCode)}")
     graft.ops.ScaleOps.deleteLocal(base.toFile)

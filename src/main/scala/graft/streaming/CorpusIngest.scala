@@ -24,8 +24,7 @@ object CorpusIngest {
   def ingestOnce(spark: SparkSession, sfDir: String,
                  minQuality: Double = 0.6667,
                  extraConf: Map[String, String] = Map.empty): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     // Session-scoped conf seam (e.g. RocksDB state store provider for
     // production-sized dedup state — see RocksDbStateSpec).
     extraConf.foreach { case (k, v) => ss.conf.set(k, v) }

@@ -29,8 +29,7 @@ object CosineProbe {
                    stateVecs: DataFrame, threshold: Double,
                    bucketCap: Option[Int] = None): DataFrame = {
     import graft.similarity.Similarity
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
 
     val inc = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(embSchema))

@@ -50,8 +50,7 @@ object ErProbe {
                      persistedCap: Option[(String, Long)] = None): DataFrame = {
     require(Seq(blockCap, derivedBlockCap, persistedCap).count(_.nonEmpty) <= 1,
       "blockCap, derivedBlockCap and persistedCap are mutually exclusive")
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
 
     // Dirty-variant surgery and composite pass keys come from the ONE
     // shared builder ([[graft.ops.EntityResolution]]) the batch path

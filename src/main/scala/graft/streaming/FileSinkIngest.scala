@@ -21,8 +21,7 @@ object FileSinkIngest {
     * The settled aggregate equals the batch aggregate over the raw
     * events — the oracle. */
   def landOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     val base = java.nio.file.Paths.get(
       s"${System.getProperty("java.io.tmpdir")}/graft_file_sink_${Integer.toHexString(sfDir.hashCode)}")
     // Fresh landing per run: the sink's exactly-once story is the

@@ -149,8 +149,7 @@ object FunnelStream {
       Seq(ev.filter(col("event_id") % 2 === 1), ev.filter(col("event_id") % 2 === 0), flush)
     })
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     implicit val evEnc = Encoders.product[Ev]
     val stream = reaches(
       ss.readStream

@@ -24,8 +24,7 @@ object HllIngest {
     * with the SAME fixed-point estimate stage the batch query uses.
     * Cloned session per the streaming-isolation convention. */
   def usersOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
 
     val stream = graft.queries.CorpusQueries.hllRowRanks(
         ss.readStream
@@ -54,8 +53,7 @@ object HllIngest {
     * arrival-order independence (max commutes) asserted, not argued. */
   private[graft] def usersOnceStaged(spark: SparkSession,
                                      stagedDir: String): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     val stream = graft.queries.CorpusQueries.hllRowRanks(
         ss.readStream
           .schema(org.apache.spark.sql.types.StructType.fromDDL(

@@ -120,8 +120,7 @@ object LateArrivals {
   def appendDailyTally(spark: SparkSession, stagedDir: String,
                        delay: String = "1 day",
                        extraConf: Map[String, String] = Map.empty): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     // Session-scoped conf seam: e.g. the RocksDB state store provider
     // for production-sized state (see RocksDbStateSpec) — set on the
     // CLONE, never the caller's session.

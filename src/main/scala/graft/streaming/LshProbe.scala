@@ -30,6 +30,23 @@ object LshProbe {
   private val docSchema =
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
 
+  /** One child session per base session, shared across drains (and with
+    * the other probe gates): a fresh `newSession()` per drain re-created
+    * the conf + catalog, so every drain re-resolved the state table
+    * (footer reads, relation cache cold) — a fixed per-drain driver cost
+    * the decomposition profiler attributed ~0.2-0.4 s of the sf0.1
+    * drain to. The child session exists only to pin the stream-side
+    * shuffle width without touching the caller's conf; sharing it is
+    * safe because that conf never varies. */
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]
+  private[streaming] def streamSession(spark: SparkSession): SparkSession =
+    streamSessions.computeIfAbsent(spark, { base =>
+      val ss = base.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss
+    })
+
   /** One AvailableNow drain of the increment (doc_id % 3 = 2) against
     * `stateTable` (written by prepareLshState: (doc_id, band_key)
     * bucketed on band_key). Returns the settled DISTINCT candidate
@@ -48,8 +65,7 @@ object LshProbe {
                      rowsPerBand: Int = 4, shingleN: Int = 2,
                      bandBucketCap: Option[Int] = None,
                      sinkDir: Option[String] = None): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
 
     // shingleN travels WITH the hash parameters: probing a state table
     // built with a different shingle width yields zero collisions and

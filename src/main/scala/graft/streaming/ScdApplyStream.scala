@@ -51,8 +51,7 @@ object ScdApplyStream {
     // Seed: the initial open frontier as hist_<initVer>.
     initHistory.write.mode("overwrite")
       .parquet(new java.io.File(work, s"hist_$initVer").toString)
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     val stream = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         s"$snapshotSchemaDdl, _ver BIGINT"))

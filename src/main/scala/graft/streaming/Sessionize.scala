@@ -109,8 +109,7 @@ object Sessionize {
       Seq(ev, flush)
     })
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     implicit val evEnc = Encoders.product[Ev]
     val stream = sessions(
       ss.readStream

@@ -38,8 +38,7 @@ object SimhashProbe {
   def verifiedOnce(spark: SparkSession, sfDir: String, stateTable: String,
                    maxHamming: Int = 3, blocks: Int = 6,
                    bucketCap: Option[Int] = None): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
 
     val sigs = graft.dedup.Dedup.simhashMd5(
       ss.readStream

@@ -29,8 +29,7 @@ object StaticEnrich {
     * (category, event_type). Complete-mode AvailableNow drain on a
     * cloned session, same as the other streaming tallies. */
   def enrichedTallyOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     import ss.implicits._
     val dimDf = dim.toDF("event_type", "category", "weight")
     val stream = ss.readStream

@@ -27,8 +27,7 @@ object StreamJoin {
     * Returns the settled (click_id, purchase_id, user_id) pairs. */
   def joinStaged(spark: SparkSession, clicksDir: String, purchasesDir: String,
                  horizonMinutes: Int, delay: String = "1 hour"): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     val clicks = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "click_id BIGINT, user_id BIGINT, click_ts TIMESTAMP"))

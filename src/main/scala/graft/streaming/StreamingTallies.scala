@@ -36,8 +36,7 @@ object StreamingTallies {
     * (asserted by StreamingIsolationSpec). */
   def dailyTallyOnce(spark: SparkSession, sfDir: String,
                      tz: String = "Australia/Perth"): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
 
     // The file stream source requires a directory; glob-filter the events
     // file out of the shared sf directory. The explicit raw schema
@@ -76,8 +75,7 @@ object StreamingTallies {
     * the 4 covering window starts per event arithmetically. */
   def slidingTallyOnce(spark: SparkSession, sfDir: String,
                        tz: String = "Australia/Perth"): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     val stream = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(Tables.eventsRawSchema))
       .option("pathGlobFilter", "events.parquet")

@@ -63,8 +63,7 @@ object UpsertSink {
     val staged = LateArrivals.stageBatchesCached(tag, fp, Seq(b0, b1))
     val work = java.nio.file.Files.createTempDirectory("graft-upsert")
     val target = work.resolve("target").toString
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = LshProbe.streamSession(spark)
     val stream = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, event_type STRING, value DOUBLE"))
