@@ -31,7 +31,13 @@ object PageRank {
     * never redistribute their mass — not PageRank — so the guard fails
     * loudly instead (in-plan: a broadcast 1-row raise_error fires at
     * the output action, costing no separate count() round per call —
-    * the incremental path's convention). Returns (id, rank)
+    * the incremental path's convention). Callers whose edge frame is a
+    * [[symmetrize]] output hold the contract BY CONSTRUCTION and pass
+    * `symmetric = true` to waive the guard — the waiver the incremental
+    * path already extends to its persisted state, and worth taking
+    * here too: the guard's distinct + anti-join branch is pure plan
+    * weight on a query that is ANALYSIS-bound (sf0.1 warm: ~2 s of
+    * driver planning over ~1.1 s of tasks). Returns (id, rank)
     * with rank rounded to `roundTo` decimals (sum-order noise lives
     * ~1e-12 below it).
     *
@@ -39,7 +45,7 @@ object PageRank {
     * of the edge set — reproducible by any ANSI engine as `iters`
     * unrolled join+aggregate passes. */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
-               roundTo: Int = 6): DataFrame = {
+               roundTo: Int = 6, symmetric: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     // Persist the RAW edge list, then derive EVERYTHING from the cached
     // frame: deg, the superstep join frame, the node count and the init
@@ -63,7 +69,16 @@ object PageRank {
     // action ran). Batch edges are ARBITRARY caller input, so unlike
     // incrementalPageRank the dst scan here must cover the full edge
     // frame — but it reads the same cache the supersteps do.
-    val dangleGuard = broadcast(
+    // `symmetric = true` — the caller vouches the edge frame is a
+    // [[symmetrize]] output (or otherwise closed under reversal), the
+    // same by-construction waiver the incremental path extends to its
+    // persisted state: a symmetric frame cannot hold a dst absent from
+    // src, so the guard's distinct + anti-join branch is pure plan
+    // weight. At sf0.1 that branch was ~40% of the query's measured
+    // driver planning gap (the query is ANALYSIS-bound: ~2 s of
+    // Catalyst work over ~1.1 s of tasks), which is what the r14 bench
+    // recorded as a +0.9 s "drift" when the guard moved in-plan.
+    def dangleGuard = broadcast(
       e.select(col("dst").as("src")).distinct()
         .join(deg, Seq("src"), "left_anti")
         .agg(count(lit(1)).as("_nd"))
@@ -89,8 +104,9 @@ object PageRank {
         .select(col("dst").as("id"),
           (lit(1.0 - damping) / col("_n") + lit(damping) * col("_m")).as("r"))
     }
-    last.select(col("id"), round(col("r"), roundTo).as("rank"))
-      .crossJoin(dangleGuard).filter(col("_ok")).drop("_ok")
+    val out = last.select(col("id"), round(col("r"), roundTo).as("rank"))
+    if (symmetric) out
+    else out.crossJoin(dangleGuard).filter(col("_ok")).drop("_ok")
   }
 
   /** Incremental PageRank — the graph family's operational member

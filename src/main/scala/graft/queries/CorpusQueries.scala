@@ -1324,7 +1324,7 @@ SELECT id AS doc_id, round(r, 6) AS rank FROM p3"""
         Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
       graft.graph.PageRank.pageRank(graft.graph.PageRank.symmetrize(pairs),
-          iters = 3, damping = 0.85, roundTo = 6)
+          iters = 3, damping = 0.85, roundTo = 6, symmetric = true)
         .select(col("id").as("doc_id"), col("rank"))
     },
 
@@ -4108,12 +4108,13 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
           "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)),
       pgEdgeStateTable(d), "src", 32, srcFingerprint = fp)
-    // BY-NAME frame: pageRank runs its dangling-guard action at call
-    // time (the eager variant would re-rank on every freshness check).
+    // symmetric = true: the edge table IS a symmetrize() CTAS (just
+    // above), so the dangle guard is waived by construction — the same
+    // waiver pg_pagerank takes on its inline symmetrize output.
     graft.ops.ScaleOps.ensureSortedByLazy(s, rankStatePath(s, d),
       "id", numFiles = 1, srcFingerprint = fp)(
       graft.graph.PageRank.pageRank(s.table(pgEdgeStateTable(d)),
-        iters = 3, damping = 0.85, roundTo = 6))
+        iters = 3, damping = 0.85, roundTo = 6, symmetric = true))
   }
 
   /** One-time bucketed CTAS of dd_incremental's digest state

@@ -28,6 +28,21 @@ class PageRankSpec extends SparkSpec {
     assert(got == Seq((1L, 0.191667), (2L, 0.616667), (3L, 0.191667)))
   }
 
+  test("symmetric = true returns identical ranks with the guard waived") {
+    // The waiver changes the PLAN (no distinct/anti-join guard branch),
+    // never the values: both variants must agree to the last rounded
+    // digit on a symmetrize() output.
+    val guarded = rows(PageRank.pageRank(sym(path).toDF("src", "dst"), iters = 2)
+      .orderBy("id")).map(r => (r(0), r(1)))
+    val waived = rows(PageRank.pageRank(sym(path).toDF("src", "dst"), iters = 2,
+      symmetric = true).orderBy("id")).map(r => (r(0), r(1)))
+    assert(waived == guarded)
+    // and the waived plan really dropped the guard: no raise_error left
+    val plan = PageRank.pageRank(sym(path).toDF("src", "dst"), iters = 2,
+      symmetric = true).queryExecution.analyzed.toString()
+    assert(!plan.contains("raise_error"), "guard branch still in the waived plan")
+  }
+
   test("pageRank matches the brute-force recurrence over 3 iterations") {
     val star = sym(Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (1L, 2L)))
     val want = ref(star, iters = 3, d = 0.85)
