@@ -39,13 +39,22 @@ object LshProbe {
     * shuffle width without touching the caller's conf; sharing it is
     * safe because that conf never varies. */
   private val streamSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]
+    new java.util.WeakHashMap[SparkSession, SparkSession] // weak keys: a
+  // test harness creates many short-lived base sessions in one JVM, and
+  // a strong-keyed memo would pin every one (plus its child) for the
+  // JVM lifetime; the child value's strong back-reference to its base
+  // is fine — the entry dies exactly when the base becomes unreachable.
   private[streaming] def streamSession(spark: SparkSession): SparkSession =
-    streamSessions.computeIfAbsent(spark, { base =>
-      val ss = base.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
-      ss
-    })
+    streamSessions.synchronized {
+      val hit = streamSessions.get(spark)
+      if (hit != null) hit
+      else {
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        streamSessions.put(spark, ss)
+        ss
+      }
+    }
 
   /** One AvailableNow drain of the increment (doc_id % 3 = 2) against
     * `stateTable` (written by prepareLshState: (doc_id, band_key)
