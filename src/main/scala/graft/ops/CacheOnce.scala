@@ -25,6 +25,19 @@ import org.apache.spark.storage.StorageLevel
 object CacheOnce {
   val maxPerName = 4
 
+  /** Separate (higher) bound for the TRUNCATED map: one name there is
+    * legitimately shared by every member of an operator family — seven
+    * incremental-cluster queries feed "incr-cluster-pairs", times two
+    * fixture SFs in one bench JVM — and a bound of 4 made the LRU churn
+    * on membership ORDER: adding the r15 capped-ER twin shifted the
+    * registry order and evicted the feed dd_incremental_clusters would
+    * have memo-hit, silently re-executing its whole verify chain
+    * (+2.4 s on its bench line, reproducible). Truncated entries are
+    * increment-sized BY CONTRACT (every caller feeds an
+    * increment-bounded frame), so 16 of them is a few tens of MB —
+    * the right trade against plan-dependent recompute storms. */
+  val maxPerNameTruncated = 16
+
   private val live = scala.collection.mutable.LinkedHashMap.empty[(String, Int), DataFrame]
 
   def swap(name: String, df: DataFrame,
@@ -62,7 +75,7 @@ object CacheOnce {
     * [[Materialize.release]].
     *
     * CONTRACT, stricter than [[swap]]'s: do not hold a returned frame
-    * across more than `maxPerName` later `swapTruncated` calls under
+    * across more than `maxPerNameTruncated` later `swapTruncated` calls under
     * the SAME name. A plain `swap` frame evicted while still referenced
     * silently degrades to a recompute; a truncated frame has no lineage
     * left to recompute from, so an action over an evicted one FAILS.
@@ -76,7 +89,7 @@ object CacheOnce {
         val t = Materialize.eagerDurable(df)
         liveT(key) = t
         val mine = liveT.keys.filter(_._1 == name).toSeq
-        if (mine.size > maxPerName) {
+        if (mine.size > maxPerNameTruncated) {
           val victim = mine.head
           liveT.remove(victim).foreach(Materialize.release)
         }
@@ -94,7 +107,7 @@ object CacheOnce {
     * free a generation it actually holds; unknown frames are a no-op.
     * This is the precise counterpart of the prefix-sweep [[release]]:
     * per-superstep names (`ipr-rpd-$i`) would otherwise pin up to
-    * `maxPerName` eager checkpoints PER SUPERSTEP for the session
+    * `maxPerNameTruncated` eager checkpoints PER SUPERSTEP for the session
     * lifetime — blocks the memory manager cannot evict. */
   def releaseEntry(name: String, frame: DataFrame): Unit = synchronized {
     liveT.keys.filter(_._1 == name).toSeq
