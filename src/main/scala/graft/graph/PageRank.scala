@@ -203,7 +203,11 @@ object PageRank {
     // refresh pins iters-1 eager checkpoints per state fingerprint for
     // the session lifetime (blocks the memory manager cannot evict).
     var prevRpd: Option[(String, DataFrame)] = None
-    val last = (1 to iters).foldLeft(init) { (ranks, i) =>
+    def releasePrev(): Unit = {
+      prevRpd.foreach { case (n, f) => graft.ops.CacheOnce.releaseEntry(n, f) }
+      prevRpd = None
+    }
+    val last = try (1 to iters).foldLeft(init) { (ranks, i) =>
       // Per-node contribution r/outdeg, computed ONCE per round on the
       // node-sized frame then routed along BOTH edge frames. TRUNCATED
       // per superstep, not just cached: with two message-branch
@@ -224,7 +228,7 @@ object PageRank {
         ranks.join(deg, ranks("id") === deg("src"))
           .select(col("src"), (col("r") / col("_deg")).as("_rpd")))
       // rpd-$i is materialized ⇒ rpd-$(i-1) can never be read again.
-      prevRpd.foreach { case (n, f) => graft.ops.CacheOnce.releaseEntry(n, f) }
+      releasePrev()
       prevRpd = if (i < iters) Some((s"ipr-rpd-$i", rpd)) else None
       val msgs = stateEdges.hint("merge").join(rpd, Seq("src"))
         .select(col("dst"), col("_rpd"))
@@ -234,6 +238,12 @@ object PageRank {
         .crossJoin(broadcast(nDf))
         .select(col("dst").as("id"),
           (lit(1.0 - damping) / col("_n") + lit(damping) * col("_m")).as("r"))
+    } catch {
+      // A superstep's eager truncation can throw (a bad increment fires
+      // the broadcast guard mid-materialization): release the held
+      // generation on the way out, or it pins its checkpoint blocks
+      // until the per-name LRU happens to cycle it (ADVICE r15).
+      case t: Throwable => releasePrev(); throw t
     }
     last.select(col("id"), round(col("r"), roundTo).as("rank"))
       .crossJoin(dangleGuard).filter(col("_ok")).drop("_ok")

@@ -47,8 +47,17 @@ object LshProbe {
   private[streaming] def streamSession(spark: SparkSession): SparkSession =
     streamSessions.synchronized {
       val hit = streamSessions.get(spark)
-      if (hit != null) hit
-      else {
+      if (hit != null) {
+        // The shared conf is a cross-gate CONTRACT: a gate that needs
+        // different conf must keep its own session (BottomkIngest's
+        // extraConf precedent) — mutating this one would silently
+        // change every other gate's streams, so drift fails loudly.
+        require(hit.conf.get("spark.sql.shuffle.partitions") == "8",
+          "shared stream session conf was mutated — a gate needing " +
+            "non-default conf must use its own newSession() " +
+            "(see BottomkIngest), never the shared one")
+        hit
+      } else {
         val ss = spark.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "8")
         streamSessions.put(spark, ss)
