@@ -3962,15 +3962,21 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
     prepareContamState(s, d)
     val key = (contamBloomPath(s, d),
       graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"))
-    bloomMemo.synchronized {
-      val hit = bloomMemo.get(key)
-      if (hit != null) hit
-      else {
-        val v = (graft.functions.BloomFunctions.fromHex(
-            s.read.parquet(key._1).head().getString(0)),
-          contamDerivedCap(s, d))
-        bloomMemo.put(key, v)
-        v
+    val hit = bloomMemo.synchronized(bloomMemo.get(key))
+    if (hit != null) hit
+    else {
+      // Build OUTSIDE the lock — the hex read and cap read are Spark
+      // jobs, and holding the memo lock across them would block a
+      // concurrent caller of a DIFFERENT state for the whole build.
+      // Two racing builders of the SAME key both succeed; the loser's
+      // identical filter is discarded by the second put (idempotent:
+      // both deserialize the same checkpoint).
+      val v = (graft.functions.BloomFunctions.fromHex(
+          s.read.parquet(key._1).head().getString(0)),
+        contamDerivedCap(s, d))
+      bloomMemo.synchronized {
+        val raced = bloomMemo.get(key)
+        if (raced != null) raced else { bloomMemo.put(key, v); v }
       }
     }
   }
