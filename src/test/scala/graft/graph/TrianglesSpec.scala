@@ -69,6 +69,35 @@ class TrianglesSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("the delta closes carry shuffle-hash hints, never broadcast() " +
+    "of an increment-derived frame") {
+    // The r15 fix: the dEE/dDE/dDD closes must BUILD shuffled-hash on
+    // the increment-derived side — at 30x collision density those
+    // frames are 12-33M rows and an explicit broadcast() built the hash
+    // relation single-threaded on the driver (a measured 25 s
+    // all-cores-idle stall). The hints live in the optimized logical
+    // plan; AQE may still downgrade a tiny build to broadcast at
+    // runtime, which is wanted — what must never return is a PLANNED
+    // broadcast of the candidate side.
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("id1", "id2")
+    val counts = Triangles.perNodeCounts(k4)
+    val out = Triangles.incrementalPerNodeCounts(
+      PageRank.symmetrize(k4), Seq((1L, 5L), (2L, 5L)).toDF("id1", "id2"), counts)
+    val joins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+    }
+    val shjSides = joins.count(h =>
+      h.leftHint.exists(_.strategy.exists(_.toString.contains("shuffle_hash"))) ||
+        h.rightHint.exists(_.strategy.exists(_.toString.contains("shuffle_hash"))))
+    assert(shjSides >= 3,
+      s"expected the three closes to carry shuffle_hash hints, found $shjSides in $joins")
+    val broadcasts = joins.count(h =>
+      h.leftHint.exists(_.strategy.exists(_.toString.toLowerCase.contains("broadcast"))) ||
+        h.rightHint.exists(_.strategy.exists(_.toString.toLowerCase.contains("broadcast"))))
+    assert(broadcasts == 0,
+      s"a planned broadcast is back in the delta closes: $joins")
+  }
+
   test("a hub star with one closing edge yields exactly one triangle") {
     // hub 1 connected to 2..9, plus edge (2,3): only {1,2,3} closes.
     val star = (2L to 9L).map(1L -> _) :+ (2L, 3L)
