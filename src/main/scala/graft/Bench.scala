@@ -118,20 +118,78 @@ object Bench {
       if (warmFailed > 0)
         System.err.println(s"[bench] $warmFailed timed-SF warm queries failed — their timings below are cold")
     } else System.err.println("[bench] timed-SF warm pass disabled — timings are first-run")
-    // Failures are recorded explicitly (never timed as if they ran —
-    // a broken query must not look like a fast query).
-    val results: Map[String, Either[String, Double]] =
-      SparkEntry.queries.filter(q => nameFilter(q._1)).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val r = try {
-          fn(spark, sfDir).count()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-        name -> r
+    // Job-timeline listener for driver-gap attribution (ProfSkew's
+    // instrument folded into the record): jobId -> (startMs, endMs).
+    // One listener for the whole bench; per-rep gaps are computed
+    // OFFLINE from time windows after a single drain sleep, so the
+    // per-rep cost is zero (a per-rep drain sleep would add ~8 min
+    // across 225 x 3 reps). Streaming gates run on child sessions of
+    // the same SparkContext, so their jobs land here too.
+    val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobLog.put(j.jobId, (j.time, -1L)); ()
       }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobLog.computeIfPresent(j.jobId, (_, v) => (v._1, j.time)); ()
+      }
+    })
+    // DECISION-GRADE timING: >= 3 back-to-back reps per query (the
+    // SCALE.md warm-rep protocol applied to the grading record), median
+    // as the headline number, min/max as the recorded spread — a single
+    // timed pass swung the r15 round total +21.7% on ambient noise
+    // alone, with same-tree per-query lines swinging 2.3x between runs.
+    // Failures are recorded explicitly (never timed as if they ran — a
+    // broken query must not look like a fast query); the first failing
+    // rep stops the query's remaining reps.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val results: Map[String, Either[String, (Seq[Double], Seq[(Long, Long)])]] =
+      SparkEntry.queries.filter(q => nameFilter(q._1)).map { case (name, fn) =>
+        var err: String = null
+        val times = Seq.newBuilder[Double]
+        val windows = Seq.newBuilder[(Long, Long)]
+        var r = 0
+        while (r < reps && err == null) {
+          val w0 = System.currentTimeMillis()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            times += (System.nanoTime() - t0) / 1e9
+            windows += ((w0, System.currentTimeMillis()))
+          } catch {
+            case e: Throwable =>
+              err = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+          r += 1
+        }
+        name -> (if (err != null) Left(err)
+                 else Right((times.result(), windows.result())))
+      }
+    Thread.sleep(700) // drain async listener delivery once, for ALL reps
+    import scala.jdk.CollectionConverters._
+    val allJobs = jobLog.asScala.values.toSeq
+      .map { case (s, e) => (s, if (e < 0) s else e) }.sortBy(_._1)
+    // Driver gap of one rep window = wall minus the union of job
+    // intervals inside it: Catalyst analysis, AQE re-planning and
+    // broadcast hash-relation builds all happen with NO job running —
+    // the cost class task metrics are blind to and the class that hid
+    // the r15 triangle stall. Queries run sequentially, so attributing
+    // jobs to windows by time is unambiguous.
+    def gapSec(w: (Long, Long)): Double = {
+      var cursor = w._1
+      var covered = 0L
+      allJobs.foreach { case (js, je) =>
+        if (je > w._1 && js < w._2) {
+          covered += math.max(0L, math.min(je, w._2) - math.max(js, cursor))
+          cursor = math.max(cursor, math.min(je, w._2))
+        }
+      }
+      math.max(0L, (w._2 - w._1) - covered) / 1e3
+    }
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -143,15 +201,55 @@ object Bench {
     // scales and triple the line's footprint in tail-truncated logs.
     def fmt(sec: Double): String = BigDecimal(sec)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val medians: Map[String, Double] = results.collect {
+      case (k, Right((ts, _))) => k -> med(ts)
+    }
+    // Self-reported round-over-round regression check: compare this
+    // run's medians against the prior BENCH_FULL.json (same sf only —
+    // cross-fixture comparison is meaningless) BEFORE overwriting it.
+    // A >20% AND >0.3 s median move lands in the record under
+    // "regressed" so the attribution note has a machine-found worklist.
+    val prior: Map[String, Double] = try {
+      val f = new java.io.File("BENCH_FULL.json")
+      if (!f.isFile) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        val sameSf = root.has("sf") && root.get("sf").asText == sfDir
+        val qn = root.get("queries")
+        if (!sameSf || qn == null) Map.empty
+        else qn.properties().asScala.flatMap { e =>
+          val v = e.getValue
+          if (v.isNumber) Some(e.getKey -> v.asDouble)
+          else if (v.has("med")) Some(e.getKey -> v.get("med").asDouble)
+          else None
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val regressed = medians.toSeq.sortBy(_._1).flatMap { case (k, m) =>
+      prior.get(k).filter(p => m > p * 1.2 && m - p > 0.3).map(p => (k, p, m))
+    }
+    regressed.foreach { case (k, p, m) =>
+      System.err.println(f"[bench] REGRESSED >20%%: $k ${p}%.2f -> ${m}%.2f s median")
+    }
+    val regJson =
+      if (regressed.isEmpty) ""
+      else regressed.map { case (k, p, m) =>
+        s""""${esc(k)}":{"prev":${fmt(p)},"med":${fmt(m)}}"""
+      }.mkString(""","regressed":{""", ",", "}")
     val qs = results.toSeq.sortBy(_._1).map {
-      case (k, Right(sec)) => s""""${esc(k)}":${fmt(sec)}"""
+      case (k, Right((ts, ws))) =>
+        s""""${esc(k)}":{"med":${fmt(med(ts))},"min":${fmt(ts.min)},""" +
+          s""""max":${fmt(ts.max)},"gap":${fmt(med(ws.map(gapSec)))}}"""
       case (k, Left(err)) => s""""${esc(k)}":{"err":"${esc(err)}"}"""
     }.mkString("{", ",", "}")
-    val ok = results.values.collect { case Right(s) => s }
     val nFailed = results.values.count(_.isLeft)
-    val total = if (ok.nonEmpty) ok.sum else 0.0
+    // Headline total = sum of per-query MEDIANS: the statistic a rerun
+    // reproduces, not whichever single pass the scheduler happened to
+    // perturb.
+    val total = medians.values.sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$thermal,"queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,$thermal,"queries":$qs,"failed":$nFailed$regJson,"sf":"$sfDir"}"""
     // Log capture tail-truncates stdout in practice, so the full record
     // is ALSO written durably — to the env-pointed path AND to
     // BENCH_FULL.json in the working directory, where a repo checkout
@@ -187,14 +285,17 @@ object Bench {
     val printed =
       if (line.length <= tailBudget) line
       else {
+        // Compact line keeps per-query values NUMERIC (the median) so
+        // the driver's existing {"queries":{name:sec}} parser still
+        // reads it; spread + gap live in the durable full record.
         val frags = results.toSeq.sortBy {
-          case (_, Left(_)) => Double.NegativeInfinity // failures first
-          case (_, Right(s)) => -s                     // then slowest
+          case (_, Left(_)) => Double.NegativeInfinity  // failures first
+          case (_, Right((ts, _))) => -med(ts)          // then slowest
         }.map {
-          case (k, Right(sec)) => s""""${esc(k)}":${fmt(sec)}"""
+          case (k, Right((ts, _))) => s""""${esc(k)}":${fmt(med(ts))}"""
           case (k, Left(err)) => s""""${esc(k)}":{"err":"${esc(err)}"}"""
         }
-        val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,$thermal,"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
+        val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"failed":$nFailed,$thermal,"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
         val sb = new StringBuilder(head)
         var first = true
         frags.foreach { f =>

@@ -254,4 +254,21 @@ object PageRank {
   def symmetrize(pairs: DataFrame, id1: String = "id1", id2: String = "id2"): DataFrame =
     pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+
+  /** Build-time check behind the `symmetric = true` dangle-guard waiver:
+    * a persisted edge state read BACK from a table is only
+    * by-construction symmetric while the table really is a symmetrize()
+    * CTAS, so the property is asserted ONCE where the table is written
+    * (a stale/partial/hand-edited table would otherwise turn the waived
+    * guard into silently wrong ranks). dst ⊆ src — every rank sink also
+    * appears as a source — is exactly what the in-plan guard enforces;
+    * one anti-join count per fingerprint, never a per-read tax. */
+  def assertNoDangles(edges: DataFrame, what: String): Unit = {
+    val dangling = edges.select(col("dst").as("id"))
+      .join(edges.select(col("src").as("id")), Seq("id"), "left_anti")
+      .count()
+    require(dangling == 0L,
+      s"$what is not symmetric: $dangling dst ids never appear as src — " +
+        "symmetrize() CTAS corrupted")
+  }
 }

@@ -108,7 +108,20 @@ object CacheOnce {
     * This is the precise counterpart of the prefix-sweep [[release]]:
     * per-superstep names (`ipr-rpd-$i`) would otherwise pin up to
     * `maxPerNameTruncated` eager checkpoints PER SUPERSTEP for the session
-    * lifetime — blocks the memory manager cannot evict. */
+    * lifetime — blocks the memory manager cannot evict.
+    *
+    * SHARING CONTRACT: a truncated generation freed here has NO lineage
+    * to recompute from, so a concurrent caller that obtained the same
+    * frame via a [[swapTruncated]] memo-hit on the same
+    * (name, semanticHash) would fail outright on its next action, not
+    * fall back to recompute. Superstep-named truncated entries are
+    * therefore single-owner by convention: only the refresh loop that
+    * created generation i may release it, and two refreshes of the same
+    * operator over the same state must not run concurrently in one JVM
+    * (they already cannot — the state CTAS prep is fingerprint-guarded
+    * and the registered queries run sequentially). If a future caller
+    * needs concurrent refreshes, add a holder count here instead of
+    * widening the convention. */
   def releaseEntry(name: String, frame: DataFrame): Unit = synchronized {
     liveT.keys.filter(_._1 == name).toSeq
       .filter(k => liveT(k) eq frame)

@@ -78,8 +78,12 @@ object ScaleOps {
     * silently serve stale bucketed state (the regen-staleness failure
     * mode the r9 ts-unit incident hit). Empty fingerprint keeps the
     * existence-only contract for callers whose input is immutable. */
+  /** Returns true when the table was (re)built by THIS call — the hook
+    * for build-time-only invariant checks (e.g. the pagerank edge
+    * state's one-per-fingerprint symmetry assertion), which must run
+    * where the table is written, never on every read-back. */
   def ensureBucketed(df: DataFrame, table: String, key: String,
-                     numBuckets: Int, srcFingerprint: String = ""): Unit = {
+                     numBuckets: Int, srcFingerprint: String = ""): Boolean = {
     val spark = df.sparkSession
     val fresh = spark.catalog.tableExists(table) && (srcFingerprint.isEmpty || {
       // SHOW TBLPROPERTIES is public SQL (no private[sql] catalog access)
@@ -92,6 +96,7 @@ object ScaleOps {
       if (srcFingerprint.nonEmpty)
         spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('graft.src' = '$srcFingerprint')")
     }
+    !fresh
   }
 
   // ---- Hadoop FS plumbing: layout prep must work on hdfs://, s3a://

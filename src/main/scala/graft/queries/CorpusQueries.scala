@@ -4107,16 +4107,24 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
   def preparePageRankState(s: org.apache.spark.sql.SparkSession,
                            d: String): Unit = {
     val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
-    graft.ops.ScaleOps.ensureBucketed(
+    val built = graft.ops.ScaleOps.ensureBucketed(
       graft.graph.PageRank.symmetrize(
         graft.dedup.Dedup.minhashNearDupsMd5(
           Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2),
           "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)),
       pgEdgeStateTable(d), "src", 32, srcFingerprint = fp)
+    // The `symmetric = true` waiver below rests on "the edge table IS a
+    // symmetrize() CTAS" — but every LATER call reads the table back, so
+    // the claim is checked ONCE per fingerprint, where the table is
+    // written (see PageRank.assertNoDangles).
+    if (built)
+      graft.graph.PageRank.assertNoDangles(s.table(pgEdgeStateTable(d)),
+        s"edge state ${pgEdgeStateTable(d)}")
     // symmetric = true: the edge table IS a symmetrize() CTAS (just
-    // above), so the dangle guard is waived by construction — the same
-    // waiver pg_pagerank takes on its inline symmetrize output.
+    // above, dst ⊆ src asserted at build), so the dangle guard is
+    // waived by construction — the same waiver pg_pagerank takes on its
+    // inline symmetrize output.
     graft.ops.ScaleOps.ensureSortedByLazy(s, rankStatePath(s, d),
       "id", numFiles = 1, srcFingerprint = fp)(
       graft.graph.PageRank.pageRank(s.table(pgEdgeStateTable(d)),

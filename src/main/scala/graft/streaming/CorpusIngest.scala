@@ -24,10 +24,11 @@ object CorpusIngest {
   def ingestOnce(spark: SparkSession, sfDir: String,
                  minQuality: Double = 0.6667,
                  extraConf: Map[String, String] = Map.empty): DataFrame = {
-    val ss = LshProbe.streamSession(spark)
-    // Session-scoped conf seam (e.g. RocksDB state store provider for
-    // production-sized dedup state — see RocksDbStateSpec).
-    extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
+    // Conf seam (e.g. RocksDB state store provider for production-sized
+    // dedup state — see RocksDbStateSpec): non-empty extraConf lands on
+    // a PRIVATE child session; the shared stream session is never
+    // mutated (its conf is a cross-gate contract).
+    val ss = LshProbe.sessionFor(spark, extraConf)
     val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     val stream = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))

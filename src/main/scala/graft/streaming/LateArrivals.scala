@@ -120,11 +120,11 @@ object LateArrivals {
   def appendDailyTally(spark: SparkSession, stagedDir: String,
                        delay: String = "1 day",
                        extraConf: Map[String, String] = Map.empty): DataFrame = {
-    val ss = LshProbe.streamSession(spark)
-    // Session-scoped conf seam: e.g. the RocksDB state store provider
-    // for production-sized state (see RocksDbStateSpec) — set on the
-    // CLONE, never the caller's session.
-    extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
+    // Conf seam: e.g. the RocksDB state store provider for
+    // production-sized state (see RocksDbStateSpec). Non-empty extraConf
+    // gets a PRIVATE child session; the shared stream session's conf is
+    // a cross-gate contract and is never mutated here.
+    val ss = LshProbe.sessionFor(spark, extraConf)
     val stream = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, event_type STRING, ts_local TIMESTAMP"))

@@ -42,8 +42,36 @@ object LshProbe {
     new java.util.WeakHashMap[SparkSession, SparkSession] // weak keys: a
   // test harness creates many short-lived base sessions in one JVM, and
   // a strong-keyed memo would pin every one (plus its child) for the
-  // JVM lifetime; the child value's strong back-reference to its base
-  // is fine — the entry dies exactly when the base becomes unreachable.
+  // JVM lifetime. The map is safe ONLY because the child session holds
+  // no reference to its base SESSION OBJECT — newSession() shares the
+  // SparkContext and SharedState, never the parent SparkSession (its
+  // parentSessionState is None) — so the value never reaches the key.
+  // If a future change made the child carry a base-session handle, the
+  // value→key strong reference would pin every entry forever (the
+  // documented WeakHashMap caveat); assertNoBaseRef guards that at
+  // construction.
+
+  /** Guards the WeakHashMap invariant above: no field of the child
+    * session object may reference the base session. Shallow walk is the
+    * right depth — the caveat is a DIRECT value→key reference; anything
+    * deeper (context, shared state) is shared infrastructure that both
+    * sessions reference and never points back at a session object. */
+  private[streaming] def assertNoBaseRef(base: SparkSession,
+                                         child: SparkSession): Unit = {
+    var cls: Class[_] = child.getClass
+    while (cls != null && cls != classOf[Object]) {
+      cls.getDeclaredFields.foreach { f =>
+        if (!f.getType.isPrimitive) {
+          f.setAccessible(true)
+          require(f.get(child).asInstanceOf[AnyRef] ne base,
+            s"child stream session field ${f.getName} references its base " +
+              "session — this would pin the WeakHashMap entry forever")
+        }
+      }
+      cls = cls.getSuperclass
+    }
+  }
+
   private[streaming] def streamSession(spark: SparkSession): SparkSession =
     streamSessions.synchronized {
       val hit = streamSessions.get(spark)
@@ -60,9 +88,26 @@ object LshProbe {
       } else {
         val ss = spark.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "8")
+        assertNoBaseRef(spark, ss)
         streamSessions.put(spark, ss)
         ss
       }
+    }
+
+  /** Session selector for gates that take caller `extraConf`: the shared
+    * session's conf is a cross-gate contract (see streamSession), so any
+    * non-empty extraConf gets a PRIVATE child session instead — the
+    * BottomkIngest precedent — and the shared one is never mutated. The
+    * private child is not memoized: extraConf callers are spec seams
+    * (state-store-provider swaps), not per-drain hot paths. */
+  private[streaming] def sessionFor(spark: SparkSession,
+                                    extraConf: Map[String, String]): SparkSession =
+    if (extraConf.isEmpty) streamSession(spark)
+    else {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
+      ss
     }
 
   /** One AvailableNow drain of the increment (doc_id % 3 = 2) against

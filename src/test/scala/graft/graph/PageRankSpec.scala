@@ -179,4 +179,15 @@ class PageRankSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("dangling node")),
       s"expected the dangling-node message, got: ${messages(e).mkString(" | ")}")
   }
+
+  test("assertNoDangles passes a symmetrize() output and rejects a dangling table") {
+    // The build-time twin of the waived in-plan dangle guard
+    // (preparePageRankState's symmetric=true read-back waiver).
+    PageRank.assertNoDangles(
+      PageRank.symmetrize(Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")), "spec edges")
+    val e = intercept[IllegalArgumentException] {
+      PageRank.assertNoDangles(Seq((1L, 9L)).toDF("src", "dst"), "spec edges")
+    }
+    assert(e.getMessage.contains("not symmetric"))
+  }
 }

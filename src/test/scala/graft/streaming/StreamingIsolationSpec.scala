@@ -37,4 +37,34 @@ class StreamingIsolationSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
       "stream mutated the caller session conf")
   }
+
+  test("extraConf gets a private session; the shared stream session is never mutated") {
+    val shared = LshProbe.streamSession(spark)
+    // empty extraConf → the shared session itself (the memoized fast path)
+    assert(LshProbe.sessionFor(spark, Map.empty) eq shared)
+    // non-empty extraConf → a DIFFERENT session carrying the conf, while
+    // the shared session's contract conf is untouched (the r15 bug:
+    // ingestOnce applied RocksDbStateSpec's provider conf to the shared
+    // session and silently switched every later gate in the JVM).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val priv = LshProbe.sessionFor(spark,
+      Map(key -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+          "spark.sql.shuffle.partitions" -> "5"))
+    assert(priv ne shared)
+    assert(priv.conf.get("spark.sql.shuffle.partitions") == "5")
+    assert(shared.conf.get("spark.sql.shuffle.partitions") == "8")
+    assert(shared.conf.getOption(key).isEmpty ||
+      shared.conf.get(key) != priv.conf.get(key),
+      "extraConf leaked onto the shared stream session")
+    // and the shared session still passes its own drift contract
+    assert(LshProbe.streamSession(spark) eq shared)
+  }
+
+  test("child stream session holds no field reference to its base session") {
+    // The WeakHashMap memo in LshProbe is leak-free ONLY under this
+    // invariant (value→key would pin entries forever); assertNoBaseRef
+    // runs at construction, and this pins it against Spark upgrades
+    // changing newSession()'s internals.
+    LshProbe.assertNoBaseRef(spark, spark.newSession())
+  }
 }
