@@ -179,6 +179,23 @@ object SparkEntry {
             "GROUP BY 1, 2"
         }) { (s, d) =>
           graft.streaming.StaticEnrich.enrichedTallyOnce(s, d)
+        },
+        // §2.13 operations: state-generation GC — the lifecycle close
+        // for every fingerprint-keyed persisted state (bucketed CTAS
+        // tables, cap/bloom checkpoints, layouts). The registered form
+        // runs a full destructive GC cycle over a scratch demo family
+        // (live / stale-fingerprint / dead-source generations) in the
+        // real warehouse root, REQUIREs the live generation survives
+        // and still reads, and settles to a deterministic report — the
+        // VALUES twin is the oracle. The real-warehouse sweep (dry-run
+        // and destructive, table + layout kinds, two-fingerprint
+        // staleness) is pinned in StateGcSpec.
+        Q("ops_state_gc",
+          "SELECT * FROM (VALUES ('dead', 'layout', 'drop', true), " +
+            "('live', 'layout', 'keep', false), " +
+            "('stale', 'layout', 'drop', true)) " +
+            "t(gen, kind, action, reclaimed) ORDER BY gen") { (s, d) =>
+          graft.ops.StateGc.demoAudit(s, d)
         })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

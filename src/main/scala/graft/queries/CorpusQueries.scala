@@ -464,6 +464,30 @@ abndc AS (SELECT doc_id, band, bh FROM (
   SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM abnd)
   WHERE bsz <= (SELECT c FROM capv))"""
 
+  /** dd_cap_recall_audit oracle: both candidate feeds (uncapped band
+    * join vs the [[lshBandBucketCap]] budgeted one) and the verified
+    * cross-pair sets they admit, folded to ONE accountability row. The
+    * capped verified set is vf ∩ cdc — verification runs once, on the
+    * uncapped feed, because the capped candidate set is a subset. */
+  private def capRecallAuditSql: String =
+    s"""WITH st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+${minhashSideCtes("a", "st")},
+${minhashSideCtes("b", "inc")},
+$cappedStateBndCte,
+${crossVerifyCtes(0.5)},
+cdc AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM abndc a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh),
+vc AS (SELECT vf.id1, vf.id2 FROM vf JOIN cdc ON cdc.id1 = vf.id1 AND cdc.id2 = vf.id2)
+SELECT CAST((SELECT count(*) FROM cd) AS BIGINT) AS n_cand_uncapped,
+  CAST((SELECT count(*) FROM cdc) AS BIGINT) AS n_cand_capped,
+  CAST((SELECT count(*) FROM cd) - (SELECT count(*) FROM cdc) AS BIGINT) AS n_cand_dropped,
+  CAST((SELECT count(*) FROM vf) AS BIGINT) AS n_true_pairs,
+  CAST((SELECT count(*) FROM vc) AS BIGINT) AS n_capped_pairs,
+  CASE WHEN (SELECT count(*) FROM vf) = 0 THEN CAST(1.0 AS DOUBLE)
+    ELSE round(CAST((SELECT count(*) FROM vc) AS DOUBLE) / (SELECT count(*) FROM vf), 4)
+  END AS pair_recall"""
+
   /** dd_incremental_neardup oracle: state = doc_id % 3 != 2 (the day-1
     * accepted set), increment = % 3 = 2 (mirrors dd_incremental's
     * split); md5-minhash banding on both sides, band-bucket collision,
@@ -2407,6 +2431,63 @@ FROM bk""") { (s, d) =>
           max(col("c")).as("max_bucket"),
           greatest(lit(lshBandBucketCap.toLong),
             expr("4 * sum(c) div count(1)")).as("derived_cap"))
+    },
+
+    // Recall accountability for the BINDING budget cap
+    // (st_incremental_clusters_capped's lshBandBucketCap — unlike the
+    // derived verdict-path caps, this one deliberately binds at
+    // mass-duplication density): one row per run recording the
+    // candidate volume the budget drops AND the measured pair recall of
+    // the capped feed against the uncapped truth — capped verified
+    // cross pairs / all verified cross pairs. The cap-aware oracle
+    // keeps the capped query correct to its own definition; THIS row is
+    // what makes the definition's miss rate a recorded number (1.0 at
+    // driver SFs where the cap never binds; the K-copy fixtures are
+    // where it earns its place — SCALE.md r16 carries the three-fixture
+    // row). Verification runs ONCE, on the uncapped feed: the capped
+    // candidate set is a subset, so its verified set is vf ∩ capped
+    // candidates — a semi-join, not a second Jaccard pass.
+    Q("dd_cap_recall_audit", capRecallAuditSql) { (s, d) =>
+      prepareLshState(s, d)
+      val docs = Tables.documents(s, d)
+      val inc = docs.filter(col("doc_id") % 3 === 2)
+      val stDocs = docs.filter(col("doc_id") % 3 =!= 2)
+      val stateBands = s.table(lshStateTable(d))
+      // Same CacheOnce keys as the incremental family: the increment
+      // sketches once per session no matter which member runs first.
+      val incSets = graft.ops.CacheOnce.swap("incr-inc-shingles",
+        inc.select(col("doc_id"),
+          explode(Dedup.distinctShingles(col("text"), 2)).as("shingle")))
+      val incBands = graft.ops.CacheOnce.swap("incr-inc-bands",
+        Dedup.bandKeys(incSets, "doc_id", 32, 4))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band_key")
+      val cappedState = stateBands.withColumn("_bsz", count(lit(1)).over(w))
+        .filter(col("_bsz") <= lshBandBucketCap).drop("_bsz")
+      // Both feeds ride the state table's bucketing into a sort-merge
+      // probe (the family's exchange-free discipline); distinct pairs.
+      def cands(st: org.apache.spark.sql.DataFrame) = st.hint("merge")
+        .select(col("doc_id").as("id1"), col("band_key"))
+        .join(incBands.select(col("doc_id").as("id2"), col("band_key")),
+          Seq("band_key"))
+        .select("id1", "id2").distinct()
+      val cd = cands(stateBands)
+      val cdc = cands(cappedState)
+      // Cross pairs only: the budget never touches inc-inc self pairs,
+      // so the recall denominator excludes them (id1 of a cross pair is
+      // a state doc, % 3 != 2).
+      val vf = Dedup.verifyIncrementPairs(cd, inc, stDocs, "doc_id", "text",
+          numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
+        .filter(col("id1") % 3 =!= 2).select("id1", "id2")
+      val vc = vf.join(cdc, Seq("id1", "id2"), "left_semi")
+      cd.agg(count(lit(1)).as("n_cand_uncapped"))
+        .crossJoin(cdc.agg(count(lit(1)).as("n_cand_capped")))
+        .crossJoin(vf.agg(count(lit(1)).as("n_true_pairs")))
+        .crossJoin(vc.agg(count(lit(1)).as("n_capped_pairs")))
+        .withColumn("n_cand_dropped", col("n_cand_uncapped") - col("n_cand_capped"))
+        .withColumn("pair_recall", when(col("n_true_pairs") === 0, lit(1.0))
+          .otherwise(round(col("n_capped_pairs").cast("double") / col("n_true_pairs"), 4)))
+        .select("n_cand_uncapped", "n_cand_capped", "n_cand_dropped",
+          "n_true_pairs", "n_capped_pairs", "pair_recall")
     },
 
     // Incremental SimHash near-dup dedup against persisted Manku-key
