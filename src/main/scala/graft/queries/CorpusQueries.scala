@@ -467,25 +467,41 @@ abndc AS (SELECT doc_id, band, bh FROM (
   /** dd_cap_recall_audit oracle: both candidate feeds (uncapped band
     * join vs the [[lshBandBucketCap]] budgeted one) and the verified
     * cross-pair sets they admit, folded to ONE accountability row. The
-    * capped verified set is vf ∩ cdc — verification runs once, on the
-    * uncapped feed, because the capped candidate set is a subset. */
+    * capped verified set is vfm ∩ cdcm — verification runs once, on the
+    * uncapped feed, because the capped candidate set is a subset. Every
+    * derived set the final row references (or that feeds two consumers)
+    * is MATERIALIZED: DuckDB re-inlines plain CTEs per reference, and
+    * the first cut of this twin expanded the verify chain once per
+    * scalar subquery — six concurrent expansions spilled 70 GB at the
+    * 10× fixture before ENOSPC. This shape is the capped-clusters
+    * twin's cost class (passes 30× at the 100 GB cap). */
   private def capRecallAuditSql: String =
     s"""WITH st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
 inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
 ${minhashSideCtes("a", "st")},
 ${minhashSideCtes("b", "inc")},
 $cappedStateBndCte,
-${crossVerifyCtes(0.5)},
-cdc AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+cdm AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM abnd a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh),
+cdcm AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM abndc a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh),
-vc AS (SELECT vf.id1, vf.id2 FROM vf JOIN cdc ON cdc.id1 = vf.id1 AND cdc.id2 = vf.id2)
-SELECT CAST((SELECT count(*) FROM cd) AS BIGINT) AS n_cand_uncapped,
-  CAST((SELECT count(*) FROM cdc) AS BIGINT) AS n_cand_capped,
-  CAST((SELECT count(*) FROM cd) - (SELECT count(*) FROM cdc) AS BIGINT) AS n_cand_dropped,
-  CAST((SELECT count(*) FROM vf) AS BIGINT) AS n_true_pairs,
-  CAST((SELECT count(*) FROM vc) AS BIGINT) AS n_capped_pairs,
-  CASE WHEN (SELECT count(*) FROM vf) = 0 THEN CAST(1.0 AS DOUBLE)
-    ELSE round(CAST((SELECT count(*) FROM vc) AS DOUBLE) / (SELECT count(*) FROM vf), 4)
+szA AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ash GROUP BY 1),
+szB AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM bsh GROUP BY 1),
+intr AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS i FROM cdm c
+  JOIN ash a ON a.doc_id = c.id1 JOIN bsh b ON b.doc_id = c.id2 AND a.shingle = b.shingle
+  GROUP BY 1, 2),
+vfm AS MATERIALIZED (SELECT id1, id2 FROM intr
+  JOIN szA s1 ON s1.doc_id = id1 JOIN szB s2 ON s2.doc_id = id2
+  WHERE round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) >= 0.5),
+vcm AS MATERIALIZED (SELECT v.id1 FROM vfm v
+  JOIN cdcm c ON c.id1 = v.id1 AND c.id2 = v.id2)
+SELECT CAST((SELECT count(*) FROM cdm) AS BIGINT) AS n_cand_uncapped,
+  CAST((SELECT count(*) FROM cdcm) AS BIGINT) AS n_cand_capped,
+  CAST((SELECT count(*) FROM cdm) - (SELECT count(*) FROM cdcm) AS BIGINT) AS n_cand_dropped,
+  CAST((SELECT count(*) FROM vfm) AS BIGINT) AS n_true_pairs,
+  CAST((SELECT count(*) FROM vcm) AS BIGINT) AS n_capped_pairs,
+  CASE WHEN (SELECT count(*) FROM vfm) = 0 THEN CAST(1.0 AS DOUBLE)
+    ELSE round(CAST((SELECT count(*) FROM vcm) AS DOUBLE) / (SELECT count(*) FROM vfm), 4)
   END AS pair_recall"""
 
   /** dd_incremental_neardup oracle: state = doc_id % 3 != 2 (the day-1
