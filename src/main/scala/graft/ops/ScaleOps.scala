@@ -205,16 +205,21 @@ object ScaleOps {
     * connectedComponents or k-means run their whole loop when CALLED,
     * not when the result is acted on), so a FRESH layout costs one
     * marker read instead of a full recompute of state that would be
-    * thrown away unread. */
+    * thrown away unread. Returns true when the layout was written by
+    * THIS call — the hook for releasing build-scoped caches (a frame
+    * the producer persisted for its own supersteps must not outlive
+    * the build: a cached bare TABLE scan would shadow the table's
+    * bucketed scan in every later probe plan of the session). */
   def ensureSortedByLazy(spark: SparkSession, path: String, key: String,
                          numFiles: Int, srcFingerprint: String = "")
-                        (df: => DataFrame): Unit =
+                        (df: => DataFrame): Boolean =
     if (!layoutFresh(spark, path, srcFingerprint)) {
       df.repartitionByRange(numFiles, col(key))
         .sortWithinPartitions(key)
         .write.mode("overwrite").parquet(path)
       writeMarker(spark, path, srcFingerprint)
-    }
+      true
+    } else false
 
   /** Per-FILE [min, max] of an INT64 column from the parquet footers
     * (min/max over the file's row groups) — the granularity a surgical

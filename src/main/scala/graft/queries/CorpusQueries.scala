@@ -4222,10 +4222,22 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
     // above, dst ⊆ src asserted at build), so the dangle guard is
     // waived by construction — the same waiver pg_pagerank takes on its
     // inline symmetrize output.
-    graft.ops.ScaleOps.ensureSortedByLazy(s, rankStatePath(s, d),
+    val builtRank = graft.ops.ScaleOps.ensureSortedByLazy(s, rankStatePath(s, d),
       "id", numFiles = 1, srcFingerprint = fp)(
       graft.graph.PageRank.pageRank(s.table(pgEdgeStateTable(d)),
         iters = 3, damping = 0.85, roundTo = 6, symmetric = true))
+    // pageRank persisted the BARE edge-table scan for its supersteps
+    // ("pagerank-edges"). Build-scoped only: left in the CacheManager it
+    // shadows every later `s.table(edge state)` scan of the session with
+    // an InMemoryRelation, whose scan forgets the table's bucketing —
+    // the probe joins then re-shuffle the state side and the
+    // exchange-free REQUIREs fail (first seen as pg_incremental_triangles
+    // failing in any FRESH-warehouse session, invisible in warm ones
+    // where built = false and pageRank never ran).
+    if (builtRank) {
+      graft.ops.CacheOnce.release("pagerank-edges")
+      graft.ops.CacheOnce.release("pagerank-deg")
+    }
   }
 
   /** One-time bucketed CTAS of dd_incremental's digest state
