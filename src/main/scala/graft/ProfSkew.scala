@@ -13,10 +13,18 @@ import org.apache.spark.sql.SparkSession
   * slow stage) and "intra-task skew" (one slow task) — the r14 triangle
   * experiments needed exactly this and inferred it indirectly.
   *
-  * `sbt "runMain graft.ProfSkew <query> [sfDir] [reps] [topN]"` */
+  * `sbt "runMain graft.ProfSkew <query>[,<query>...] [sfDir] [reps] [topN]"`
+  *
+  * Comma-separated names run sequentially in ONE JVM — for fixtures
+  * where the per-family state build dominates a fresh JVM's first rep
+  * (the 100× fixture: the in-memory catalog can't carry a bucketed
+  * CTAS across JVMs, so grouping a family's members amortizes its
+  * build). The r15 instrument caveat stands: members of DIFFERENT
+  * cache-heavy families in one session evict each other — group only
+  * within a family. */
 object ProfSkew {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
     val topN = if (args.length > 3) args(3).toInt else 12
@@ -62,6 +70,7 @@ object ProfSkew {
       }
     })
 
+    names.foreach { name =>
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { r =>
       perStage.clear(); jobs.clear()
@@ -101,6 +110,7 @@ object ProfSkew {
         f"inter-job driver gaps ${gapSum / 1e3}%.2f s, " +
         f"tail ${(rep0 + (wall * 1000).toLong - cursor) / 1e3}%.2f s; gaps > 0.2 s:")
       gaps.result().foreach(println)
+    }
     }
     spark.stop()
   }
