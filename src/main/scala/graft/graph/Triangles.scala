@@ -71,8 +71,9 @@ object Triangles {
     *    the bucketed state rides its layout into a sort-merge join with
     *    NO exchange (only the increment-sized side shuffles);
     *  - dDE (2 new edges): the delta wedge at their shared vertex,
-    *    closed against state pairs — the delta-derived side broadcasts
-    *    (increment-bounded), the state scan feeds the probe in place;
+    *    closed against state pairs by the same exchange-free
+    *    sort-merge (the wedge set is delta-DERIVED, not delta-sized —
+    *    it must spill, never build);
     *  - dDD (3 new edges): a triangle count within the delta alone,
     *    found once at its smallest corner like the oracle's a<b<c walk.
     *
@@ -111,16 +112,22 @@ object Triangles {
     // every idle second to UnsafeHashedRelation construction, while the
     // enumeration itself ran ~1 s/leg distributed — the wall gap r14
     // misattributed to intra-task enumeration skew). The closes are now
-    // SHUFFLED-HASH joins that BUILD on the increment-derived side —
-    // per-partition builds stay increment/numPartitions-sized at any
-    // density and construct in parallel — and STREAM the state side,
-    // which rides its src-bucketing in place (HashPartitioning(src)
-    // satisfies the (src, dst) clustering as a subset, so only the
-    // candidate side shuffles, by its src-matching key). Nothing
-    // |E|-sized moves or builds; nothing increment-derived funnels
-    // through one thread. AQE still downgrades the build to a broadcast
-    // when a small fixture makes it trivial — the adaptivity broadcast()
-    // was denying.
+    // SORT-MERGE joins against the state side, which rides its
+    // src-bucketing in place (HashPartitioning(src) satisfies the
+    // (src, dst) clustering as a subset, so only the candidate side
+    // shuffles, by its src-matching key; the state side gains a
+    // within-partition sort, no exchange). r15 shipped these closes as
+    // shuffled-hash builds on the increment-derived side — correct
+    // about the driver, wrong about the build bound: "increment-
+    // DERIVED" is not increment-SIZED. candEE ∝ delta × state-degree,
+    // and at the 100× fixture (delta ∝ K², degree ∝ K) a per-partition
+    // hash build hit Spark's unspillable-build wall
+    // (SparkOutOfMemoryError "not enough memory to build hash map" in
+    // the close stage, measured r16). Sort-merge spills by design —
+    // per-task memory stays bounded at ANY density, the 100 TB
+    // property a fixed-fraction execution pool needs. AQE still
+    // downgrades to a broadcast when a small fixture makes the
+    // candidate side trivial — the adaptivity broadcast() was denying.
     val dpe = dp.select(col("id1").as("_u"), col("id2").as("_v"))
     val candEE = stateAdj.hint("merge")
       .join(dpe, stateAdj("src") === dpe("_u"))
@@ -129,7 +136,7 @@ object Triangles {
       .withColumn("_cx", least(col("_v"), col("_w")))
       .withColumn("_cy", greatest(col("_v"), col("_w")))
     val dEE = statePairs
-      .join(candEE.hint("shuffle_hash"),
+      .join(candEE.hint("merge"),
         statePairs("src") === col("_cx") && statePairs("dst") === col("_cy"))
       .select(col("_u").as("a"), col("_v").as("b"), col("_w").as("c"))
     // dDE: both new edges share a vertex s; close (x, y) in state.
@@ -139,7 +146,7 @@ object Triangles {
       .join(dAdj.select(col("s"), col("n").as("_y")), Seq("s"))
       .filter(col("_x") < col("_y"))
     val dDE = statePairs
-      .join(wedge.hint("shuffle_hash"),
+      .join(wedge.hint("merge"),
         statePairs("src") === col("_x") && statePairs("dst") === col("_y"))
       .select(col("s").as("a"), col("_x").as("b"), col("_y").as("c"))
     // dDD: wholly-new triangles, found at the smallest corner. The
@@ -149,7 +156,7 @@ object Triangles {
     val dDD = dp.select(col("id1").as("s"), col("id2").as("_x"))
       .join(dp.select(col("id1").as("s"), col("id2").as("_y")), Seq("s"))
       .filter(col("_x") < col("_y"))
-      .join(dp.hint("shuffle_hash"), dp("id1") === col("_x") && dp("id2") === col("_y"))
+      .join(dp.hint("merge"), dp("id1") === col("_x") && dp("id2") === col("_y"))
       .select(col("s").as("a"), col("_x").as("b"), col("_y").as("c"))
     val deltaCounts = dEE.unionByName(dDE).unionByName(dDD)
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))

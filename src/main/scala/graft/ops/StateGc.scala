@@ -162,7 +162,23 @@ object StateGc {
   def demoAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val tag = tagOf(sfDir)
-    val (f, _) = fs(spark, wh)
+    val (f, whP) = fs(spark, wh)
+    // Scorched-earth pre-clean of the WHOLE demo family, any tag: the
+    // warehouse outlives fixtures, and a graft_gcdemo_live_<otherTag>
+    // kept by a previous run at a DIFFERENT sfDir is (correctly) GC'd
+    // as dead by THIS run — a fourth report row that made the settled
+    // report depend on warehouse history instead of on this call
+    // (caught by the r16 sf0.01 gate after a 30× sweep shared the
+    // warehouse). The demo's determinism contract is per-call, so the
+    // build starts from zero generations every time.
+    if (f.exists(whP))
+      f.listStatus(whP).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("graft_gcdemo"))
+        .foreach { st =>
+          spark.sql(s"DROP TABLE IF EXISTS `${st.getPath.getName}`")
+          f.delete(st.getPath, true); ()
+        }
     val docFp = ScaleOps.fileFingerprint(s"$sfDir/documents.parquet")
     def build(name: String, marker: String): Unit = {
       val dir = new java.io.File(wh, name).toString

@@ -69,16 +69,19 @@ class TrianglesSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
-  test("the delta closes carry shuffle-hash hints, never broadcast() " +
+  test("the delta closes carry sort-merge hints, never broadcast() " +
     "of an increment-derived frame") {
-    // The r15 fix: the dEE/dDE/dDD closes must BUILD shuffled-hash on
-    // the increment-derived side — at 30x collision density those
-    // frames are 12-33M rows and an explicit broadcast() built the hash
-    // relation single-threaded on the driver (a measured 25 s
-    // all-cores-idle stall). The hints live in the optimized logical
-    // plan; AQE may still downgrade a tiny build to broadcast at
-    // runtime, which is wanted — what must never return is a PLANNED
-    // broadcast of the candidate side.
+    // r15 banned the broadcast closes (a 12-33M-row candidate frame's
+    // hash relation built single-threaded on the driver — a measured
+    // 25 s all-cores-idle stall) and shipped shuffled-hash builds; r16
+    // measured THOSE hitting Spark's unspillable per-task hash-build
+    // wall at the 100x fixture (candEE ∝ delta × degree — increment-
+    // DERIVED is not increment-sized). The closes must plan SORT-MERGE:
+    // spillable at any density, state side still exchange-free on its
+    // src bucketing. AQE may still downgrade a tiny candidate side to
+    // broadcast at runtime, which is wanted — what must never return
+    // is a PLANNED broadcast or a planned per-task hash build of the
+    // candidate side.
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("id1", "id2")
     val counts = Triangles.perNodeCounts(k4)
     val out = Triangles.incrementalPerNodeCounts(
@@ -86,11 +89,16 @@ class TrianglesSpec extends SparkSpec {
     val joins = out.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
     }
+    val smjSides = joins.count(h =>
+      h.leftHint.exists(_.strategy.exists(_.toString.contains("merge"))) ||
+        h.rightHint.exists(_.strategy.exists(_.toString.contains("merge"))))
+    assert(smjSides >= 3,
+      s"expected the three closes to carry merge hints, found $smjSides in $joins")
     val shjSides = joins.count(h =>
       h.leftHint.exists(_.strategy.exists(_.toString.contains("shuffle_hash"))) ||
         h.rightHint.exists(_.strategy.exists(_.toString.contains("shuffle_hash"))))
-    assert(shjSides >= 3,
-      s"expected the three closes to carry shuffle_hash hints, found $shjSides in $joins")
+    assert(shjSides == 0,
+      s"an unspillable shuffled-hash build is back in the delta closes: $joins")
     val broadcasts = joins.count(h =>
       h.leftHint.exists(_.strategy.exists(_.toString.toLowerCase.contains("broadcast"))) ||
         h.rightHint.exists(_.strategy.exists(_.toString.toLowerCase.contains("broadcast"))))
