@@ -42,14 +42,20 @@ oracle_side = sum(1 for v in queries.values()
 # row, distinct from a failure and from a silent gap.
 skipped = sum(1 for v in queries.values()
               if status_of(v).startswith("SKIPPED"))
+# ORACLE_PENDING: engine output exists, the per-query DuckDB check is
+# still queued in an in-flight sweep — an interim-record state, never a
+# verdict. A finished record must have zero of these.
+pending = sum(1 for v in queries.values()
+              if status_of(v) == "ORACLE_PENDING")
 record = {
     "fixture": fixture,
     "round": rnd,
     "ok": ok,
     "total": len(queries),
     "documented_skips": skipped,
+    "oracle_pending": pending,
     "oracle_side_failures": oracle_side,
-    "engine_side_failures": len(queries) - ok - oracle_side - skipped,
+    "engine_side_failures": len(queries) - ok - oracle_side - skipped - pending,
     "notes": notes,
     "queries": dict(sorted(queries.items())),
 }
