@@ -1061,7 +1061,7 @@ j AS (SELECT CAST(coalesce(go.cell, gn.cell) AS BIGINT) AS cell,
   FROM go FULL OUTER JOIN gn ON go.cell = gn.cell),
 t AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM j)
 SELECT cell, n_old, n_new,
-  round(CAST(n_new AS DOUBLE) / t_n - CAST(n_old AS DOUBLE) / t_o, 4) AS share_drift,
+  round(CAST(n_new AS DOUBLE) / t_n - CAST(n_old AS DOUBLE) / t_o, 4) + 0.0 AS share_drift,
   cohesion_old, cohesion_new FROM j, t"""
   }
 
@@ -1673,7 +1673,7 @@ j AS (SELECT coalesce(o.bucket, nn.bucket) AS bucket, coalesce(n_old, 0) AS n_ol
       coalesce(n_new, 0) AS n_new FROM o FULL OUTER JOIN nn ON o.bucket = nn.bucket),
 t AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM j)
 SELECT bucket, n_old, n_new,
-  round(CAST(n_new AS DOUBLE) / t_n - CAST(n_old AS DOUBLE) / t_o, 4) AS share_drift
+  round(CAST(n_new AS DOUBLE) / t_n - CAST(n_old AS DOUBLE) / t_o, 4) + 0.0 AS share_drift
 FROM j, t""") { (s, d) =>
       val docs = Tables.documents(s, d)
       def side(f: org.apache.spark.sql.Column, n: String) = docs.filter(f)
@@ -1685,9 +1685,12 @@ FROM j, t""") { (s, d) =>
         .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
           coalesce(col("n_new"), lit(0L)).as("n_new"))
       val tot = j.agg(sum(col("n_old")).as("_to"), sum(col("n_new")).as("_tn"))
+      // + 0.0 (both sides): IEEE -0.0 + 0.0 = +0.0, identity elsewhere —
+      // round() can emit -0.0 from float dust just below zero, and the
+      // string-level record compare reads "-0.0" != "0.0" (r16 30×).
       j.crossJoin(broadcast(tot))
         .select(col("bucket"), col("n_old"), col("n_new"),
-          round(col("n_new") / col("_tn") - col("n_old") / col("_to"), 4)
+          (round(col("n_new") / col("_tn") - col("n_old") / col("_to"), 4) + lit(0.0))
             .as("share_drift"))
     },
 
@@ -2094,7 +2097,7 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
       val tot = joined.agg(sum(col("n_old")).as("_to"), sum(col("n_new")).as("_tn"))
       joined.crossJoin(broadcast(tot))
         .select(col("cell"), col("n_old"), col("n_new"),
-          round(col("n_new") / col("_tn") - col("n_old") / col("_to"), 4)
+          (round(col("n_new") / col("_tn") - col("n_old") / col("_to"), 4) + lit(0.0))
             .as("share_drift"),
           col("cohesion_old"), col("cohesion_new"))
     },
