@@ -14,6 +14,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Bucketed sortBy metadata -> scan outputOrdering (GraftSession's
+      // note: every ScaleOps bucketed CTAS writes one file per bucket,
+      // so persisted-state sort-merge probes skip the state-side Sort).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -125,13 +129,25 @@ object Bench {
     // per-rep cost is zero (a per-rep drain sleep would add ~8 min
     // across 225 x 3 reps). Streaming gates run on child sessions of
     // the same SparkContext, so their jobs land here too.
-    val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]
+    // Jobs are TAGGED to their rep via a local property (r16 verdict
+    // task 6): the bench thread stamps "query#rep" before each timed
+    // body, the listener reads it back from the job's properties, and
+    // gap attribution filters on the tag — so a regression is
+    // attributable from the record alone, without assuming job
+    // wall-clock windows nest inside rep windows. Streaming gates run
+    // their micro-batch jobs on OTHER threads (local properties are
+    // thread-scoped), so untagged jobs still fall back to wall-clock
+    // overlap — tagged-exact where possible, never losing coverage.
+    val repTagKey = "graft.bench.rep"
+    val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobLog.put(j.jobId, (j.time, -1L)); ()
+        val tag = Option(j.properties).flatMap(p =>
+          Option(p.getProperty(repTagKey))).getOrElse("")
+        jobLog.put(j.jobId, (j.time, -1L, tag)); ()
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        jobLog.computeIfPresent(j.jobId, (_, v) => (v._1, j.time)); ()
+        jobLog.computeIfPresent(j.jobId, (_, v) => (v._1, j.time, v._3)); ()
       }
     })
     // DECISION-GRADE timING: >= 3 back-to-back reps per query (the
@@ -143,23 +159,25 @@ object Bench {
     // broken query must not look like a fast query); the first failing
     // rep stops the query's remaining reps.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results: Map[String, Either[String, (Seq[Double], Seq[(Long, Long)])]] =
+    val results: Map[String, Either[String, (Seq[Double], Seq[(Long, Long, String)])]] =
       SparkEntry.queries.filter(q => nameFilter(q._1)).map { case (name, fn) =>
         var err: String = null
         val times = Seq.newBuilder[Double]
-        val windows = Seq.newBuilder[(Long, Long)]
+        val windows = Seq.newBuilder[(Long, Long, String)]
         var r = 0
         while (r < reps && err == null) {
+          val tag = s"$name#$r"
+          spark.sparkContext.setLocalProperty(repTagKey, tag)
           val w0 = System.currentTimeMillis()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
             times += (System.nanoTime() - t0) / 1e9
-            windows += ((w0, System.currentTimeMillis()))
+            windows += ((w0, System.currentTimeMillis(), tag))
           } catch {
             case e: Throwable =>
               err = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          }
+          } finally spark.sparkContext.setLocalProperty(repTagKey, null)
           r += 1
         }
         name -> (if (err != null) Left(err)
@@ -168,23 +186,26 @@ object Bench {
     Thread.sleep(700) // drain async listener delivery once, for ALL reps
     import scala.jdk.CollectionConverters._
     val allJobs = jobLog.asScala.values.toSeq
-      .map { case (s, e) => (s, if (e < 0) s else e) }.sortBy(_._1)
+      .map { case (s, e, tag) => (s, if (e < 0) s else e, tag) }.sortBy(_._1)
     // Driver gap of one rep window = wall minus the union of job
     // intervals inside it: Catalyst analysis, AQE re-planning and
     // broadcast hash-relation builds all happen with NO job running —
     // the cost class task metrics are blind to and the class that hid
-    // the r15 triangle stall. Queries run sequentially, so attributing
-    // jobs to windows by time is unambiguous.
-    def gapSec(w: (Long, Long)): Double = {
-      var cursor = w._1
+    // the r15 triangle stall. Jobs carrying this rep's tag attribute
+    // EXACTLY (local-property stamp, r16 task 6); untagged jobs
+    // (streaming micro-batch threads) fall back to time overlap.
+    def gapSec(w: (Long, Long, String)): Double = {
+      val (w1, w2, tag) = w
+      var cursor = w1
       var covered = 0L
-      allJobs.foreach { case (js, je) =>
-        if (je > w._1 && js < w._2) {
-          covered += math.max(0L, math.min(je, w._2) - math.max(js, cursor))
-          cursor = math.max(cursor, math.min(je, w._2))
+      allJobs.foreach { case (js, je, jtag) =>
+        val mine = if (jtag.nonEmpty) jtag == tag else je > w1 && js < w2
+        if (mine && je > w1 && js < w2) {
+          covered += math.max(0L, math.min(je, w2) - math.max(js, cursor))
+          cursor = math.max(cursor, math.min(je, w2))
         }
       }
-      math.max(0L, (w._2 - w._1) - covered) / 1e3
+      math.max(0L, (w2 - w1) - covered) / 1e3
     }
     def med(xs: Seq[Double]): Double = {
       val s = xs.sorted

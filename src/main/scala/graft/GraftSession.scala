@@ -29,6 +29,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "268435456")
       .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      // Let bucketed-table sortBy metadata reach the scan's
+      // outputOrdering (off by default since Spark 3.0 because the
+      // single-file-per-bucket precondition rarely held and checking
+      // it lists files at planning time): every ScaleOps bucketed CTAS
+      // writes exactly one file per bucket by construction, so the
+      // check always passes and each sort-merge probe of a persisted
+      // state skips its state-side Sort — at 100× the triangle closes
+      // alone were re-sorting 2 × 33M rows per refresh without this.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
 
   /** Local harness shape: `local[cores]` with partitions = cores (the

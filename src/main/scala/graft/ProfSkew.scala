@@ -32,6 +32,10 @@ object ProfSkew {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Bucketed sortBy metadata -> scan outputOrdering (GraftSession's
+      // note: every ScaleOps bucketed CTAS writes one file per bucket,
+      // so persisted-state sort-merge probes skip the state-side Sort).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -45,7 +49,11 @@ object ProfSkew {
     // job running (Catalyst analysis, AQE re-planning, broadcast
     // relation builds, plan checks), the cost class task metrics are
     // blind to.
-    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]
+    // Jobs tagged to their rep via a local property (Bench's r17
+    // treatment): exact attribution for driver-thread jobs; untagged
+    // jobs (streaming micro-batch threads) keep wall-clock inclusion.
+    val repTagKey = "graft.prof.rep"
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         if (t.taskMetrics != null) {
@@ -63,20 +71,28 @@ object ProfSkew {
         ()
       }
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.put(j.jobId, (j.time, -1L)); ()
+        val tag = Option(j.properties).flatMap(pp =>
+          Option(pp.getProperty(repTagKey))).getOrElse("")
+        jobs.put(j.jobId, (j.time, -1L, tag)); ()
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        jobs.computeIfPresent(j.jobId, (_, v) => (v._1, j.time)); ()
+        jobs.computeIfPresent(j.jobId, (_, v) => (v._1, j.time, v._3)); ()
       }
     })
 
-    names.foreach { name =>
-    val fn = SparkEntry.queries(name)
+    // Validate EVERY name up front (ADVICE r16): with comma-grouped
+    // queries a typo in a later member must fail before the earlier
+    // (expensive, 100x-fixture) members run, not after.
+    val fns = names.map(n => n -> SparkEntry.queries(n))
+    fns.foreach { case (name, fn) =>
     (1 to reps).foreach { r =>
       perStage.clear(); jobs.clear()
+      val repTag = s"$name#$r"
+      spark.sparkContext.setLocalProperty(repTagKey, repTag)
       val rep0 = System.currentTimeMillis()
       val w0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val n = try fn(spark, sfDir).count()
+        finally spark.sparkContext.setLocalProperty(repTagKey, null)
       val wall = (System.nanoTime() - w0) / 1e9
       Thread.sleep(500) // drain async listener events
       import scala.jdk.CollectionConverters._
@@ -92,12 +108,18 @@ object ProfSkew {
       // and the idle gap since the previous job's end — a large gap is
       // driver-side work between jobs; a large total-wall-minus-covered
       // is the same inside/around the terminal action.
-      val tl = jobs.asScala.toSeq.sortBy(_._2._1)
+      // This rep's jobs: tag-exact where stamped, wall-clock for the
+      // untagged (streaming-thread) remainder. The per-rep clear()
+      // already scopes the map; the tag filter additionally drops late
+      // async stragglers of the PREVIOUS rep that land after clear().
+      val tl = jobs.asScala.toSeq
+        .filter { case (_, (_, _, t)) => t.isEmpty || t == repTag }
+        .sortBy(_._2._1)
       var cursor = rep0
       var covered = 0L
       var gapSum = 0L
       val gaps = Seq.newBuilder[String]
-      tl.foreach { case (jid, (js, je0)) =>
+      tl.foreach { case (jid, (js, je0, _)) =>
         val je = if (je0 < 0) System.currentTimeMillis() else je0
         val gap = js - cursor
         if (gap > 200)

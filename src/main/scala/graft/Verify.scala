@@ -14,6 +14,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Bucketed sortBy metadata -> scan outputOrdering (GraftSession's
+      // note: every ScaleOps bucketed CTAS writes one file per bucket,
+      // so persisted-state sort-merge probes skip the state-side Sort).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

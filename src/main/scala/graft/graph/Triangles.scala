@@ -91,6 +91,24 @@ object Triangles {
     * increment endpoint); `stateCounts` is the persisted (id,
     * triangles) checkpoint over the state graph. */
   def incrementalPerNodeCounts(stateAdj: DataFrame, deltaPairs: DataFrame,
+                               stateCounts: DataFrame): DataFrame =
+    incrementalPerNodeCounts(stateAdj, stateAdj.filter(col("src") < col("dst")),
+      deltaPairs, stateCounts)
+
+  /** [[incrementalPerNodeCounts]] with the canonical id-sorted state
+    * pair set passed EXPLICITLY — the production shape: the two closes
+    * (dEE, dDE) join on the COMPOSITE key (src, dst), and Spark's
+    * co-partitioning check requires all join keys in the children's
+    * hash partitioning (requireAllClusterKeysForCoPartition defaults
+    * true), so a pair frame derived from the src-bucketed adjacency
+    * re-shuffles IN FULL on (src, dst) every refresh — |E|-sized
+    * motion the layout was meant to delete (found r17; the re-key
+    * shuffle was invisible to the bucket-key watch). Pass a pair
+    * state bucketed AND sorted on (src, dst) (ensureBucketedKeys) and
+    * both closes consume it with zero exchange and zero sort; the
+    * adjacency still serves the src-keyed candEE probe. */
+  def incrementalPerNodeCounts(stateAdj: DataFrame, statePairs: DataFrame,
+                               deltaPairs: DataFrame,
                                stateCounts: DataFrame): DataFrame = {
     // Canonicalize the delta (cross pairs arrive state-id-first, not
     // id-sorted) and TRUNCATE it (swapTruncated, not swap): the delta
@@ -102,7 +120,6 @@ object Triangles {
     val dp = graft.ops.CacheOnce.swapTruncated("itri-delta",
       deltaPairs.select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2")).distinct())
-    val statePairs = stateAdj.filter(col("src") < col("dst"))
     // Close-join discipline (r15, replacing r14's broadcast closes): at
     // collision-density stress the delta-DERIVED candidate sets are NOT
     // small — 30x measured candEE at 12.7M rows and the delta wedge set

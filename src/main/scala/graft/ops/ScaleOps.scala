@@ -50,16 +50,41 @@ object ScaleOps {
   }
 
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    numBuckets: Int): Unit = {
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit =
+    writeBucketedKeys(df, table, Seq(key), numBuckets, sortCols)
+
+  /** Multi-key variant of [[writeBucketed]] — for states whose probe
+    * join carries a COMPOSITE key (e.g. the triangle closes' canonical
+    * (src, dst) pair set): Spark's co-partitioning check requires ALL
+    * join keys in the children's hash partitioning by default
+    * (requireAllClusterKeysForCoPartition), so a src-only bucketing
+    * does NOT make a (src, dst)-keyed sort-merge probe exchange-free —
+    * the state side re-shuffles in full (the r17 finding behind the
+    * pair-state CTAS; the (src, dst) shuffle was invisible to the
+    * bucket-key watch because it re-keys, matching the "legitimate
+    * repartition" carve-out). */
+  def writeBucketedKeys(df: DataFrame, table: String, keys: Seq[String],
+                        numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val loc = new java.io.File(wh, table)
     if (loc.exists()) deleteLocal(loc)
-    df.write.mode("overwrite")
+    val sc = if (sortCols.nonEmpty) sortCols else keys
+    // ONE FILE PER BUCKET, deliberately: Spark trusts a bucketed
+    // table's sortBy metadata (scan exposes outputOrdering, so a
+    // sort-merge probe skips the state-side Sort) ONLY when each
+    // bucket holds a single file — the repartition below hashes on
+    // exactly the bucket expressions, so task i writes only bucket i.
+    // Paid once at CTAS; every refresh-path SMJ against the state
+    // then gets its |state|-sized sort for free (r16 advisory: the
+    // triangle closes were re-sorting the full adjacency per refresh
+    // because multi-file buckets void the sortBy metadata).
+    df.repartition(numBuckets, keys.map(col): _*)
+      .write.mode("overwrite")
       .format("parquet")
-      .bucketBy(numBuckets, key)
-      .sortBy(key)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(sc.head, sc.tail: _*)
       .saveAsTable(table)
   }
 
@@ -83,7 +108,14 @@ object ScaleOps {
     * state's one-per-fingerprint symmetry assertion), which must run
     * where the table is written, never on every read-back. */
   def ensureBucketed(df: DataFrame, table: String, key: String,
-                     numBuckets: Int, srcFingerprint: String = ""): Boolean = {
+                     numBuckets: Int, srcFingerprint: String = "",
+                     sortCols: Seq[String] = Nil): Boolean =
+    ensureBucketedKeys(df, table, Seq(key), numBuckets, srcFingerprint, sortCols)
+
+  /** Multi-key [[ensureBucketed]] — see [[writeBucketedKeys]]. */
+  def ensureBucketedKeys(df: DataFrame, table: String, keys: Seq[String],
+                         numBuckets: Int, srcFingerprint: String = "",
+                         sortCols: Seq[String] = Nil): Boolean = {
     val spark = df.sparkSession
     val fresh = spark.catalog.tableExists(table) && (srcFingerprint.isEmpty || {
       // SHOW TBLPROPERTIES is public SQL (no private[sql] catalog access)
@@ -92,7 +124,7 @@ object ScaleOps {
         .exists(r => r.getString(0) == "graft.src" && r.getString(1) == srcFingerprint)
     })
     if (!fresh) {
-      writeBucketed(df, table, key, numBuckets)
+      writeBucketedKeys(df, table, keys, numBuckets, sortCols)
       if (srcFingerprint.nonEmpty)
         spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('graft.src' = '$srcFingerprint')")
     }

@@ -99,9 +99,14 @@ object StateGc {
           prefix: String = "graft_", dryRun: Boolean = true): DataFrame = {
     val (f, rootP) = fs(spark, root)
     // Longest-first so a tag can never claim another tag's suffix.
-    val liveTags = liveDirs.map(d => tagOf(d) -> d).toMap.toSeq
-      .sortBy(-_._1.length)
-    val fpsByTag = liveTags.map { case (t, d) => t -> liveFileFps(spark, d) }.toMap
+    // CONSERVATIVE under tag collisions: tagOf is lossy (distinct dirs
+    // can render to one tag), so fingerprints are UNIONED per tag —
+    // a generation serving EITHER colliding dir stays live. GC must
+    // under-approximate droppability, never a live dir's liveness.
+    val liveTags = liveDirs.groupBy(tagOf).toSeq.sortBy(-_._1.length)
+    val fpsByTag = liveTags.map { case (t, ds) =>
+      t -> ds.flatMap(d => liveFileFps(spark, d)).toSet
+    }.toMap
     val entries =
       if (!f.exists(rootP)) Seq.empty
       else f.listStatus(rootP).toSeq.filter(st =>
@@ -158,7 +163,16 @@ object StateGc {
     * and the live generation must still read afterwards (the probe is a
     * require, so a regression fails the query, not just a spec).
     * Rebuilt from scratch each call, so the settled report is
-    * deterministic and the DuckDB VALUES twin is the oracle. */
+    * deterministic and the DuckDB VALUES twin is the oracle.
+    *
+    * SINGLE-WRITER assumption (ADVICE r16): the scorched-earth
+    * pre-clean below makes this demo non-reentrant across concurrent
+    * sessions sharing one warehouse — a concurrent call's pre-clean
+    * can delete this call's freshly built live generation between
+    * build and the post-GC probe, failing the require spuriously. The
+    * registered query runs inside single-session Verify/Bench drivers,
+    * where the assumption holds; a concurrent sweep sharing the
+    * warehouse must serialize its dq/ops audit queries. */
   def demoAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val tag = tagOf(sfDir)

@@ -104,6 +104,29 @@ object PlanChecks {
     }
   }
 
+  /** REQUIRE: on every path matching `pathFragment` from the consuming
+    * join down to the file scan, no Sort sits between them — the
+    * sorted-CTAS claim. A bucketed table written sortBy(joinKeys) with
+    * ONE file per bucket exposes its ordering at the scan, so the
+    * sort-merge probe's state-side Sort must vanish; a Sort here means
+    * the layout regressed (multi-file buckets, wrong sort columns, or
+    * a stale pre-sortCols generation) and every refresh is paying a
+    * full |state| re-sort it was designed not to (r16 advisory: two
+    * 33M-row sorts per triangle refresh at 100×). */
+  def requireSortFreeBucketedScan(plan: SparkPlan, pathFragment: String,
+                                  what: String): Unit = {
+    val paths = fileScanPaths(plan, pathFragment).map(_._2)
+    require(paths.nonEmpty,
+      s"$what: no file scan matching '$pathFragment' in the plan")
+    paths.foreach { path =>
+      val joinIdx = path.lastIndexWhere(_.isInstanceOf[BaseJoinExec])
+      val below = if (joinIdx >= 0) path.drop(joinIdx + 1) else path
+      require(!below.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+        s"$what: a Sort re-sorts the bucketed scan below its consuming " +
+          s"join — the sorted bucket layout regressed:\n${path.mkString("\n")}")
+    }
+  }
+
   // ---- AQE-FINAL re-check -------------------------------------------
   // requireExchangeFreeBucketedProbe asserts the plan BEFORE execution
   // (AQE's initial plan): a runtime re-plan could, in principle, slip a

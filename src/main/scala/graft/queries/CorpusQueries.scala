@@ -249,7 +249,7 @@ ${p}bk AS (SELECT vec_id, (((t - 1)::BIGINT << 32) |
   FROM ${p}dp GROUP BY vec_id, t)"""
 
   /** st_simhash_probe oracle: VERIFIED (state, increment) SimHash
-    * near-dup pairs through the fixed BUDGET cap — Manku composite-key
+    * near-dup pairs through the derived bucket cap — Manku composite-key
     * collisions between capped state buckets and the streamed
     * increment, Hamming <= 3 applied directly (the gate needs no batch
     * verify tail; the signature rides in the state). Mirrors
@@ -261,9 +261,11 @@ ${simhashSideSigCtes("a", "st")},
 ${simhashSideSigCtes("b", "inc")},
 abu AS (${mankuBucketUnionSql("a")}),
 bbu AS (${mankuBucketUnionSql("b")}),
+scapv AS (SELECT greatest($lshBandBucketCap, 4 * count(*) //
+  count(DISTINCT mkey)) AS c FROM abu),
 abuc AS (SELECT doc_id, sig_hi, sig_lo, mkey FROM (
   SELECT *, count(*) OVER (PARTITION BY mkey) AS bsz FROM abu)
-  WHERE bsz <= $lshBandBucketCap),
+  WHERE bsz <= (SELECT c FROM scapv)),
 cd AS (SELECT l.doc_id AS state_id, l.sig_hi AS h1, l.sig_lo AS l1,
   r.doc_id AS inc_id, r.sig_hi AS h2, r.sig_lo AS l2
   FROM abuc l JOIN bbu r ON l.mkey = r.mkey)
@@ -389,6 +391,73 @@ SELECT train_id, test_id, n_shared, CAST(rk AS BIGINT) AS witness_rank FROM (
     ORDER BY n_shared DESC, train_id) AS rk FROM fpov)
 WHERE rk <= 3"""
 
+  /** TRAIN-side per-fingerprint WITNESS budget of the pre-dedup
+    * bounded member — deliberately FIXED (bounding the join term to
+    * occCap · te_occ rows per fingerprint IS the operator's
+    * semantics; a density-derived occurrence cap grows with the copy
+    * count and restores the K² term the member exists to delete), and
+    * deliberately train-side-only (a symmetric cap's own audit
+    * measured test-doc recall 0.14 at sf0.1 — a decontamination gate
+    * must keep every test doc in the join). Recall under the budget
+    * is the recorded number, not a hope: dd_occcap_recall_audit. */
+  private[queries] val fpOccCap = 16
+
+  /** Witness-capped fingerprint CTE: [[cappedFpCte]]'s df gate PLUS
+    * the first-[[fpOccCap]]-doc_ids rank per fingerprint — mirrors
+    * CorpusStats.fingerprintOverlapOccCapped's TRAIN side. */
+  private def occCappedFpCte(p: String): String =
+    s"""${p}fpo AS (SELECT doc_id, fingerprint FROM (SELECT doc_id, fingerprint,
+  count(*) OVER (PARTITION BY fingerprint) AS dfq,
+  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS occ FROM ${p}fp)
+  WHERE dfq <= $fpOverlapCapSql AND occ <= $fpOccCap)"""
+
+  private val fingerprintOverlapCappedSql: String =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+${winnowSideCtes("a", "tr")},
+${winnowSideCtes("b", "te")},
+${occCappedFpCte("a")},
+${cappedFpCte("b")}
+SELECT a.doc_id AS train_id, b.doc_id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM afpo a JOIN bfpc b ON a.fingerprint = b.fingerprint
+GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+  /** dd_occcap_recall_audit oracle: the exact (df-capped) pair report
+    * vs the occurrence-capped one, folded to ONE accountability row —
+    * dd_cap_recall_audit's treatment applied to the contamination
+    * family's pre-dedup budget. Both reports MATERIALIZED (the
+    * re-inlined-CTE spill lesson); capped pairs are a subset of true
+    * pairs by construction (capped n_shared <= true n_shared), so
+    * recall = |capped| / |true| without an intersection join. Runs
+    * only where the EXACT member is feasible (it evaluates the
+    * uncapped truth by definition — audit-only, never the production
+    * path; at 30× the audit inherits the exact member's documented
+    * skip while the capped member itself still runs). */
+  private val occCapRecallAuditSql: String =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+${winnowSideCtes("a", "tr")},
+${winnowSideCtes("b", "te")},
+${cappedFpCte("a")},
+${cappedFpCte("b")},
+${occCappedFpCte("a")},
+tp AS MATERIALIZED (SELECT a.doc_id AS train_id, b.doc_id AS test_id
+  FROM afpc a JOIN bfpc b ON a.fingerprint = b.fingerprint
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+cp AS MATERIALIZED (SELECT a.doc_id AS train_id, b.doc_id AS test_id
+  FROM afpo a JOIN bfpc b ON a.fingerprint = b.fingerprint
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_pairs_true,
+  CAST((SELECT count(*) FROM cp) AS BIGINT) AS n_pairs_capped,
+  CASE WHEN (SELECT count(*) FROM tp) = 0 THEN CAST(1.0 AS DOUBLE)
+    ELSE round(CAST((SELECT count(*) FROM cp) AS DOUBLE) /
+      (SELECT count(*) FROM tp), 4) END AS pair_recall,
+  CAST((SELECT count(DISTINCT test_id) FROM tp) AS BIGINT) AS n_test_true,
+  CAST((SELECT count(DISTINCT test_id) FROM cp) AS BIGINT) AS n_test_capped,
+  CASE WHEN (SELECT count(DISTINCT test_id) FROM tp) = 0 THEN CAST(1.0 AS DOUBLE)
+    ELSE round(CAST((SELECT count(DISTINCT test_id) FROM cp) AS DOUBLE) /
+      (SELECT count(DISTINCT test_id) FROM tp), 4) END AS test_recall"""
+
   /** Cross-corpus contamination oracle: even doc_ids play the training
     * corpus, odd the test corpus; the band-bucket join runs BETWEEN the
     * two sides. Mirrors [[Dedup.crossCorpusNearDupsMd5]]. Split into
@@ -433,30 +502,29 @@ ${crossVerifyCtes(0.5)}"""
   private val contaminationSql: String =
     s"WITH $contaminationCtes\n$contaminationSelect"
 
-  /** Collision-budget cap on the persisted LSH state's band buckets —
-    * the bucketCap analogue for the incremental near-dup paths: a state
-    * bucket above this size is degenerate (boilerplate band or mass
-    * duplication) and gets skipped by BOTH the batch probe and the
-    * streaming probe, bounding per-probe verify fan-out at any dup
-    * density. Shared by the registered queries and their oracle twins;
-    * never binds at driver SFs (max sf0.1 state bucket is far smaller),
-    * binds deliberately at the synthetic K-copy stress fixtures. */
+  /** FLOOR of the collision-budget cap on the persisted LSH state's
+    * band buckets. Until r16 this was also the whole cap for the
+    * streamed budget paths (st_lsh_probe, st_incremental_clusters_capped,
+    * pipe_*) — a fixed 16. dd_cap_recall_audit then measured that fixed
+    * budget at pair recall 0.39 at 30× duplication density (773,883 of
+    * 1,208,945 candidate pairs dropped): past ~10× density EVERY bucket
+    * crosses a fixed cap, the probe surfaces nothing, and each arriving
+    * duplicate is silently accepted as novel — the worst failure an
+    * acceptance gate can have. Since r17 every probe path (verdict AND
+    * budget) uses the DERIVED cap greatest(thisFloor, 4 · mean bucket
+    * size), persisted at state-build time as a 1-row checkpoint
+    * ([[lshCapPath]]) so probes stay O(increment). At driver SFs the
+    * mean is ~1 and this floor binds, so the derived cap IS 16 there. */
   private[queries] val lshBandBucketCap = 16
 
-  /** Capped state-side band CTE: abnd rows whose (band, bh) bucket holds
-    * at most [[lshBandBucketCap]] state docs. */
-  private def cappedStateBndCte: String =
-    s"""abndc AS (SELECT doc_id, band, bh FROM (
-  SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM abnd)
-  WHERE bsz <= $lshBandBucketCap)"""
-
-  /** DERIVED-cap state-side band CTE — the verdict-path twin of
-    * [[cappedStateBndCte]]: cap = greatest(floor, 4 · mean bucket size)
-    * recomputed from abnd itself, mirroring the persisted statistic
-    * prepareLshState writes (same rows, same integer arithmetic). At
-    * driver SFs the mean is ~1 and the floor binds — identical to the
-    * fixed CTE; at mass-duplication density the cap rides the corpus
-    * instead of zeroing the probe. */
+  /** DERIVED-cap state-side band CTE — cap = greatest(floor, 4 · mean
+    * bucket size) recomputed from abnd itself, mirroring the persisted
+    * statistic prepareLshState writes (same rows, same integer
+    * arithmetic). At driver SFs the mean is ~1 and the floor binds; at
+    * mass-duplication density the cap rides the corpus instead of
+    * zeroing the probe. Since r17 this is the ONLY capped band CTE —
+    * the fixed-cap variant was retired when dd_cap_recall_audit
+    * measured it at 0.39 pair recall at 30× density. */
   private def derivedCappedStateBndCte: String =
     s"""capv AS (SELECT greatest($lshBandBucketCap, 4 * count(*) //
   (SELECT count(*) FROM (SELECT DISTINCT band, bh FROM abnd))) AS c FROM abnd),
@@ -465,7 +533,8 @@ abndc AS (SELECT doc_id, band, bh FROM (
   WHERE bsz <= (SELECT c FROM capv))"""
 
   /** dd_cap_recall_audit oracle: both candidate feeds (uncapped band
-    * join vs the [[lshBandBucketCap]] budgeted one) and the verified
+    * join vs the DERIVED-cap budgeted one — the binding default for
+    * every probe path since r17) and the verified
     * cross-pair sets they admit, folded to ONE accountability row. The
     * capped verified set is vfm ∩ cdcm — verification runs once, on the
     * uncapped feed, because the capped candidate set is a subset. Every
@@ -480,7 +549,7 @@ abndc AS (SELECT doc_id, band, bh FROM (
 inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
 ${minhashSideCtes("a", "st")},
 ${minhashSideCtes("b", "inc")},
-$cappedStateBndCte,
+$derivedCappedStateBndCte,
 cdm AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM abnd a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh),
 cdcm AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -544,8 +613,9 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
     * what the capped streamed gate can surface: state-vs-state pairs in
     * full (they live in the persisted day-1 cluster state, the cap
     * never applies to them), state-vs-increment pairs ONLY through
-    * state band buckets of size <= [[lshBandBucketCap]] (the streamed
-    * probe's collision budget), and increment-vs-increment pairs in
+    * state band buckets of size <= the persisted DERIVED cap (the
+    * streamed probe's collision budget — greatest(floor, 4 · mean),
+    * the r17 default), and increment-vs-increment pairs in
     * full (the batch tail's self-join is increment-bounded already).
     * Cross pairs dropped by the cap are dropped HERE too — accepted
     * approximate maintenance at degenerate dup density, full parity
@@ -555,7 +625,7 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
 inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
 ${minhashSideCtes("a", "st")},
 ${minhashSideCtes("b", "inc")},
-$cappedStateBndCte,
+$derivedCappedStateBndCte,
 ${crossVerifyCtes(0.5, "abndc")},
 scd AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
   FROM abnd l JOIN abnd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
@@ -648,7 +718,7 @@ inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
 incx AS (SELECT i.* FROM inc i JOIN xs ON xs.doc_id = i.doc_id),
 ${minhashSideCtes("a", "st")},
 ${minhashSideCtes("b", "incx")},
-$cappedStateBndCte,
+$derivedCappedStateBndCte,
 ${crossVerifyCtes(0.5, "abndc")},
 best AS (SELECT id2, id1 FROM (
   SELECT *, row_number() OVER (PARTITION BY id2 ORDER BY jaccard DESC, id1) AS rn
@@ -711,7 +781,7 @@ cln AS (SELECT xs.doc_id FROM xs
 incc AS (SELECT i.* FROM inc i JOIN cln ON cln.doc_id = i.doc_id),
 ${minhashSideCtes("a", "st")},
 ${minhashSideCtes("b", "incc")},
-$cappedStateBndCte,
+$derivedCappedStateBndCte,
 ${crossVerifyCtes(0.5, "abndc")},
 best AS (SELECT id2, id1 FROM (
   SELECT *, row_number() OVER (PARTITION BY id2 ORDER BY jaccard DESC, id1) AS rn
@@ -748,7 +818,7 @@ LEFT JOIN asg ON asg.vec_id = i.doc_id"""
 inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
 ${minhashSideCtes("a", "st")},
 ${minhashSideCtes("b", "inc")},
-$cappedStateBndCte
+$derivedCappedStateBndCte
 SELECT DISTINCT a.doc_id AS state_id, b.doc_id AS inc_id
   FROM abndc a JOIN bbnd b ON a.band = b.band AND a.bh = b.bh"""
 
@@ -1931,9 +2001,11 @@ bnv AS (SELECT * FROM (SELECT vec_id, embedding, ${OracleSqlGen.norm("embedding"
 pl AS (SELECT ${OracleSqlGen.tablesLit(8, 4, 64, 42L)} AS tabs),
 ${cosineSideBucketCtes("a", "anv", 8, 4, 64)},
 ${cosineSideBucketCtes("b", "bnv", 8, 4, 64)},
+ccapv AS (SELECT greatest($lshBandBucketCap, 4 * count(*) //
+  count(DISTINCT tb_key)) AS c FROM abk),
 abkc AS (SELECT vec_id, tb_key FROM (
   SELECT *, count(*) OVER (PARTITION BY tb_key) AS bsz FROM abk)
-  WHERE bsz <= $lshBandBucketCap)
+  WHERE bsz <= (SELECT c FROM ccapv))
 SELECT DISTINCT l.vec_id AS state_id, r.vec_id AS inc_id,
   round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.nrm), 4) AS cosine
 FROM abkc l JOIN bbk r ON l.tb_key = r.tb_key
@@ -1942,7 +2014,7 @@ WHERE round(${OracleSqlGen.dot("a.embedding", "b.embedding", 64)} / (a.nrm * b.n
       prepareCosineState(s, d)
       graft.streaming.CosineProbe.verifiedOnce(s, d, cosineStateTable(d),
         Tables.embeddings(s, d).filter(col("vec_id") % 3 =!= 2),
-        threshold = 0.3, bucketCap = Some(lshBandBucketCap))
+        threshold = 0.3, bucketCap = Some(cosineDerivedCap(s, d)))
     },
 
     // Embedding cosine near-dup pairs via multi-table LSH (8 planes x 4
@@ -2268,6 +2340,65 @@ FROM df""") { (s, d) =>
         derivedDocFreqCap = Some((20, 0.08)))
     },
 
+    // The contamination family's PRE-DEDUP bounded member (r16 verdict
+    // task 4): TRAIN-side per-fingerprint witness cap — first
+    // fpOccCap train doc_ids per fingerprint — bounds the shared-
+    // fingerprint join to occCap · te_occ rows per fingerprint, LINEAR
+    // in corpus at any duplication density (the exact members' join
+    // term is Θ(Σ tr_occ × te_occ) by definition: measured 900× output
+    // growth on the 30× K-copy fixture, where their df caps are
+    // structurally blind because they count distinct docs against a
+    // corpus-sized threshold). Train-side only: the symmetric cap's
+    // own audit measured test-doc recall 0.14 at sf0.1 — every test
+    // doc must stay in the join. The exact members keep their
+    // documented post-dedup placement; THIS is what a raw crawl can
+    // run. The cap is part of the semantics — the oracle applies it
+    // identically — and its miss rate is dd_occcap_recall_audit's
+    // recorded number.
+    Q("dd_fingerprint_overlap_capped", fingerprintOverlapCappedSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.text.CorpusStats.fingerprintOverlapOccCapped(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 5, w = 8, minShared = 3, occCap = fpOccCap,
+        derivedDocFreqCap = Some((20, 0.08)))
+    },
+
+    // Recall accountability for the occurrence budget above —
+    // dd_cap_recall_audit's treatment applied to the contamination
+    // family: one row recording true pairs, capped pairs, pair recall,
+    // and the decontamination-operative TEST-DOC recall (a test doc
+    // flagged through ANY witness still gets pulled from the eval
+    // set). Runs the exact member once (CacheOnce-shared with
+    // dd_fingerprint_overlap), so it is feasible exactly where the
+    // exact member is — audit-only, never the production path; at
+    // mass-dup density it inherits the exact member's documented skip
+    // while dd_fingerprint_overlap_capped itself still completes.
+    Q("dd_occcap_recall_audit", occCapRecallAuditSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val trainDf = docs.filter(col("doc_id") % 2 === 0)
+      val testDf = docs.filter(col("doc_id") % 2 === 1)
+      val t = graft.text.CorpusStats.fingerprintOverlap(
+        trainDf, testDf, "doc_id", "text", n = 5, w = 8, minShared = 3,
+        derivedDocFreqCap = Some((20, 0.08)))
+      val c = graft.text.CorpusStats.fingerprintOverlapOccCapped(
+        trainDf, testDf, "doc_id", "text", n = 5, w = 8, minShared = 3,
+        occCap = fpOccCap, derivedDocFreqCap = Some((20, 0.08)))
+      val ta = t.agg(count(lit(1)).as("n_pairs_true"),
+        countDistinct(col("test_id")).as("n_test_true"))
+      val ca = c.agg(count(lit(1)).as("n_pairs_capped"),
+        countDistinct(col("test_id")).as("n_test_capped"))
+      ta.crossJoin(ca).select(
+        col("n_pairs_true"), col("n_pairs_capped"),
+        when(col("n_pairs_true") === 0, lit(1.0)).otherwise(
+          round(col("n_pairs_capped").cast("double") / col("n_pairs_true"), 4))
+          .as("pair_recall"),
+        col("n_test_true"), col("n_test_capped"),
+        when(col("n_test_true") === 0, lit(1.0)).otherwise(
+          round(col("n_test_capped").cast("double") / col("n_test_true"), 4))
+          .as("test_recall"))
+    },
+
     // Stratified EXACT-k sampling: the deterministic per-language eval
     // probe — k rows per stratum by hash order (hash-fraction sampling
     // only hits quotas in expectation). Window keyed by stratum.
@@ -2452,18 +2583,20 @@ FROM bk""") { (s, d) =>
             expr("4 * sum(c) div count(1)")).as("derived_cap"))
     },
 
-    // Recall accountability for the BINDING budget cap
-    // (st_incremental_clusters_capped's lshBandBucketCap — unlike the
-    // derived verdict-path caps, this one deliberately binds at
-    // mass-duplication density): one row per run recording the
-    // candidate volume the budget drops AND the measured pair recall of
-    // the capped feed against the uncapped truth — capped verified
-    // cross pairs / all verified cross pairs. The cap-aware oracle
-    // keeps the capped query correct to its own definition; THIS row is
-    // what makes the definition's miss rate a recorded number (1.0 at
-    // driver SFs where the cap never binds; the K-copy fixtures are
-    // where it earns its place — SCALE.md r16 carries the three-fixture
-    // row). Verification runs ONCE, on the uncapped feed: the capped
+    // Recall accountability for the BINDING probe cap — since r17 the
+    // persisted DERIVED cap (greatest(floor, 4 · mean bucket size)),
+    // after this audit measured the old fixed-16 budget at pair recall
+    // 0.39 at 30× duplication density and its own reading ("the fixed
+    // budget is the wrong default past ~10× density") became the
+    // policy: one row per run recording the candidate volume the cap
+    // drops AND the measured pair recall of the capped feed against
+    // the uncapped truth — capped verified cross pairs / all verified
+    // cross pairs. The cap-aware oracle keeps the capped queries
+    // correct to their own definition; THIS row is what makes the
+    // definition's miss rate a recorded number (1.0 at driver SFs
+    // where only the floor binds; the K-copy fixtures are where the
+    // derived cap must hold ≥0.95 — SCALE.md carries the per-fixture
+    // rows). Verification runs ONCE, on the uncapped feed: the capped
     // candidate set is a subset, so its verified set is vf ∩ capped
     // candidates — a semi-join, not a second Jaccard pass.
     Q("dd_cap_recall_audit", capRecallAuditSql) { (s, d) =>
@@ -2481,7 +2614,7 @@ FROM bk""") { (s, d) =>
         Dedup.bandKeys(incSets, "doc_id", 32, 4))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("band_key")
       val cappedState = stateBands.withColumn("_bsz", count(lit(1)).over(w))
-        .filter(col("_bsz") <= lshBandBucketCap).drop("_bsz")
+        .filter(col("_bsz") <= lshDerivedCap(s, d)).drop("_bsz")
       // Both feeds ride the state table's bucketing into a sort-merge
       // probe (the family's exchange-free discipline); distinct pairs.
       def cands(st: org.apache.spark.sql.DataFrame) = st.hint("merge")
@@ -2546,12 +2679,12 @@ FROM bk""") { (s, d) =>
     // st_lsh_probe's shape over the Manku key state, except the gate
     // emits VERIFIED pairs: the signature travels in the state rows,
     // Hamming filters inside the stateless stream-static join, and no
-    // batch verify tail exists. Budget-path fixed cap (bounded
-    // per-drain cost is the gate's semantics), cap-aware oracle.
+    // batch verify tail exists. Derived bucket cap (persisted at state
+    // build — the r17 default for every probe path), cap-aware oracle.
     Q("st_simhash_probe", simhashProbeSql) { (s, d) =>
       prepareSimhashState(s, d)
       graft.streaming.SimhashProbe.verifiedOnce(s, d, simhashStateTable(d),
-        bucketCap = Some(lshBandBucketCap))
+        bucketCap = Some(simhashDerivedCap(s, d)))
     },
 
     // The composed daily-crawl pass — the operational shape the three
@@ -2594,7 +2727,7 @@ FROM bk""") { (s, d) =>
           inc.join(clean, Seq("doc_id"), "left_semi"),
           docs.filter(col("doc_id") % 3 =!= 2), s.table(lshStateTable(d)),
           "doc_id", "text", numHashes = 32, rowsPerBand = 4, shingleN = 2,
-          threshold = 0.5, bandBucketCap = Some(lshBandBucketCap)))
+          threshold = 0.5, bandBucketCap = Some(lshDerivedCap(s, d))))
       val ndAcc = ndVerdicts.filter(col("accepted")).select(col("doc_id"))
       val cents = s.read.parquet(centroidStatePath(s, d))
       val cn = cents.select(col("vec_id").as("cell"), col("embedding").as("cv"),
@@ -2644,7 +2777,7 @@ FROM bk""") { (s, d) =>
           inc.join(exactAcc, Seq("doc_id"), "left_semi"),
           docs.filter(col("doc_id") % 3 =!= 2), s.table(lshStateTable(d)),
           "doc_id", "text", numHashes = 32, rowsPerBand = 4, shingleN = 2,
-          threshold = 0.5, bandBucketCap = Some(lshBandBucketCap)))
+          threshold = 0.5, bandBucketCap = Some(lshDerivedCap(s, d))))
       val ndAcc = ndVerdicts.filter(col("accepted")).select(col("doc_id"))
       val cents = s.read.parquet(centroidStatePath(s, d))
       val cn = cents.select(col("vec_id").as("cell"), col("embedding").as("cv"),
@@ -2684,7 +2817,7 @@ FROM bk""") { (s, d) =>
     Q("st_lsh_probe", lshProbeSql) { (s, d) =>
       prepareLshState(s, d)
       graft.streaming.LshProbe.candidatesOnce(s, d, lshStateTable(d),
-        bandBucketCap = Some(lshBandBucketCap))
+        bandBucketCap = Some(lshDerivedCap(s, d)))
     },
 
     // Bloom-prefiltered decontamination: test-split shingles collapse
@@ -2853,17 +2986,19 @@ FROM comp GROUP BY 1""") { (s, d) =>
     // The CAPPED streamed incremental-cluster variant — the scale-safe
     // deployment shape (st_er_probe's precedent applied to clusters):
     // the live collision gate runs WITH the state-side band-bucket
-    // budget ([[lshBandBucketCap]], st_lsh_probe's cap), so a
-    // degenerate state bucket (boilerplate band, mass duplication) is
-    // dropped ONCE on the static side instead of fanning every arriving
-    // doc out bucket-size-fold — per-arrival probe cost stays bounded
-    // at ANY duplication density (the uncapped twin above is the
-    // full-re-cluster parity/audit query; this is what production
-    // runs). The cap is PART OF THE SEMANTICS: the oracle re-clusters
-    // over exactly the cap-surviving cross pairs (plus full state-state
-    // and inc-inc pairs), so cap behavior is pinned by hash, never
-    // waived. At driver SFs the cap never binds and the result equals
-    // the uncapped query's.
+    // budget — since r17 the persisted DERIVED cap (st_lsh_probe's
+    // cap; the fixed 16 it replaced measured 0.39 pair recall at 30×
+    // density in dd_cap_recall_audit), so a truly degenerate state
+    // bucket (far above 4 · mean) is dropped ONCE on the static side
+    // instead of fanning every arriving doc out bucket-size-fold —
+    // per-arrival probe cost stays bounded by a constant of the state
+    // generation at ANY duplication density (the uncapped twin above
+    // is the full-re-cluster parity/audit query; this is what
+    // production runs). The cap is PART OF THE SEMANTICS: the oracle
+    // re-clusters over exactly the cap-surviving cross pairs (plus
+    // full state-state and inc-inc pairs), so cap behavior is pinned
+    // by hash, never waived. At driver SFs only the floor binds and
+    // the result equals the uncapped query's.
     Q("st_incremental_clusters_capped",
       cappedIncrementalClustersOracleSql) { (s, d) =>
       prepareClusterState(s, d); prepareLshState(s, d)
@@ -2875,7 +3010,7 @@ FROM comp GROUP BY 1""") { (s, d) =>
       ).toString
       val crossCands = graft.streaming.LshProbe
         .candidatesOnce(s, d, lshStateTable(d),
-          bandBucketCap = Some(lshBandBucketCap), sinkDir = Some(staged))
+          bandBucketCap = Some(lshDerivedCap(s, d)), sinkDir = Some(staged))
         .select(col("state_id").as("id1"), col("inc_id").as("id2"))
       val pairs = Dedup.verifyIncrementPairs(crossCands,
         docs.filter(col("doc_id") % 3 === 2),
@@ -2944,9 +3079,11 @@ FROM comp GROUP BY 1""") { (s, d) =>
       // its bucketed band-state probe must land inside the watch window
       // (the terminal plan only retains the dEE edge-state join).
       graft.plans.PlanChecks.watchFinalPlans(s, pgEdgeStateTable(d), "triangle edge state")
+      graft.plans.PlanChecks.watchFinalPlans(s, pgPairStateTable(d), "triangle pair state")
       graft.plans.PlanChecks.watchFinalPlans(s, lshStateTable(d), "LSH state")
       val docs = Tables.documents(s, d)
       val stateAdj = s.table(pgEdgeStateTable(d))
+      val statePairs = s.table(pgPairStateTable(d))
       val stateCounts = s.read.parquet(triangleStatePath(s, d))
       val incPairs = Dedup.incrementalNearDupPairs(
         docs.filter(col("doc_id") % 3 === 2),
@@ -2955,10 +3092,23 @@ FROM comp GROUP BY 1""") { (s, d) =>
         "doc_id", "text", numHashes = 32, rowsPerBand = 4,
         shingleN = 2, threshold = 0.5, bandBucketCap = None)
       val out = graft.graph.Triangles.incrementalPerNodeCounts(
-          stateAdj, incPairs, stateCounts)
+          stateAdj, statePairs, incPairs, stateCounts)
         .select(col("id").as("doc_id"), col("triangles"))
       graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
-        out.queryExecution.executedPlan, "triangle edge/LSH state")
+        out.queryExecution.executedPlan, "triangle edge/pair/LSH state")
+      // Both graph states are written with one file per bucket and a
+      // sortBy matching their probe keys (adjacency: (src, dst) serving
+      // the src-keyed candEE probe by prefix; pair state: the closes'
+      // composite (src, dst) key), so every merge close consumes its
+      // ordering straight from the scan — no state-side Sort and no
+      // state-side Exchange may be planned (r16 advisory + the r17
+      // composite-key finding).
+      graft.plans.PlanChecks.requireSortFreeBucketedScan(
+        out.queryExecution.executedPlan, pgEdgeStateTable(d),
+        "triangle edge state")
+      graft.plans.PlanChecks.requireSortFreeBucketedScan(
+        out.queryExecution.executedPlan, pgPairStateTable(d),
+        "triangle pair state")
       out
     },
 
@@ -3844,14 +3994,20 @@ FROM rw"""
     * (a layout statistic, like the fingerprint — probes must stay
     * O(increment), so they read the 1-row checkpoint instead of
     * re-scanning the state), reported by dd_band_audit, and consumed by
-    * dd_incremental_neardup. POLICY SPLIT, deliberate: the VERDICT path
-    * derives its cap (a fixed cap inverts at high dup density — every
-    * bucket crosses it, the probe surfaces nothing, and every increment
-    * doc is silently marked unique, the worst failure an acceptance
-    * gate can have); the BUDGET paths (st_lsh_probe,
-    * st_incremental_clusters_capped, pipe_incremental_crawl) keep the
-    * fixed [[lshBandBucketCap]] — bounded per-drain cost IS their
-    * semantics. */
+    * dd_incremental_neardup. Since r17 this derived cap is the ONE
+    * policy for every probe path — verdict AND budget alike
+    * (st_lsh_probe, st_incremental_clusters_capped, pipe_* and the
+    * SimHash/cosine gates via their own family checkpoints): a fixed
+    * cap inverts at high dup density — every bucket crosses it, the
+    * probe surfaces nothing, and every increment doc is silently
+    * marked unique, the worst failure an acceptance gate can have
+    * (dd_cap_recall_audit measured the retired fixed-16 budget at
+    * pair recall 0.39 at 30× density). Per-drain cost stays bounded:
+    * the cap is a constant of the state GENERATION (4 · mean bucket
+    * size at build time), so a drain's fan-out is capped at a number
+    * fixed before the drain starts — it grows only when the state is
+    * rebuilt denser, which is the accountable trade the audit row
+    * records. */
   private[queries] def lshCapPath(s: org.apache.spark.sql.SparkSession,
                                   d: String): String = {
     val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
@@ -4159,6 +4315,14 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
   private[graft] def pgEdgeStateTable(sfDir: String): String =
     s"graft_pg_edges_${sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
 
+  /** The triangle closes' pair state: the canonical (src < dst) edge
+    * set, bucketed+sorted on the composite (src, dst) close-join key
+    * (the src-bucketed adjacency cannot serve those joins
+    * exchange-free — requireAllClusterKeysForCoPartition). Derived
+    * from [[pgEdgeStateTable]] at prep time; |E| rows. */
+  private[graft] def pgPairStateTable(sfDir: String): String =
+    s"graft_pg_pairs_${sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")}"
+
   /** pg_incremental_pagerank's persisted RANK state path (one row per
     * state-graph node, the 6-decimal checkpoint the refresh seeds
     * from). */
@@ -4189,6 +4353,14 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
                            d: String): Unit = {
     preparePageRankState(s, d)
     val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
+    // The closes' pair state: the canonical id-sorted edge set,
+    // bucketed AND sorted on the closes' composite join key (src, dst)
+    // — see Triangles.incrementalPerNodeCounts' 4-arg doc for why the
+    // src-bucketed adjacency cannot serve these joins exchange-free.
+    graft.ops.ScaleOps.ensureBucketedKeys(
+      s.table(pgEdgeStateTable(d)).filter(col("src") < col("dst")),
+      pgPairStateTable(d), Seq("src", "dst"), 32,
+      srcFingerprint = fp + "|src,dst")
     // BY-NAME frame: perNodeCounts is lazy, but keep the lazy variant
     // for freshness-check symmetry with the rank state.
     graft.ops.ScaleOps.ensureSortedByLazy(s, triangleStatePath(s, d),
@@ -4213,7 +4385,14 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
           Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2),
           "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)),
-      pgEdgeStateTable(d), "src", 32, srcFingerprint = fp)
+      // Sorted on BOTH keys (r16 advisory): the triangle closes are
+      // sort-merge joins on (src, dst), and a src-only sort spec made
+      // every refresh pay two full-state per-partition sorts. The
+      // "|src,dst" fingerprint suffix is a layout-format bump — stale
+      // src-only generations rebuild on first touch (ops_state_gc
+      // collects the orphans).
+      pgEdgeStateTable(d), "src", 32, srcFingerprint = fp + "|src,dst",
+      sortCols = Seq("src", "dst"))
     // The `symmetric = true` waiver below rests on "the edge table IS a
     // symmetrize() CTAS" — but every LATER call reads the table back, so
     // the claim is checked ONCE per fingerprint, where the table is

@@ -12,8 +12,16 @@ object RelationalQueries {
 
   // ---- SCD2 fixture snapshots, derived in-plan from customer ----
   // v2: balance bump on %10=0, deletes on %17=3, inserts cloned at
-  // +1000000 from %13=5. v3 applies a second round of the same kinds of
-  // change to v2 (bump %7=1, delete %19=4, insert +2000000 from %11=6).
+  // +10^12 from %13=5. v3 applies a second round of the same kinds of
+  // change to v2 (bump %7=1, delete %19=4, insert +2·10^12 from %11=6).
+  // The insert offsets are 10^12-scaled (r17): the original +1M/+2M
+  // collided with REAL customer keys at the 30× stress fixture
+  // (scale_up shifts c_custkey by i·100k per copy — K=30 reaches
+  // 2.9M), making v2 carry duplicate business keys and silently
+  // violating the SCD2 one-row-per-key snapshot contract the whole
+  // family is specified against (caught as a 512k-vs-458k asof row
+  // mismatch in the r17 30× oracle drain). 10^12 clears any
+  // realistic K (collision needs K ≥ 10^7 copies).
   private def customerV1(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.customer(s, d).select("c_custkey", "c_acctbal", "c_mktsegment")
 
@@ -25,7 +33,7 @@ object RelationalQueries {
           .otherwise(col("c_acctbal")).as("c_acctbal"),
         col("c_mktsegment"))
       .union(v1.filter(col("c_custkey") % 13 === 5)
-        .select(col("c_custkey") + 1000000, col("c_acctbal"), col("c_mktsegment")))
+        .select(col("c_custkey") + 1000000000000L, col("c_acctbal"), col("c_mktsegment")))
   }
 
   private def customerV3(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -36,7 +44,7 @@ object RelationalQueries {
           .otherwise(col("c_acctbal")).as("c_acctbal"),
         col("c_mktsegment"))
       .union(v2.filter(col("c_custkey") % 11 === 6)
-        .select(col("c_custkey") + 2000000, col("c_acctbal"), col("c_mktsegment")))
+        .select(col("c_custkey") + 2000000000000L, col("c_acctbal"), col("c_mktsegment")))
   }
 
   // ---- SCD2 × IVM composition (ivm_scd2_agg) ----------------------
@@ -46,7 +54,7 @@ object RelationalQueries {
   private val scd2V3Cte: String =
     """v3 AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 1 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
   c_mktsegment FROM v2 WHERE c_custkey % 19 <> 4
-  UNION ALL SELECT c_custkey + 2000000, c_acctbal, c_mktsegment FROM v2 WHERE c_custkey % 11 = 6)"""
+  UNION ALL SELECT c_custkey + 2000000000000, c_acctbal, c_mktsegment FROM v2 WHERE c_custkey % 11 = 6)"""
 
   private[queries] def scd2AggStatePath(s: org.apache.spark.sql.SparkSession,
                                         d: String): String = {
@@ -89,15 +97,23 @@ object RelationalQueries {
       scd2AggPartial(factCents(s, d).filter(col("o_orderkey") % 3 =!= 2),
         frontierBands(h12(s, d))),
       scd2AggStatePath(s, d), "bal_band", numFiles = 1,
+      // ":synthoff=1e12" is a DERIVATION-format token, not a source
+      // fingerprint: the state aggregates over the v2 frontier, whose
+      // synthetic-insert offsets changed in r17 (collision fix above)
+      // — without the token an old-offset state generation matches the
+      // unchanged source files and serves stale (exactly how the r17
+      // 30× re-verify first caught ivm_scd2_agg mismatching: the r16
+      // sweep's state survived in the shared warehouse).
       srcFingerprint =
         graft.ops.ScaleOps.fileFingerprint(s"$d/orders.parquet") + "|" +
-          graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"))
+          graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet") +
+          ":synthoff=1e12")
 
   private val scd2V12Ctes: String =
     """v1 AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
 v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
   c_mktsegment FROM customer WHERE c_custkey % 17 <> 3
-  UNION ALL SELECT c_custkey + 1000000, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 13 = 5),
+  UNION ALL SELECT c_custkey + 1000000000000, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 13 = 5),
 j AS (SELECT v1.c_custkey AS ck, v2.c_custkey AS nk,
   v1.c_acctbal AS cb, v2.c_acctbal AS nb, v1.c_mktsegment AS cm, v2.c_mktsegment AS nm,
   (v1.c_custkey IS NOT NULL AND v2.c_custkey IS NOT NULL AND
@@ -462,7 +478,7 @@ UNION ALL SELECT nk, nb, nm, CAST(3 AS BIGINT), CAST(NULL AS BIGINT), true FROM 
 
     // SCD2 snapshot merge: the customer dimension's v2 snapshot is
     // derived in-plan (balance bump on custkey%10=0, deletes on
-    // custkey%17=3, inserts cloned at custkey+1000000 from %13=5), then
+    // custkey%17=3, inserts cloned at custkey+10^12 from %13=5), then
     // merged into type-2 history rows — one full-outer join on the
     // business key, 0–2 history rows per key from a single explode.
     Q("scd2_merge",
@@ -502,8 +518,11 @@ UNION ALL SELECT nk, nb, nm, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true
       val keys = Seq("c_custkey")
       val tracked = Seq("c_acctbal", "c_mktsegment")
       val tag = "scd2_feed_" + d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+      // Feed-format version v2 (r17): the v2/v3 snapshot derivations'
+      // synthetic-insert offsets moved to 10^12 (30× key-collision
+      // fix), so histories applied under the old feed must rebuild.
       val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet") +
-        ":v2v3feed:v1"
+        ":v2v3feed:v2"
       val init = customerV1(s, d)
         .withColumn("valid_from", lit(1L))
         .withColumn("valid_to", lit(null).cast("long"))

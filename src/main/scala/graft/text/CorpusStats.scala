@@ -213,6 +213,78 @@ object CorpusStats {
       .filter(col("witness_rank") <= k)
   }
 
+  /** The PRE-DEDUP bounded member of the contamination family (r16
+    * verdict task 4): [[fingerprintOverlap]] with a TRAIN-SIDE
+    * per-fingerprint WITNESS cap on top of the doc-frequency cap —
+    * keep only the `occCap` smallest train doc_ids per fingerprint
+    * (deterministic), so the fingerprint join emits at most occCap ·
+    * te_occ(f) rows per fingerprint: linear in corpus size at ANY
+    * duplication density. The exact members' join term is
+    * Θ(Σ_f tr_occ(f) × te_occ(f)) by definition, which a K-copy
+    * corpus multiplies by K² (measured 900× at the 30× fixture — 571M
+    * join rows; the df cap is structurally blind to it because it
+    * counts distinct docs against a corpus-sized threshold). The
+    * exact members' documented place is post-dedup
+    * (pipe_corpus_clean); THIS is the member a crawl can run
+    * pre-dedup.
+    *
+    * Train-side ONLY, deliberately — the first cut capped BOTH sides
+    * (the symmetric "first M positions per side" design), and its own
+    * audit killed it: test-doc recall 0.14 at sf0.1, because a test
+    * doc beyond rank M on every fingerprint it shares is never
+    * flagged at all — the one failure a decontamination gate cannot
+    * have. Capping only the witness side keeps EVERY test doc in the
+    * join (test-doc recall rides the retained witnesses, and a
+    * duplicate train family's fingerprints elect the SAME first-M
+    * docs on every fingerprint, so retained witnesses keep full
+    * n_shared counts), while the bound stays linear: occCap ·
+    * |test occurrences|. The budget is FIXED, not derived — a derived
+    * cap (c · mean occurrence) grows with K and restores the K² term;
+    * what the budget costs is dd_occcap_recall_audit's recorded
+    * number (pair recall drops by design — redundant duplicate-train
+    * witnesses are exactly what is dropped — while test-doc recall is
+    * the operative gate metric). */
+  def fingerprintOverlapOccCapped(train: DataFrame, test: DataFrame,
+                                  idCol: String, textCol: String,
+                                  n: Int = 5, w: Int = 8,
+                                  minShared: Int = 3, occCap: Int = 16,
+                                  derivedDocFreqCap: Option[(Int, Double)] = None): DataFrame = {
+    def fps(df: DataFrame) =
+      winnowFingerprintsNative(df, idCol, textCol, n, w, useMd5 = true)
+    val derivedCapDf = derivedDocFreqCap.map { case (floor, frac) =>
+      train.agg(greatest(lit(floor.toLong),
+        ceil(lit(frac) * count(lit(1))).cast("long")).as("_cap"))
+    }
+    // Caps ride ONE window pass keyed on fingerprint (the df count and
+    // the witness rank share the partition; the rank's (fingerprint,
+    // id) sort feeds the join's merge side) — each side leaves
+    // hash-partitioned by fingerprint, which is the join's
+    // distribution, so nothing re-shuffles.
+    def capped(f: DataFrame, witnessCap: Option[Int]) = {
+      val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+      val ranked = f.withColumn("_df", count(lit(1)).over(byFp))
+      val dfGated = derivedCapDf match {
+        case Some(capDf) =>
+          ranked.crossJoin(broadcast(capDf)).filter(col("_df") <= col("_cap"))
+        case None => ranked
+      }
+      witnessCap.fold(dfGated) { cap =>
+        dfGated
+          .withColumn("_occ", row_number().over(byFp.orderBy(col(idCol))))
+          .filter(col("_occ") <= cap)
+      }.select(col(idCol), col("fingerprint"))
+    }
+    graft.ops.CacheOnce.swap("fingerprint-overlap-occcapped-pairs",
+      capped(fps(train), Some(occCap))
+        .select(col(idCol).as("train_id"), col("fingerprint"))
+        .hint("merge")
+        .join(capped(fps(test), None)
+          .select(col(idCol).as("test_id"), col("fingerprint")),
+          Seq("fingerprint"))
+        .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared))
+  }
+
   /** Maximal VERBATIM token spans shared between a train and a test
     * corpus — the span-level complement of [[fingerprintOverlap]]:
     * where that reports "these two docs share >= m fingerprints", this

@@ -10,6 +10,9 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", 4)
+      // Mirror GraftSession: bucketed sortBy metadata feeds the scan's
+      // outputOrdering (our bucketed CTAS writes one file per bucket).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -106,6 +106,65 @@ class TrianglesSpec extends SparkSpec {
       s"a planned broadcast is back in the delta closes: $joins")
   }
 
+  test("sorted bucketed edge+pair states enter the merge closes with no " +
+    "state-side Sort and no state-side Exchange (and stay correct)") {
+    // r17 layout: the adjacency is bucketed on src and sorted
+    // (src, dst) with ONE file per bucket (candEE consumes the src
+    // prefix ordering from the scan); the closes' canonical pair set
+    // is a SECOND state bucketed+sorted on the composite (src, dst)
+    // key — Spark's requireAllClusterKeysForCoPartition rejects
+    // subset-key co-partitioning, so a src-bucketed frame re-shuffles
+    // in full on every (src, dst)-keyed close (at 100× that was two
+    // |E| = 33M-row shuffles + sorts per refresh). Broadcast disabled
+    // so the closes actually plan SMJ at this toy size.
+    val tAdj = "tri_edge_sorted_state"
+    val tPair = "tri_pair_sorted_state"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val stateEdges = (for {
+        a <- 1L to 30L; b <- 1L to 30L
+        if a < b && (a * 31 + b) % 5 < 2
+      } yield (a, b)).toSet
+      val delta = Set((1L, 31L), (2L, 31L), (3L, 32L)) ++
+        (for { a <- 1L to 30L; b <- 1L to 30L
+               if a < b && !stateEdges((a, b)) && (a * 13 + b) % 17 == 0
+         } yield (a, b)).take(4)
+      graft.ops.ScaleOps.ensureBucketed(
+        PageRank.symmetrize(stateEdges.toSeq.toDF("id1", "id2")),
+        tAdj, "src", 4, sortCols = Seq("src", "dst"))
+      graft.ops.ScaleOps.ensureBucketedKeys(
+        spark.table(tAdj).filter($"src" < $"dst"),
+        tPair, Seq("src", "dst"), 4)
+      val counts = Triangles.perNodeCounts(stateEdges.toSeq.toDF("id1", "id2"))
+      val out = Triangles.incrementalPerNodeCounts(
+        spark.table(tAdj), spark.table(tPair),
+        delta.toSeq.toDF("id1", "id2"), counts)
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref(stateEdges ++ delta))
+      val plan = out.queryExecution.executedPlan
+      for (t <- Seq(tAdj, tPair)) {
+        graft.plans.PlanChecks.requireSortFreeBucketedScan(plan, t, t)
+        // Exchange-free below the consuming join, for BOTH states —
+        // checkFinalPlan's bucket-key watch would miss a composite-key
+        // re-shuffle (it re-keys), so assert it directly here.
+        graft.plans.PlanChecks.fileScanPaths(plan, t).foreach { case (_, path) =>
+          val joinIdx = path.lastIndexWhere(
+            _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+          assert(joinIdx >= 0, s"no join consumes the $t scan")
+          assert(!path.drop(joinIdx + 1).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+            s"$t re-shuffled into its close:\n${path.mkString("\n")}")
+        }
+      }
+      graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(plan, "graph state")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $tAdj")
+      spark.sql(s"DROP TABLE IF EXISTS $tPair")
+    }
+  }
+
   test("a hub star with one closing edge yields exactly one triangle") {
     // hub 1 connected to 2..9, plus edge (2,3): only {1,2,3} closes.
     val star = (2L to 9L).map(1L -> _) :+ (2L, 3L)

@@ -84,4 +84,37 @@ class StateGcSpec extends SparkSpec {
     val r2 = StateGc.run(spark, wh, Seq.empty, "graft_specgc_", dryRun = false).collect()
     assert(r2.length == 1 && r2.head.getString(5) == "drop")
   }
+
+  test("colliding lossy tags: a generation serving the SHADOWED dir " +
+    "survives a destructive pass (fingerprints union per tag)") {
+    // tagOf is lossy: "<base>/gc a" and "<base>/gc_a" both render to
+    // tag "..._gc_a". Before r17 liveDirs.toMap kept ONE dir's
+    // fingerprints per tag, so a live generation keyed to the shadowed
+    // dir's fingerprint was dropped as stale — GC deleting a
+    // live-serving generation, the one failure it must never have.
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val base = Files.createTempDirectory("gccollide")
+    val dirA = base.resolve("gc a"); Files.createDirectory(dirA)
+    val dirB = base.resolve("gc_a"); Files.createDirectory(dirB)
+    Files.write(dirA.resolve("a.bin"), "aaaa".getBytes)
+    Thread.sleep(5) // distinct mtimes → distinct fingerprints
+    Files.write(dirB.resolve("b.bin"), "bb-longer".getBytes)
+    val tagA = StateGc.tagOf(dirA.toString)
+    assert(tagA == StateGc.tagOf(dirB.toString), "fixture must collide")
+    val fpB = ScaleOps.fileFingerprint(dirB.resolve("b.bin").toString)
+    val gen = new java.io.File(wh, s"graft_specgc_collide_$tagA").toString
+    try {
+      // Generation keyed to dir B's fingerprint; both dirs declared live
+      // (dir A listed FIRST, the order that used to shadow B's fps).
+      ScaleOps.ensureSortedBy(spark.range(4).toDF("id"), gen, "id", 1, fpB)
+      val r = StateGc.run(spark, wh, Seq(dirA.toString, dirB.toString),
+        "graft_specgc_", dryRun = false).collect()
+      assert(r.length == 1 && r.head.getString(5) == "keep",
+        s"live-serving generation dropped under tag collision: ${r.toSeq}")
+      assert(spark.read.parquet(gen).count() == 4)
+    } finally {
+      val d = new java.io.File(gen)
+      if (d.exists()) ScaleOps.deleteLocal(d)
+    }
+  }
 }

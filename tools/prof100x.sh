@@ -11,7 +11,9 @@
 set -u
 FIX=${1:-/tmp/graft_sf100x}
 OUT=${2:-/tmp/prof100x}
-mkdir -p "$OUT"
+# java.io.tmpdir is NOT auto-created by the JVM — a fresh host fails
+# every File.createTempFile under it without this (ADVICE r16).
+mkdir -p "$OUT" /tmp/v3x_tmp
 for grp in dd_incremental_contamination \
            er_incremental_clusters,er_incremental_clusters_capped,er_incremental_survivorship \
            pg_incremental_triangles \
@@ -21,6 +23,10 @@ for grp in dd_incremental_contamination \
   RUNJAR_OPTS="-Djava.io.tmpdir=/tmp/v3x_tmp -Dspark.executor.heartbeatInterval=30s -Dspark.network.timeout=600s" \
   /root/repo/tools/runjar.sh -mem 85g graft.ProfSkew "$grp" "$FIX" 2 \
     > "$OUT/$tag.log" 2>&1
-  grep -E '^\[skew\]' "$OUT/$tag.log" | grep -vE 'stage +[0-9]' | tail -16
+  # Preview scaled to the group size (ADVICE r16: a fixed tail -16
+  # hid the first members of the 3-query er_* group) — the full log is
+  # in $OUT/$tag.log either way.
+  n=$(echo "$grp" | tr ',' '\n' | wc -l)
+  grep -E '^\[skew\]' "$OUT/$tag.log" | grep -vE 'stage +[0-9]' | tail -$((16 * n))
 done
 echo PROF100X_DONE
