@@ -53,6 +53,60 @@ object ScaleOps {
                     numBuckets: Int, sortCols: Seq[String] = Nil): Unit =
     writeBucketedKeys(df, table, Seq(key), numBuckets, sortCols)
 
+  // ---- Derived bucket counts (layout policy, not a constant) --------
+  // A literal bucket count is a scale bug in both directions: 32
+  // one-file buckets over a 100 TB state writes multi-TB files AND caps
+  // every later probe's scan parallelism at 32 tasks; thousands of
+  // buckets over a 100 MB state is pure file-count overhead. The count
+  // must be a function of the state's own size at CTAS — the derived-cap
+  // pattern applied to layout. Targets are conf-tunable (they participate
+  // in the layout fingerprint, so a policy change rebuilds generations).
+
+  /** (targetBytesPerBucket, targetRowsPerBucket, floor). Defaults:
+    * 128 MiB / 8M rows per bucket — bucket files a scan task handles in
+    * one read, small enough that a retry is cheap; floor 32 keeps the
+    * local-harness parallelism and the historic layout for states the
+    * fixtures keep small. */
+  private[graft] def bucketTargets(spark: SparkSession): (Long, Long, Int) = (
+    spark.conf.get("graft.state.bucketTargetBytes", (128L << 20).toString).toLong,
+    spark.conf.get("graft.state.bucketTargetRows", (8L * 1000 * 1000).toString).toLong,
+    spark.conf.get("graft.state.bucketFloor", "32").toInt)
+
+  /** Bucket count for a state of `bytes`/`rows`: enough buckets that
+    * each stays under BOTH targets, rounded UP to a power of two (>=
+    * floor) so two derived generations' counts always divide — the
+    * precondition for Spark's bucket-join coalescing when two states of
+    * different generations ever meet in a join. */
+  private[graft] def deriveBucketCount(bytes: Long, rows: Long,
+                                       targetBytes: Long, targetRows: Long,
+                                       floor: Int): Int = {
+    def ceilDiv(a: Long, b: Long) = if (a <= 0) 1L else (a + b - 1) / b
+    val need = math.max(ceilDiv(bytes, targetBytes), ceilDiv(rows, targetRows))
+    var n = math.max(floor, 1)
+    while (n < need && n < (1 << 24)) n <<= 1
+    n
+  }
+
+  /** Total (bytes, rows) of the parquet tree at `path`, from file sizes
+    * and footer row counts — metadata only, never a data scan. */
+  private[graft] def parquetStats(spark: SparkSession, path: String): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val (fs, base) = hadoopFs(spark, path)
+    val files = fs.listStatus(base).toSeq.filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_")
+    }
+    val bytes = files.map(_.getLen).sum
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.sum
+    (bytes, rows)
+  }
+
   /** Multi-key variant of [[writeBucketed]] — for states whose probe
     * join carries a COMPOSITE key (e.g. the triangle closes' canonical
     * (src, dst) pair set): Spark's co-partitioning check requires ALL
@@ -86,6 +140,40 @@ object ScaleOps {
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(sc.head, sc.tail: _*)
       .saveAsTable(table)
+    assertOneFilePerBucket(spark, loc.toString, numBuckets)
+  }
+
+  /** The one-file-per-bucket invariant, asserted AT THE WRITE SITE
+    * (ADVICE r17): the sortBy-ordering optimization above silently
+    * breaks if `spark.sql.files.maxRecordsPerFile` ever splits a task's
+    * bucket into several files, or if the writer's bucket-id hash ever
+    * diverges from repartition's partitioner — and the failure would
+    * otherwise surface far away, as a requireSortFreeBucketedScan crash
+    * in whatever query probes the state first. Cheap directory listing
+    * (bucket ids parsed from the `part-*_NNNNN.c000*` file-name
+    * convention), Hadoop FS so remote warehouses check the same way. */
+  private[graft] def assertOneFilePerBucket(spark: SparkSession, loc: String,
+                                            numBuckets: Int): Unit = {
+    val (fs, base) = hadoopFs(spark, loc)
+    val bucketRe = "_(\\d{5})\\.".r
+    val dataFiles = fs.listStatus(base).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val ids = dataFiles.flatMap(st =>
+      bucketRe.findFirstMatchIn(st.getPath.getName).map(_.group(1).toInt))
+    // An all-empty frame writes no data files at all — vacuously fine
+    // (the ordering contract has nothing to order); a data file WITHOUT
+    // a parseable bucket id in a bucketed table dir is never fine.
+    require(ids.size == dataFiles.size,
+      s"bucketed CTAS at $loc wrote data files without bucket ids")
+    if (dataFiles.isEmpty) return
+    val dup = ids.groupBy(identity).filter(_._2.size > 1)
+    require(dup.isEmpty,
+      s"bucketed CTAS at $loc wrote multiple files for bucket(s) " +
+        s"${dup.keys.toSeq.sorted.take(5).mkString(",")} — the one-file-per-" +
+        "bucket contract behind bucketed-scan outputOrdering is broken " +
+        "(maxRecordsPerFile set, or writer/partitioner hash divergence)")
+    require(ids.forall(_ < numBuckets),
+      s"bucketed CTAS at $loc wrote bucket ids beyond numBuckets=$numBuckets")
   }
 
   /** Idempotent [[writeBucketed]]: skip when the CURRENT catalog already
@@ -112,23 +200,91 @@ object ScaleOps {
                      sortCols: Seq[String] = Nil): Boolean =
     ensureBucketedKeys(df, table, Seq(key), numBuckets, srcFingerprint, sortCols)
 
+  /** Rendered layout contract of a bucketed table — keys, sort columns
+    * and bucket sizing — stored as table property `graft.layout` and
+    * folded into the freshness test AUTOMATICALLY (ADVICE r17: layout
+    * changes used to be invalidated only by hand-written fingerprint
+    * suffix bumps like "|src,dst"; now a keys/sort/count/policy change
+    * can never serve a stale generation even without one). */
+  private def layoutContract(keys: Seq[String], sortCols: Seq[String],
+                             sizing: String): String = {
+    val sc = if (sortCols.nonEmpty) sortCols else keys
+    s"keys=${keys.mkString(",")};sort=${sc.mkString(",")};$sizing"
+  }
+
+  private def tableProp(spark: SparkSession, table: String,
+                        key: String): Option[String] =
+    // SHOW TBLPROPERTIES is public SQL (no private[sql] catalog access)
+    // and driver-tiny; ensureBucketed runs in prep paths, never hot.
+    spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+      .collectFirst { case r if r.getString(0) == key => r.getString(1) }
+
+  private def bucketedFresh(spark: SparkSession, table: String,
+                            srcFingerprint: String, layout: String): Boolean =
+    spark.catalog.tableExists(table) &&
+      (srcFingerprint.isEmpty || tableProp(spark, table, "graft.src")
+        .contains(srcFingerprint)) &&
+      tableProp(spark, table, "graft.layout").contains(layout)
+
+  private def recordBucketedProps(spark: SparkSession, table: String,
+                                  srcFingerprint: String, layout: String,
+                                  numBuckets: Int): Unit = {
+    val fpProp =
+      if (srcFingerprint.nonEmpty) s"'graft.src' = '$srcFingerprint', " else ""
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
+      fpProp + s"'graft.layout' = '$layout', 'graft.buckets' = '$numBuckets')")
+  }
+
   /** Multi-key [[ensureBucketed]] — see [[writeBucketedKeys]]. */
   def ensureBucketedKeys(df: DataFrame, table: String, keys: Seq[String],
                          numBuckets: Int, srcFingerprint: String = "",
                          sortCols: Seq[String] = Nil): Boolean = {
     val spark = df.sparkSession
-    val fresh = spark.catalog.tableExists(table) && (srcFingerprint.isEmpty || {
-      // SHOW TBLPROPERTIES is public SQL (no private[sql] catalog access)
-      // and driver-tiny; ensureBucketed runs in prep paths, never hot.
-      spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
-        .exists(r => r.getString(0) == "graft.src" && r.getString(1) == srcFingerprint)
-    })
+    val layout = layoutContract(keys, sortCols, s"n=$numBuckets")
+    val fresh = bucketedFresh(spark, table, srcFingerprint, layout)
     if (!fresh) {
       writeBucketedKeys(df, table, keys, numBuckets, sortCols)
-      if (srcFingerprint.nonEmpty)
-        spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('graft.src' = '$srcFingerprint')")
+      recordBucketedProps(spark, table, srcFingerprint, layout, numBuckets)
     }
     !fresh
+  }
+
+  /** [[ensureBucketed]] with the bucket count DERIVED from the state's
+    * own size at CTAS instead of passed in (the verdict-17 scale task:
+    * every literal count is wrong at some scale — see [[bucketTargets]]).
+    * Build path: the frame is computed ONCE and staged as plain parquet
+    * beside the table, the staged tree's bytes/rows are read from file
+    * sizes + footers (metadata only), the count is derived, and the
+    * bucketed CTAS re-reads the staging — so an expensive producer (a
+    * near-dup graph, a winnowed index) never computes twice for the
+    * sake of a row count. The staging detour costs one extra
+    * write+read of state-sized data, paid once per generation at build
+    * time, never on a probe path. One file per DERIVED bucket still
+    * holds (asserted at the write site), so the sort-free probe
+    * contract survives the policy change. Returns (builtByThisCall,
+    * bucketCount) — the count read back from `graft.buckets` when the
+    * generation was already fresh. */
+  def ensureBucketedDerived(df: DataFrame, table: String, keys: Seq[String],
+                            srcFingerprint: String = "",
+                            sortCols: Seq[String] = Nil): (Boolean, Int) = {
+    val spark = df.sparkSession
+    val (tBytes, tRows, floor) = bucketTargets(spark)
+    val layout = layoutContract(keys, sortCols,
+      s"derived;tb=$tBytes;tr=$tRows;floor=$floor")
+    if (bucketedFresh(spark, table, srcFingerprint, layout))
+      (false, tableProp(spark, table, "graft.buckets").fold(floor)(_.toInt))
+    else {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val stage = new java.io.File(wh, table + "__stage").toString
+      df.write.mode("overwrite").parquet(stage)
+      val (bytes, rows) = parquetStats(spark, stage)
+      val n = deriveBucketCount(bytes, rows, tBytes, tRows, floor)
+      writeBucketedKeys(spark.read.parquet(stage), table, keys, n, sortCols)
+      recordBucketedProps(spark, table, srcFingerprint, layout, n)
+      val (fs, stageP) = hadoopFs(spark, stage)
+      fs.delete(stageP, true)
+      (true, n)
+    }
   }
 
   // ---- Hadoop FS plumbing: layout prep must work on hdfs://, s3a://

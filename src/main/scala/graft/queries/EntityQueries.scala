@@ -251,10 +251,12 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
     val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet")
     val stateK = keyedRecords(s, d).filter(!incPred)
     // "|v2": the bsz-column schema change must rebuild a v1 key state.
-    graft.ops.ScaleOps.ensureBucketed(
+    // Bucket count derived from the key state's own staged size
+    // (ScaleOps.ensureBucketedDerived — the verdict-17 layout policy).
+    graft.ops.ScaleOps.ensureBucketedDerived(
       passKeyRows(stateK).withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bkey"))),
-      erKeyStateTable(d), "bkey", 32, srcFingerprint = fp + "|v2")
+      erKeyStateTable(d), Seq("bkey"), srcFingerprint = fp + "|v2")
     graft.ops.ScaleOps.ensureSortedByLazy(s, erCapPath(s, d),
       "derived_cap", numFiles = 1, srcFingerprint = fp + "|v2")(
       s.table(erKeyStateTable(d))

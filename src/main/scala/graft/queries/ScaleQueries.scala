@@ -567,15 +567,21 @@ GROUP BY 1""") { (s, d) =>
     // RPC on remote stores), shared by every events-derived layout.
     val eventsFp = ScaleOps.fileFingerprint(s"$sfDir/events.parquet")
     val (tOrders, tLineitem) = bucketTables(sfDir)
-    ScaleOps.ensureBucketed(
-      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus"),
-      tOrders, "o_orderkey", 8,
-      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/orders.parquet"))
-    ScaleOps.ensureBucketed(
+    // Co-located join pair: BOTH sides must carry the SAME bucket
+    // count or the exchange-free bucketedJoin degrades to a one-sided
+    // shuffle. Derive ONE count from the LARGER side (lineitem) and
+    // force it onto orders, with the count folded into orders' source
+    // fingerprint so a lineitem regrowth that moves the derived count
+    // rebuilds the orders layout in lockstep.
+    val (_, nb) = ScaleOps.ensureBucketedDerived(
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
-      tLineitem, "o_orderkey", 8,
+      tLineitem, Seq("o_orderkey"),
       srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/lineitem.parquet"))
+    ScaleOps.ensureBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus"),
+      tOrders, "o_orderkey", nb,
+      srcFingerprint = ScaleOps.fileFingerprint(s"$sfDir/orders.parquet") + s"|nb=$nb")
     ScaleOps.ensurePartitioned(
       Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"), col("value"),

@@ -49,6 +49,76 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("ensureBucketedDerived: count scales with state size, policy change " +
+    "rebuilds, fresh call reads the count back without recomputing") {
+    val t = "b_derived_state"
+    try {
+      // Force a tiny rows-per-bucket target so a 5k-row state derives a
+      // count above the floor — the fixture-scale stand-in for the
+      // 100 TB state the 128 MiB/8M-row defaults are sized for.
+      spark.conf.set("graft.state.bucketTargetRows", "100")
+      spark.conf.set("graft.state.bucketFloor", "4")
+      val df = spark.range(5000).selectExpr("id AS k", "id * 3 AS v")
+      val (built, n) = ScaleOps.ensureBucketedDerived(df, t, Seq("k"), "fp-A")
+      assert(built)
+      // 5000 rows / 100-row target = 50 -> next power of two = 64.
+      assert(n == 64, s"expected derived count 64, got $n")
+      assert(spark.table(t).count() == 5000)
+      // One file per DERIVED bucket (the sort-free probe contract).
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      ScaleOps.assertOneFilePerBucket(spark, new java.io.File(wh, t).toString, n)
+      // The staging detour cleaned up after itself.
+      assert(!new java.io.File(wh, t + "__stage").exists(), "staging dir leaked")
+      // Fresh call: same policy + fingerprint skips the rebuild and
+      // reads the count back from the graft.buckets property.
+      val (built2, n2) = ScaleOps.ensureBucketedDerived(
+        spark.range(9).selectExpr("id AS k", "id AS v"), t, Seq("k"), "fp-A")
+      assert(!built2 && n2 == 64)
+      assert(spark.table(t).count() == 5000, "fresh derived layout must skip rewrite")
+      // Policy change (new target) rolls the layout contract -> rebuild
+      // with the new derivation, no hand-written fingerprint bump.
+      spark.conf.set("graft.state.bucketTargetRows", "2500")
+      val (built3, n3) = ScaleOps.ensureBucketedDerived(df, t, Seq("k"), "fp-A")
+      assert(built3 && n3 == 4, s"expected floor-bound rebuild at 4, got $n3")
+    } finally {
+      spark.conf.unset("graft.state.bucketTargetRows")
+      spark.conf.unset("graft.state.bucketFloor")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("ensureBucketedKeys: a keys/sort layout change alone rebuilds " +
+    "(graft.layout freshness, no fingerprint bump needed)") {
+    val t = "b_layout_roll"
+    try {
+      val df = spark.range(50).selectExpr("id AS a", "id % 5 AS b", "id AS v")
+      ScaleOps.ensureBucketedKeys(df, t, Seq("a"), 2, "fp-X")
+      assert(spark.table(t).count() == 50)
+      // Same fingerprint, different SORT columns: must rebuild — this
+      // is exactly the r16 "|src,dst" class of change, now automatic.
+      val built = ScaleOps.ensureBucketedKeys(df, t, Seq("a"), 2, "fp-X",
+        sortCols = Seq("a", "b"))
+      assert(built, "sort-column change must roll the layout contract")
+      // And the new contract is then fresh.
+      assert(!ScaleOps.ensureBucketedKeys(df, t, Seq("a"), 2, "fp-X",
+        sortCols = Seq("a", "b")))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("deriveBucketCount: floors, power-of-two rounding, byte and row terms") {
+    // Floor binds when the state is small.
+    assert(ScaleOps.deriveBucketCount(1L << 20, 1000, 128L << 20, 8000000, 32) == 32)
+    // Byte term: 1 GiB at 128 MiB target -> 8 -> floor still wins at 32.
+    assert(ScaleOps.deriveBucketCount(1L << 30, 1000, 128L << 20, 8000000, 32) == 32)
+    // 100 GiB at 128 MiB -> 800 -> 1024 (next power of two).
+    assert(ScaleOps.deriveBucketCount(100L << 30, 1000, 128L << 20, 8000000, 32) == 1024)
+    // Row term dominates when rows are wide of the byte estimate:
+    // 100M rows / 8M target = 12.5 -> 13 -> next power of two from 4.
+    assert(ScaleOps.deriveBucketCount(1L << 20, 100000000L, 128L << 20, 8000000, 4) == 16)
+    // Empty state degrades to the floor, never zero.
+    assert(ScaleOps.deriveBucketCount(0, 0, 128L << 20, 8000000, 32) == 32)
+  }
+
   test("bucketed join plans with zero exchanges") {
     // Tables land in the default ./spark-warehouse (warehouse.dir is a
     // static conf); dropped in finally, dir is gitignored.
