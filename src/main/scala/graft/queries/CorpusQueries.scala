@@ -219,8 +219,9 @@ ${simhashSideSigCtes("a", "st")},
 ${simhashSideSigCtes("b", "inc")},
 abu AS (${mankuBucketUnionSql("a")}),
 bbu AS (${mankuBucketUnionSql("b")}),
-scapv AS (SELECT greatest(16, 4 * count(*) //
-  (SELECT count(*) FROM (SELECT DISTINCT mkey FROM abu))) AS c FROM abu),
+sbuksz AS (SELECT count(*) AS c FROM abu GROUP BY mkey),
+${tailCapHistCte("sbu")},
+scapv AS (SELECT ${tailCapExpr("sbu", "16")} AS c),
 abuc AS (SELECT doc_id, sig_hi, sig_lo, mkey FROM (
   SELECT *, count(*) OVER (PARTITION BY mkey) AS bsz FROM abu)
   WHERE bsz <= (SELECT c FROM scapv)),
@@ -261,8 +262,9 @@ ${simhashSideSigCtes("a", "st")},
 ${simhashSideSigCtes("b", "inc")},
 abu AS (${mankuBucketUnionSql("a")}),
 bbu AS (${mankuBucketUnionSql("b")}),
-scapv AS (SELECT greatest($lshBandBucketCap, 4 * count(*) //
-  count(DISTINCT mkey)) AS c FROM abu),
+sbuksz AS (SELECT count(*) AS c FROM abu GROUP BY mkey),
+${tailCapHistCte("sbu")},
+scapv AS (SELECT ${tailCapExpr("sbu", lshBandBucketCap.toString)} AS c),
 abuc AS (SELECT doc_id, sig_hi, sig_lo, mkey FROM (
   SELECT *, count(*) OVER (PARTITION BY mkey) AS bsz FROM abu)
   WHERE bsz <= (SELECT c FROM scapv)),
@@ -392,14 +394,15 @@ SELECT train_id, test_id, n_shared, CAST(rk AS BIGINT) AS witness_rank FROM (
 WHERE rk <= 3"""
 
   /** TRAIN-side per-fingerprint WITNESS budget of the pre-dedup
-    * bounded member — deliberately FIXED (bounding the join term to
-    * occCap · te_occ rows per fingerprint IS the operator's
+    * bounded member — deliberately FIXED (bounding the witness join
+    * term to occCap · te_occ rows per fingerprint IS the report's
     * semantics; a density-derived occurrence cap grows with the copy
-    * count and restores the K² term the member exists to delete), and
-    * deliberately train-side-only (a symmetric cap's own audit
-    * measured test-doc recall 0.14 at sf0.1 — a decontamination gate
-    * must keep every test doc in the join). Recall under the budget
-    * is the recorded number, not a hope: dd_occcap_recall_audit. */
+    * count and restores the K² term the member exists to delete).
+    * Since r18 the budget gates only WITNESS ENUMERATION, never the
+    * contamination decision: the gate rides the train-fingerprint
+    * existence index, so test-doc recall is 1.0 structurally
+    * (dd_occcap_recall_audit records it) and what the budget costs is
+    * witness completeness only. */
   private[queries] val fpOccCap = 16
 
   /** Witness-capped fingerprint CTE: [[cappedFpCte]]'s df gate PLUS
@@ -411,27 +414,46 @@ WHERE rk <= 3"""
   row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS occ FROM ${p}fp)
   WHERE dfq <= $fpOverlapCapSql AND occ <= $fpOccCap)"""
 
+  /** Gate + witness CTEs of the pre-dedup bounded member (shared by
+    * the registered query and its recall audit): `fgate` flags every
+    * test doc sharing >= 3 distinct fingerprints with the df-capped
+    * train fingerprint EXISTENCE index (distinct-of-afpo == distinct
+    * df-capped fingerprints — the occ cap keeps rank 1 of every
+    * fingerprint); `fwit` enumerates witnesses under the occ budget.
+    * Both MATERIALIZED (the re-inlined-CTE spill lesson). */
+  private val occCapGateWitCtes: String =
+    s"""fgate AS MATERIALIZED (SELECT b.doc_id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM bfpc b JOIN (SELECT DISTINCT fingerprint FROM afpo) ai USING (fingerprint)
+  GROUP BY 1 HAVING count(*) >= 3),
+fwit AS MATERIALIZED (SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+  CAST(count(*) AS BIGINT) AS witness_shared
+  FROM afpo a JOIN bfpc b ON a.fingerprint = b.fingerprint
+  GROUP BY 1, 2 HAVING count(*) >= 3)"""
+
   private val fingerprintOverlapCappedSql: String =
     s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
 te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
 ${winnowSideCtes("a", "tr")},
 ${winnowSideCtes("b", "te")},
 ${occCappedFpCte("a")},
-${cappedFpCte("b")}
-SELECT a.doc_id AS train_id, b.doc_id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
-FROM afpo a JOIN bfpc b ON a.fingerprint = b.fingerprint
-GROUP BY 1, 2 HAVING count(*) >= 3"""
+${cappedFpCte("b")},
+$occCapGateWitCtes
+SELECT g.test_id, g.n_shared, w.train_id, w.witness_shared
+FROM fgate g LEFT JOIN fwit w USING (test_id)"""
 
   /** dd_occcap_recall_audit oracle: the exact (df-capped) pair report
-    * vs the occurrence-capped one, folded to ONE accountability row —
-    * dd_cap_recall_audit's treatment applied to the contamination
-    * family's pre-dedup budget. Both reports MATERIALIZED (the
-    * re-inlined-CTE spill lesson); capped pairs are a subset of true
-    * pairs by construction (capped n_shared <= true n_shared), so
-    * recall = |capped| / |true| without an intersection join. Runs
-    * only where the EXACT member is feasible (it evaluates the
-    * uncapped truth by definition — audit-only, never the production
-    * path; at 30× the audit inherits the exact member's documented
+    * vs the existence-gated + witness-capped one, folded to ONE
+    * accountability row — dd_cap_recall_audit's treatment applied to
+    * the contamination family's pre-dedup budget. Pair recall measures
+    * the witness budget (capped witness pairs / true pairs — subset by
+    * construction, may stay low by design at mass-dup density: the
+    * displaced duplicate-train witnesses are exactly what the budget
+    * drops); TEST-DOC recall measures the GATE against the exact
+    * member's flagged set, via a real intersection (the gate
+    * over-approximates pairs, so flagged is NOT a subset of true test
+    * docs — it is a superset, and recall is structurally 1.0). Runs
+    * only where the EXACT member is feasible (audit-only, never the
+    * production path; at 30× it inherits the exact member's documented
     * skip while the capped member itself still runs). */
   private val occCapRecallAuditSql: String =
     s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
@@ -441,21 +463,20 @@ ${winnowSideCtes("b", "te")},
 ${cappedFpCte("a")},
 ${cappedFpCte("b")},
 ${occCappedFpCte("a")},
+$occCapGateWitCtes,
 tp AS MATERIALIZED (SELECT a.doc_id AS train_id, b.doc_id AS test_id
   FROM afpc a JOIN bfpc b ON a.fingerprint = b.fingerprint
-  GROUP BY 1, 2 HAVING count(*) >= 3),
-cp AS MATERIALIZED (SELECT a.doc_id AS train_id, b.doc_id AS test_id
-  FROM afpo a JOIN bfpc b ON a.fingerprint = b.fingerprint
   GROUP BY 1, 2 HAVING count(*) >= 3)
 SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_pairs_true,
-  CAST((SELECT count(*) FROM cp) AS BIGINT) AS n_pairs_capped,
+  CAST((SELECT count(*) FROM fwit) AS BIGINT) AS n_pairs_capped,
   CASE WHEN (SELECT count(*) FROM tp) = 0 THEN CAST(1.0 AS DOUBLE)
-    ELSE round(CAST((SELECT count(*) FROM cp) AS DOUBLE) /
+    ELSE round(CAST((SELECT count(*) FROM fwit) AS DOUBLE) /
       (SELECT count(*) FROM tp), 4) END AS pair_recall,
   CAST((SELECT count(DISTINCT test_id) FROM tp) AS BIGINT) AS n_test_true,
-  CAST((SELECT count(DISTINCT test_id) FROM cp) AS BIGINT) AS n_test_capped,
+  CAST((SELECT count(*) FROM fgate) AS BIGINT) AS n_test_flagged,
   CASE WHEN (SELECT count(DISTINCT test_id) FROM tp) = 0 THEN CAST(1.0 AS DOUBLE)
-    ELSE round(CAST((SELECT count(DISTINCT test_id) FROM cp) AS DOUBLE) /
+    ELSE round(CAST((SELECT count(DISTINCT t.test_id) FROM tp t
+      JOIN fgate g ON g.test_id = t.test_id) AS DOUBLE) /
       (SELECT count(DISTINCT test_id) FROM tp), 4) END AS test_recall"""
 
   /** Cross-corpus contamination oracle: even doc_ids play the training
@@ -517,17 +538,47 @@ ${crossVerifyCtes(0.5)}"""
     * mean is ~1 and this floor binds, so the derived cap IS 16 there. */
   private[queries] val lshBandBucketCap = 16
 
-  /** DERIVED-cap state-side band CTE — cap = greatest(floor, 4 · mean
-    * bucket size) recomputed from abnd itself, mirroring the persisted
-    * statistic prepareLshState writes (same rows, same integer
-    * arithmetic). At driver SFs the mean is ~1 and the floor binds; at
+  /** TAIL-AWARE derived-cap twin SQL (r17 verdict task 4): the cap is
+    * greatest(floor, 4 · mean bucket size, p99 of bucket sizes), where
+    * p99 is RANK-BASED — the smallest size whose cumulative bucket
+    * count reaches ceil(0.99 · n_buckets), computed from the SIZE
+    * HISTOGRAM (distinct sizes × frequency; tiny by construction, so
+    * the cumulative window never sorts all buckets). The 4·mean term
+    * alone measured pair recall 0.87 at 30× density: 12.8% of verified
+    * pairs sat in buckets 27..156 — above 4·mean but inside the p99
+    * tail, exactly the mass a rank statistic keeps and a mean cannot
+    * see. Still a state-generation constant, so per-arrival probe cost
+    * stays bounded. Empty-state guard (ADVICE r17): divisor floored at
+    * 1, p99 coalesced to the floor — an empty fixture degrades to the
+    * floor cap instead of dividing by zero.
+    *
+    * Renders `{p}khist` (the histogram CTE, from size CTE `{p}ksz`
+    * which the caller renders with its own GROUP BY keys) and the cap
+    * expression is [[tailCapExpr]]. */
+  private def tailCapHistCte(p: String): String =
+    s"${p}khist AS (SELECT c, count(*) AS f FROM ${p}ksz GROUP BY c)"
+
+  private def tailCapExpr(p: String, floor: String): String =
+    s"""greatest($floor,
+  4 * (SELECT coalesce(sum(c * f), 0) FROM ${p}khist) //
+    greatest((SELECT coalesce(sum(f), 0) FROM ${p}khist), 1),
+  coalesce((SELECT min(c) FROM (SELECT c, sum(f) OVER (ORDER BY c) AS cum
+    FROM ${p}khist) WHERE cum >= ceil(0.99 * (SELECT sum(f) FROM ${p}khist))),
+    $floor))"""
+
+  /** DERIVED-cap state-side band CTE — the tail-aware cap recomputed
+    * from abnd itself, mirroring the persisted statistic
+    * prepareLshState writes (same rows, same integer arithmetic). At
+    * driver SFs the mean is ~1 and the floor binds; at
     * mass-duplication density the cap rides the corpus instead of
     * zeroing the probe. Since r17 this is the ONLY capped band CTE —
     * the fixed-cap variant was retired when dd_cap_recall_audit
-    * measured it at 0.39 pair recall at 30× density. */
+    * measured it at 0.39 pair recall at 30× density; r18 added the p99
+    * term after the same audit measured the mean-derived cap at 0.87. */
   private def derivedCappedStateBndCte: String =
-    s"""capv AS (SELECT greatest($lshBandBucketCap, 4 * count(*) //
-  (SELECT count(*) FROM (SELECT DISTINCT band, bh FROM abnd))) AS c FROM abnd),
+    s"""bndksz AS (SELECT count(*) AS c FROM abnd GROUP BY band, bh),
+${tailCapHistCte("bnd")},
+capv AS (SELECT ${tailCapExpr("bnd", lshBandBucketCap.toString)} AS c),
 abndc AS (SELECT doc_id, band, bh FROM (
   SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM abnd)
   WHERE bsz <= (SELECT c FROM capv))"""
@@ -765,7 +816,7 @@ tesh AS (SELECT DISTINCT doc_id AS test_id, shingle FROM (
   SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
     ELSE $triShingleSql END) AS shingle FROM tetk) WHERE shingle IS NOT NULL),
 gdfv AS (SELECT greatest(8, 4 * count(*) //
-  (SELECT count(DISTINCT shingle) FROM tesh)) AS c FROM tesh),
+  greatest((SELECT count(DISTINCT shingle) FROM tesh), 1)) AS c FROM tesh),
 teshc AS (SELECT test_id, shingle FROM (
   SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM tesh)
   WHERE df <= (SELECT c FROM gdfv)),
@@ -1954,8 +2005,9 @@ bnv AS (SELECT * FROM (SELECT vec_id, embedding, ${OracleSqlGen.norm("embedding"
 pl AS (SELECT ${OracleSqlGen.tablesLit(8, 4, 64, 42L)} AS tabs),
 ${cosineSideBucketCtes("a", "anv", 8, 4, 64)},
 ${cosineSideBucketCtes("b", "bnv", 8, 4, 64)},
-ccapv AS (SELECT greatest(16, 4 * count(*) //
-  (SELECT count(*) FROM (SELECT DISTINCT tb_key FROM abk))) AS c FROM abk),
+cbkksz AS (SELECT count(*) AS c FROM abk GROUP BY tb_key),
+${tailCapHistCte("cbk")},
+ccapv AS (SELECT ${tailCapExpr("cbk", "16")} AS c),
 abkc AS (SELECT vec_id, tb_key FROM (
   SELECT *, count(*) OVER (PARTITION BY tb_key) AS bsz FROM abk)
   WHERE bsz <= (SELECT c FROM ccapv)),
@@ -2001,8 +2053,9 @@ bnv AS (SELECT * FROM (SELECT vec_id, embedding, ${OracleSqlGen.norm("embedding"
 pl AS (SELECT ${OracleSqlGen.tablesLit(8, 4, 64, 42L)} AS tabs),
 ${cosineSideBucketCtes("a", "anv", 8, 4, 64)},
 ${cosineSideBucketCtes("b", "bnv", 8, 4, 64)},
-ccapv AS (SELECT greatest($lshBandBucketCap, 4 * count(*) //
-  count(DISTINCT tb_key)) AS c FROM abk),
+cbkksz AS (SELECT count(*) AS c FROM abk GROUP BY tb_key),
+${tailCapHistCte("cbk")},
+ccapv AS (SELECT ${tailCapExpr("cbk", lshBandBucketCap.toString)} AS c),
 abkc AS (SELECT vec_id, tb_key FROM (
   SELECT *, count(*) OVER (PARTITION BY tb_key) AS bsz FROM abk)
   WHERE bsz <= (SELECT c FROM ccapv))
@@ -2235,7 +2288,7 @@ insh AS (SELECT DISTINCT doc_id AS inc_id, shingle FROM (
   SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
     ELSE $triShingleSql END) AS shingle FROM intk) WHERE shingle IS NOT NULL),
 dfv AS (SELECT greatest(8, 4 * count(*) //
-  (SELECT count(DISTINCT shingle) FROM tesh)) AS c FROM tesh),
+  greatest((SELECT count(DISTINCT shingle) FROM tesh), 1)) AS c FROM tesh),
 teshc AS (SELECT test_id, shingle FROM (
   SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM tesh)
   WHERE df <= (SELECT c FROM dfv)),
@@ -2276,7 +2329,7 @@ tesh AS (SELECT DISTINCT doc_id AS test_id, shingle FROM (
   SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
     ELSE $triShingleSql END) AS shingle FROM tetk) WHERE shingle IS NOT NULL),
 df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS c FROM tesh GROUP BY 1),
-capv AS (SELECT greatest(8, 4 * sum(c) // count(*)) AS cap FROM df)
+capv AS (SELECT greatest(8, 4 * coalesce(sum(c), 0) // greatest(count(*), 1)) AS cap FROM df)
 SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_shingles,
   CAST(max(c) AS BIGINT) AS max_df,
   CAST(sum(CASE WHEN c > (SELECT cap FROM capv) THEN c ELSE 0 END) AS BIGINT) AS n_hot_rows,
@@ -2340,21 +2393,23 @@ FROM df""") { (s, d) =>
         derivedDocFreqCap = Some((20, 0.08)))
     },
 
-    // The contamination family's PRE-DEDUP bounded member (r16 verdict
-    // task 4): TRAIN-side per-fingerprint witness cap — first
-    // fpOccCap train doc_ids per fingerprint — bounds the shared-
-    // fingerprint join to occCap · te_occ rows per fingerprint, LINEAR
-    // in corpus at any duplication density (the exact members' join
-    // term is Θ(Σ tr_occ × te_occ) by definition: measured 900× output
-    // growth on the 30× K-copy fixture, where their df caps are
-    // structurally blind because they count distinct docs against a
-    // corpus-sized threshold). Train-side only: the symmetric cap's
-    // own audit measured test-doc recall 0.14 at sf0.1 — every test
-    // doc must stay in the join. The exact members keep their
-    // documented post-dedup placement; THIS is what a raw crawl can
-    // run. The cap is part of the semantics — the oracle applies it
-    // identically — and its miss rate is dd_occcap_recall_audit's
-    // recorded number.
+    // The contamination family's PRE-DEDUP bounded member, r18 shape:
+    // the GATE rides the train-fingerprint EXISTENCE index (a test doc
+    // is flagged on >= 3 distinct shared fingerprints with the df-capped
+    // train fingerprint set — no witness budget in the decision path,
+    // so a truly contaminated test doc can never be missed; the r17
+    // witness-gated cut missed ~6% whose every shared fingerprint
+    // elected other train docs into the first-16), and the fpOccCap
+    // witness budget applies only to ENUMERATING the report's train
+    // witnesses (occCap · te_occ join rows per fingerprint, LINEAR in
+    // corpus at any duplication density — the exact members' join term
+    // is Θ(Σ tr_occ × te_occ): measured 900× output growth on the 30×
+    // K-copy fixture). A flagged doc with no surviving witness reports
+    // NULL witness columns. The exact members keep their documented
+    // post-dedup placement; THIS is what a raw crawl can run. Gate and
+    // budget are both part of the semantics — the oracle applies them
+    // identically — and dd_occcap_recall_audit records gate recall 1.0
+    // plus the witness budget's pair-recall cost.
     Q("dd_fingerprint_overlap_capped", fingerprintOverlapCappedSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       graft.text.CorpusStats.fingerprintOverlapOccCapped(
@@ -2364,16 +2419,21 @@ FROM df""") { (s, d) =>
         derivedDocFreqCap = Some((20, 0.08)))
     },
 
-    // Recall accountability for the occurrence budget above —
+    // Recall accountability for the gate + witness budget above —
     // dd_cap_recall_audit's treatment applied to the contamination
-    // family: one row recording true pairs, capped pairs, pair recall,
-    // and the decontamination-operative TEST-DOC recall (a test doc
-    // flagged through ANY witness still gets pulled from the eval
-    // set). Runs the exact member once (CacheOnce-shared with
-    // dd_fingerprint_overlap), so it is feasible exactly where the
-    // exact member is — audit-only, never the production path; at
-    // mass-dup density it inherits the exact member's documented skip
-    // while dd_fingerprint_overlap_capped itself still completes.
+    // family: one row recording true pairs, capped witness pairs and
+    // their pair recall (the witness budget's cost — may stay low by
+    // design at mass-dup density), plus the decontamination-operative
+    // TEST-DOC recall of the existence GATE against the exact member's
+    // flagged set — via a real intersection, because the gate
+    // over-approximates pairs (flagged is a SUPERSET of true test
+    // docs; structurally recall 1.0, and this row is where "structural"
+    // becomes a measured number). Runs the exact member once
+    // (CacheOnce-shared with dd_fingerprint_overlap), so it is feasible
+    // exactly where the exact member is — audit-only, never the
+    // production path; at mass-dup density it inherits the exact
+    // member's documented skip while dd_fingerprint_overlap_capped
+    // itself still completes.
     Q("dd_occcap_recall_audit", occCapRecallAuditSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       val trainDf = docs.filter(col("doc_id") % 2 === 0)
@@ -2384,18 +2444,23 @@ FROM df""") { (s, d) =>
       val c = graft.text.CorpusStats.fingerprintOverlapOccCapped(
         trainDf, testDf, "doc_id", "text", n = 5, w = 8, minShared = 3,
         occCap = fpOccCap, derivedDocFreqCap = Some((20, 0.08)))
+      val flagged = c.select(col("test_id")).distinct()
       val ta = t.agg(count(lit(1)).as("n_pairs_true"),
         countDistinct(col("test_id")).as("n_test_true"))
-      val ca = c.agg(count(lit(1)).as("n_pairs_capped"),
-        countDistinct(col("test_id")).as("n_test_capped"))
-      ta.crossJoin(ca).select(
+      val ca = c.filter(col("train_id").isNotNull)
+        .agg(count(lit(1)).as("n_pairs_capped"))
+      val fa = flagged.agg(count(lit(1)).as("n_test_flagged"))
+      val ia = t.select(col("test_id")).distinct()
+        .join(flagged, Seq("test_id"), "left_semi")
+        .agg(count(lit(1)).as("n_test_hit"))
+      ta.crossJoin(ca).crossJoin(fa).crossJoin(ia).select(
         col("n_pairs_true"), col("n_pairs_capped"),
         when(col("n_pairs_true") === 0, lit(1.0)).otherwise(
           round(col("n_pairs_capped").cast("double") / col("n_pairs_true"), 4))
           .as("pair_recall"),
-        col("n_test_true"), col("n_test_capped"),
+        col("n_test_true"), col("n_test_flagged"),
         when(col("n_test_true") === 0, lit(1.0)).otherwise(
-          round(col("n_test_capped").cast("double") / col("n_test_true"), 4))
+          round(col("n_test_hit").cast("double") / col("n_test_true"), 4))
           .as("test_recall"))
     },
 
@@ -2561,17 +2626,20 @@ UNION ALL SELECT doc_id, CAST(2 AS BIGINT), h FROM a2""") { (s, d) =>
     // candidate-pair volume an UNCAPPED probe would generate (sum of
     // c·(c−1)/2 — the number every cap exists to bound), the largest
     // bucket (degenerate-band detector), and the DERIVED verdict-path
-    // cap the live probe actually applies (greatest(floor, 4 · mean) —
-    // the audit's own numbers are the cap choice, closing the
-    // tune-the-cap loop for this family too). Driver-bounded: one row.
+    // cap the live probe actually applies (greatest(floor, 4 · mean,
+    // rank-based p99 of bucket sizes) — the audit's own numbers are the
+    // cap choice, closing the tune-the-cap loop for this family too).
+    // Driver-bounded: one row.
     Q("dd_band_audit",
       s"""WITH st AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
 ${minhashSideCtes("a", "st")},
-bk AS (SELECT band, bh, CAST(count(*) AS BIGINT) AS c FROM abnd GROUP BY 1, 2)
+bk AS (SELECT band, bh, CAST(count(*) AS BIGINT) AS c FROM abnd GROUP BY 1, 2),
+bndksz AS (SELECT c FROM bk),
+${tailCapHistCte("bnd")}
 SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_buckets,
   CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_candidate_pairs,
   CAST(max(c) AS BIGINT) AS max_bucket,
-  CAST(greatest($lshBandBucketCap, 4 * sum(c) // count(*)) AS BIGINT) AS derived_cap
+  CAST(${tailCapExpr("bnd", lshBandBucketCap.toString)} AS BIGINT) AS derived_cap
 FROM bk""") { (s, d) =>
       prepareLshState(s, d)
       s.table(lshStateTable(d))
@@ -2579,8 +2647,9 @@ FROM bk""") { (s, d) =>
         .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_buckets"),
           expr("sum(c * (c - 1) div 2)").as("n_candidate_pairs"),
           max(col("c")).as("max_bucket"),
-          greatest(lit(lshBandBucketCap.toLong),
-            expr("4 * sum(c) div count(1)")).as("derived_cap"))
+          // The PERSISTED tail-aware cap — the number every probe path
+          // actually applies (lockstep with the twin's recomputation).
+          lit(lshDerivedCap(s, d).toLong).as("derived_cap"))
     },
 
     // Recall accountability for the BINDING probe cap — since r17 the
@@ -2948,39 +3017,18 @@ FROM comp GROUP BY 1""") { (s, d) =>
 
     // The incremental cluster family's STREAMING end: the increment
     // streams through the LIVE LSH collision gate (st_lsh_probe's
-    // stateless stream-static probe of the persisted band state), the
-    // settled collision set lands in a staging sink — the append-sink →
-    // downstream-batch deployment shape — and the batch tail
-    // exact-verifies those candidates (+ the increment's own band
-    // self-join for inc-vs-inc pairs) and merges into the persisted
-    // cluster state via the SAME incrementalClusters operator. Settled
-    // state == the batch incremental path == the full re-cluster
-    // oracle, at any arrival order (st_lsh_probe's parity guarantee
-    // covers the candidate set; verification and merge are
-    // deterministic functions of it). Probe UNCAPPED for the same
-    // reason as dd_incremental_clusters.
+    // stateless stream-static probe of the persisted band state) into a
+    // PERSISTENT append sink, and the batch tail exact-verifies only
+    // the sink files beyond the verified high-water marker (+ the
+    // increment's own band self-join for inc-vs-inc pairs), merging
+    // into the persisted SETTLED cluster state — the append-sink →
+    // watermarked-downstream-batch deployment shape; see
+    // [[watermarkedStreamClusters]]. Settled state == the batch
+    // incremental path == the full re-cluster oracle, at any arrival
+    // order and any drain boundary. Probe UNCAPPED for the same reason
+    // as dd_incremental_clusters.
     Q("st_incremental_clusters", incrementalClustersOracleSql) { (s, d) =>
-      prepareClusterState(s, d); prepareLshState(s, d)
-      val docs = Tables.documents(s, d)
-      val state = s.read.parquet(clusterStatePath(s, d))
-      // Streamed collision gate → parquet APPEND sink → re-read in THIS
-      // session (the stream runs in its own session; the file handoff
-      // is the operational contract between the live gate and the batch
-      // merge, not a test convenience — and the sink is the stream's
-      // own, so collisions never round-trip through driver memory).
-      val staged = new java.io.File(
-        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-        "graft_st_cc_cands_" + d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-      ).toString
-      val crossCands = graft.streaming.LshProbe
-        .candidatesOnce(s, d, lshStateTable(d), sinkDir = Some(staged))
-        .select(col("state_id").as("id1"), col("inc_id").as("id2"))
-      val pairs = Dedup.verifyIncrementPairs(crossCands,
-        docs.filter(col("doc_id") % 3 === 2),
-        docs.filter(col("doc_id") % 3 =!= 2),
-        "doc_id", "text", numHashes = 32, rowsPerBand = 4,
-        shingleN = 2, threshold = 0.5)
-      Dedup.incrementalClusters(state, pairs)
+      watermarkedStreamClusters(s, d, capped = false)
     },
 
     // The CAPPED streamed incremental-cluster variant — the scale-safe
@@ -3001,23 +3049,7 @@ FROM comp GROUP BY 1""") { (s, d) =>
     // the result equals the uncapped query's.
     Q("st_incremental_clusters_capped",
       cappedIncrementalClustersOracleSql) { (s, d) =>
-      prepareClusterState(s, d); prepareLshState(s, d)
-      val docs = Tables.documents(s, d)
-      val state = s.read.parquet(clusterStatePath(s, d))
-      val staged = new java.io.File(
-        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-        "graft_st_cc_capped_" + d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-      ).toString
-      val crossCands = graft.streaming.LshProbe
-        .candidatesOnce(s, d, lshStateTable(d),
-          bandBucketCap = Some(lshDerivedCap(s, d)), sinkDir = Some(staged))
-        .select(col("state_id").as("id1"), col("inc_id").as("id2"))
-      val pairs = Dedup.verifyIncrementPairs(crossCands,
-        docs.filter(col("doc_id") % 3 === 2),
-        docs.filter(col("doc_id") % 3 =!= 2),
-        "doc_id", "text", numHashes = 32, rowsPerBand = 4,
-        shingleN = 2, threshold = 0.5)
-      Dedup.incrementalClusters(state, pairs)
+      watermarkedStreamClusters(s, d, capped = true)
     },
 
     // Incremental PageRank — the graph family's operational member,
@@ -3648,6 +3680,78 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
           "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)))
 
+  /** The streamed incremental-cluster pipeline behind
+    * st_incremental_clusters(_capped), watermark-bounded (verdict-17
+    * task 3): the live LSH collision gate drains through a PERSISTENT
+    * append sink + checkpoint (so the source only ever processes new
+    * arrivals), and the batch tail verifies ONLY the sink files beyond
+    * the verified high-water marker, merges them into the persisted
+    * SETTLED cluster state, then advances the marker. The r17 shape
+    * cleared the landing and re-verified the whole staged output every
+    * drain — per-drain cost rode TOTAL accumulated sink output over the
+    * stream's lifetime (SCALE.md measured 18.4 s aged vs 5.7 s fresh);
+    * here a drain with nothing new verifies nothing and returns the
+    * settled state: aged == fresh by construction, and the measured
+    * pair in SCALE.md records it. Crash discipline: the marker advances
+    * only after the settled state is durably rewritten, so a crash
+    * between merge and advance re-verifies the same files into the
+    * same deterministic result (at-least-once into an idempotent
+    * merge). Lineage (sink + checkpoint + marker + settled state) is
+    * one unit keyed on the documents fingerprint — a regenerated
+    * source resets all four (the checkpoint's seen-file log dedupes by
+    * path and would otherwise never reprocess). Single-writer per
+    * warehouse, like every persisted state.
+    *
+    * Settled state == incrementalClusters(cluster state, verified
+    * pairs) == the full re-cluster oracle, at any drain boundary —
+    * verification and merge are deterministic functions of the
+    * candidate set, whose parity st_lsh_probe pins. */
+  private def watermarkedStreamClusters(s: org.apache.spark.sql.SparkSession,
+                                        d: String,
+                                        capped: Boolean): org.apache.spark.sql.DataFrame = {
+    prepareClusterState(s, d); prepareLshState(s, d)
+    val docs = Tables.documents(s, d)
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val family = if (capped) "graft_st_cc_capped_" else "graft_st_cc_cands_"
+    val base = new java.io.File(wh, family + tag).toString
+    // The cap is part of the lineage: a state rebuild that moves the
+    // derived cap must restart the sink (old collisions were gated by
+    // the old cap).
+    val cap = if (capped) Some(lshDerivedCap(s, d)) else None
+    val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet") +
+      cap.fold("")(c => s"|cap=$c")
+    graft.streaming.LshProbe.resetLineageIfStale(s, base, fp)
+    val drain = graft.streaming.LshProbe.candidatesWatermarked(
+      s, d, lshStateTable(d), base, bandBucketCap = cap)
+    val settledDir = s"$base/settled"
+    val settledExists = new java.io.File(settledDir, "_SUCCESS").exists()
+    if (drain.newFiles.nonEmpty || !settledExists) {
+      val priorState =
+        if (settledExists) s.read.parquet(settledDir)
+        else s.read.parquet(clusterStatePath(s, d))
+      val pairs = Dedup.verifyIncrementPairs(
+        drain.newPairs.select(col("state_id").as("id1"), col("inc_id").as("id2")),
+        docs.filter(col("doc_id") % 3 === 2),
+        docs.filter(col("doc_id") % 3 =!= 2),
+        "doc_id", "text", numHashes = 32, rowsPerBand = 4,
+        shingleN = 2, threshold = 0.5)
+      // Durable settled state FIRST, marker advance SECOND (the crash
+      // ordering above). Write via tmp + swap so a reader of the
+      // settled dir never sees a half-written overwrite.
+      val tmp = s"$base/settled_tmp"
+      Dedup.incrementalClusters(priorState, pairs)
+        .write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(settledDir)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      drain.advance()
+    }
+    s.read.parquet(settledDir)
+  }
+
   /** One-time k-means training on the day-1 vectors; persists the k
     * centroids (train once, assign forever). Idempotent per (path,
     * source fingerprint). */
@@ -4023,6 +4127,39 @@ FROM rw"""
     s.read.parquet(lshCapPath(s, d)).head().getLong(0).toInt
   }
 
+  /** TAIL-AWARE derived cap over a state's bucket-size distribution —
+    * the Scala twin of [[tailCapExpr]]: greatest(floor, 4 · mean
+    * bucket size, rank-based p99 of bucket sizes). `sizes` must carry
+    * one row per bucket with its row count in column `c`. The p99 is
+    * computed from the SIZE HISTOGRAM (distinct sizes × frequency), so
+    * the single-partition cumulative window below orders a frame whose
+    * cardinality is the number of DISTINCT sizes — never the buckets
+    * themselves; at any corpus scale that histogram is tiny. The
+    * empty-state guard (ADVICE r17) is structural here: an empty
+    * histogram coalesces every term to the floor instead of dividing
+    * by zero. Returns a 1-row frame (derived_cap BIGINT). */
+  private def tailAwareCapDf(sizes: org.apache.spark.sql.DataFrame,
+                             floor: Long): org.apache.spark.sql.DataFrame = {
+    val hist = sizes.groupBy(col("c")).agg(count(lit(1)).as("f"))
+    val tot = hist.agg(coalesce(sum(col("f")), lit(0L)).as("nb"),
+      coalesce(sum(col("c") * col("f")), lit(0L)).as("nr"))
+    val cum = hist.withColumn("cum", sum(col("f")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("c"))))
+    val p99 = cum.crossJoin(tot)
+      .filter(col("cum") >= ceil(lit(0.99) * col("nb")).cast("long"))
+      .agg(min(col("c")).as("p99"))
+    p99.crossJoin(tot).select(
+      greatest(lit(floor), expr("4 * nr div greatest(nb, 1)"),
+        coalesce(col("p99"), lit(floor))).as("derived_cap"))
+  }
+
+  /** Bucket sizes of a persisted state table, keyed on `key` — the
+    * input [[tailAwareCapDf]] consumes; the groupBy rides the table's
+    * own bucketing (no exchange). */
+  private def stateBucketSizes(s: org.apache.spark.sql.SparkSession,
+                               table: String, key: String) =
+    s.table(table).groupBy(col(key)).agg(count(lit(1)).as("c"))
+
   /** One-time bucketed CTAS of the accepted set's LSH band buckets
     * (doc_id, band_key), bucketed on band_key — the probe-join key — so
     * every later increment probes it exchange-free. Same idempotent
@@ -4033,15 +4170,16 @@ FROM rw"""
     val state = Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2)
     val sets = state.select(col("doc_id"),
       explode(graft.dedup.Dedup.distinctShingles(col("text"), 2)).as("shingle"))
+    // "|p99": the tail-aware cap formula change must re-derive caps
+    // persisted by the mean-only r17 generation.
     val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
-    graft.ops.ScaleOps.ensureBucketed(
+    graft.ops.ScaleOps.ensureBucketedDerived(
       graft.dedup.Dedup.bandKeys(sets, "doc_id", 32, 4),
-      lshStateTable(d), "band_key", 32, srcFingerprint = fp)
+      lshStateTable(d), Seq("band_key"), srcFingerprint = fp)
     graft.ops.ScaleOps.ensureSortedByLazy(s, lshCapPath(s, d),
-      "derived_cap", numFiles = 1, srcFingerprint = fp)(
-      s.table(lshStateTable(d))
-        .agg(greatest(lit(lshBandBucketCap.toLong),
-          expr("4 * count(1) div count(DISTINCT band_key)")).as("derived_cap")))
+      "derived_cap", numFiles = 1, srcFingerprint = fp + "|p99")(
+      tailAwareCapDf(stateBucketSizes(s, lshStateTable(d), "band_key"),
+        lshBandBucketCap.toLong))
   }
 
   private[graft] def simhashStateTable(sfDir: String): String =
@@ -4071,15 +4209,13 @@ FROM rw"""
   def prepareSimhashState(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     val state = Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2)
     val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
-    graft.ops.ScaleOps.ensureBucketed(
+    graft.ops.ScaleOps.ensureBucketedDerived(
       graft.dedup.Dedup.simhashMankuKeysMd5(
         graft.dedup.Dedup.simhashMd5(state, "doc_id", "text"), "doc_id"),
-      simhashStateTable(d), "mkey", 32, srcFingerprint = fp)
+      simhashStateTable(d), Seq("mkey"), srcFingerprint = fp)
     graft.ops.ScaleOps.ensureSortedByLazy(s, simhashCapPath(s, d),
-      "derived_cap", numFiles = 1, srcFingerprint = fp)(
-      s.table(simhashStateTable(d))
-        .agg(greatest(lit(16L),
-          expr("4 * count(1) div count(DISTINCT mkey)")).as("derived_cap")))
+      "derived_cap", numFiles = 1, srcFingerprint = fp + "|p99")(
+      tailAwareCapDf(stateBucketSizes(s, simhashStateTable(d), "mkey"), 16L))
   }
 
   // ---- dq_incremental_profile: maintained per-column profile ----
@@ -4253,11 +4389,11 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
     val te = Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
     // "|v2": the df-column schema change must rebuild a v1 index.
     val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet") + "|v2"
-    graft.ops.ScaleOps.ensureBucketed(
+    graft.ops.ScaleOps.ensureBucketedDerived(
       te.select(col("doc_id").as("test_id"),
         explode(graft.dedup.Dedup.distinctShingles(col("text"), 3)).as("shingle"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle"))),
-      contamStateTable(d), "shingle", 32, srcFingerprint = fp)
+      contamStateTable(d), Seq("shingle"), srcFingerprint = fp)
     graft.ops.ScaleOps.ensureSortedByLazy(s, contamCapPath(s, d),
       "derived_cap", numFiles = 1, srcFingerprint = fp)(
       s.table(contamStateTable(d))
@@ -4297,14 +4433,12 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
   def prepareCosineState(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     val state = Tables.embeddings(s, d).filter(col("vec_id") % 3 =!= 2)
     val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/embeddings.parquet")
-    graft.ops.ScaleOps.ensureBucketed(
+    graft.ops.ScaleOps.ensureBucketedDerived(
       graft.dedup.Dedup.cosineBucketKeys(state, "vec_id", "embedding"),
-      cosineStateTable(d), "tb_key", 32, srcFingerprint = fp)
+      cosineStateTable(d), Seq("tb_key"), srcFingerprint = fp)
     graft.ops.ScaleOps.ensureSortedByLazy(s, cosineCapPath(s, d),
-      "derived_cap", numFiles = 1, srcFingerprint = fp)(
-      s.table(cosineStateTable(d))
-        .agg(greatest(lit(16L),
-          expr("4 * count(1) div count(DISTINCT tb_key)")).as("derived_cap")))
+      "derived_cap", numFiles = 1, srcFingerprint = fp + "|p99")(
+      tailAwareCapDf(stateBucketSizes(s, cosineStateTable(d), "tb_key"), 16L))
   }
 
   /** pg_incremental_pagerank's persisted EDGE state table: the accepted
@@ -4357,10 +4491,12 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
     // bucketed AND sorted on the closes' composite join key (src, dst)
     // — see Triangles.incrementalPerNodeCounts' 4-arg doc for why the
     // src-bucketed adjacency cannot serve these joins exchange-free.
-    graft.ops.ScaleOps.ensureBucketedKeys(
+    // Bucket count derived from the pair state's own size (the layout
+    // contract — keys, sort, sizing policy — rides graft.layout, so the
+    // old hand-written "|src,dst" fingerprint bump is retired).
+    graft.ops.ScaleOps.ensureBucketedDerived(
       s.table(pgEdgeStateTable(d)).filter(col("src") < col("dst")),
-      pgPairStateTable(d), Seq("src", "dst"), 32,
-      srcFingerprint = fp + "|src,dst")
+      pgPairStateTable(d), Seq("src", "dst"), srcFingerprint = fp)
     // BY-NAME frame: perNodeCounts is lazy, but keep the lazy variant
     // for freshness-check symmetry with the rank state.
     graft.ops.ScaleOps.ensureSortedByLazy(s, triangleStatePath(s, d),
@@ -4379,7 +4515,7 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
   def preparePageRankState(s: org.apache.spark.sql.SparkSession,
                            d: String): Unit = {
     val fp = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")
-    val built = graft.ops.ScaleOps.ensureBucketed(
+    val (built, _) = graft.ops.ScaleOps.ensureBucketedDerived(
       graft.graph.PageRank.symmetrize(
         graft.dedup.Dedup.minhashNearDupsMd5(
           Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2),
@@ -4387,11 +4523,12 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)),
       // Sorted on BOTH keys (r16 advisory): the triangle closes are
       // sort-merge joins on (src, dst), and a src-only sort spec made
-      // every refresh pay two full-state per-partition sorts. The
-      // "|src,dst" fingerprint suffix is a layout-format bump — stale
-      // src-only generations rebuild on first touch (ops_state_gc
-      // collects the orphans).
-      pgEdgeStateTable(d), "src", 32, srcFingerprint = fp + "|src,dst",
+      // every refresh pay two full-state per-partition sorts. The old
+      // "|src,dst" fingerprint bump is retired — keys/sort/count now
+      // ride the graft.layout property, so ANY layout change rebuilds
+      // (stale generations are ops_state_gc's to collect). The bucket
+      // count is derived from the edge state's own staged size.
+      pgEdgeStateTable(d), Seq("src"), srcFingerprint = fp,
       sortCols = Seq("src", "dst"))
     // The `symmetric = true` waiver below rests on "the edge table IS a
     // symmetrize() CTAS" — but every LATER call reads the table back, so
@@ -4428,9 +4565,9 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
     * anti-join forever"); the query also self-prepares for standalone
     * runs. */
   def prepareDedupState(s: org.apache.spark.sql.SparkSession, d: String): Unit =
-    graft.ops.ScaleOps.ensureBucketed(
+    graft.ops.ScaleOps.ensureBucketedDerived(
       Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2)
         .select(md5(col("text")).as("content_hash")).distinct(),
-      dedupStateTable(d), "content_hash", 32,
+      dedupStateTable(d), Seq("content_hash"),
       srcFingerprint = graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"))
 }

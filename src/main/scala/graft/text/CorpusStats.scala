@@ -213,37 +213,44 @@ object CorpusStats {
       .filter(col("witness_rank") <= k)
   }
 
-  /** The PRE-DEDUP bounded member of the contamination family (r16
-    * verdict task 4): [[fingerprintOverlap]] with a TRAIN-SIDE
-    * per-fingerprint WITNESS cap on top of the doc-frequency cap —
-    * keep only the `occCap` smallest train doc_ids per fingerprint
-    * (deterministic), so the fingerprint join emits at most occCap ·
-    * te_occ(f) rows per fingerprint: linear in corpus size at ANY
-    * duplication density. The exact members' join term is
-    * Θ(Σ_f tr_occ(f) × te_occ(f)) by definition, which a K-copy
-    * corpus multiplies by K² (measured 900× at the 30× fixture — 571M
-    * join rows; the df cap is structurally blind to it because it
-    * counts distinct docs against a corpus-sized threshold). The
-    * exact members' documented place is post-dedup
-    * (pipe_corpus_clean); THIS is the member a crawl can run
-    * pre-dedup.
+  /** The PRE-DEDUP bounded member of the contamination family: the
+    * GATE (which test docs are contaminated) is decoupled from WITNESS
+    * enumeration (which train docs to show for each) — the verdict-17
+    * redesign of the r16 witness-capped member, whose gate rode the
+    * capped pair report and missed ~6% of truly contaminated test docs
+    * (a test doc whose every shared fingerprint elected OTHER train
+    * docs into the first-16 was never flagged — the one failure a
+    * decontamination gate cannot have).
     *
-    * Train-side ONLY, deliberately — the first cut capped BOTH sides
-    * (the symmetric "first M positions per side" design), and its own
-    * audit killed it: test-doc recall 0.14 at sf0.1, because a test
-    * doc beyond rank M on every fingerprint it shares is never
-    * flagged at all — the one failure a decontamination gate cannot
-    * have. Capping only the witness side keeps EVERY test doc in the
-    * join (test-doc recall rides the retained witnesses, and a
-    * duplicate train family's fingerprints elect the SAME first-M
-    * docs on every fingerprint, so retained witnesses keep full
-    * n_shared counts), while the bound stays linear: occCap ·
-    * |test occurrences|. The budget is FIXED, not derived — a derived
-    * cap (c · mean occurrence) grows with K and restores the K² term;
-    * what the budget costs is dd_occcap_recall_audit's recorded
-    * number (pair recall drops by design — redundant duplicate-train
-    * witnesses are exactly what is dropped — while test-doc recall is
-    * the operative gate metric). */
+    * Gate: a test doc is flagged when it shares >= `minShared` distinct
+    * fingerprints with the train corpus's df-capped fingerprint
+    * EXISTENCE index — train-fingerprint existence is all the >= m
+    * metric needs, and the index join emits at most one row per test
+    * fingerprint occurrence: linear at ANY duplication density, no
+    * witness budget in the decision path at all. Every test doc truly
+    * flagged by the exact (df-capped) pair member shares >= m distinct
+    * fingerprints with SOME train doc, hence >= m with the index — so
+    * gate recall over the exact member is 1.0 structurally
+    * (dd_occcap_recall_audit records it). The gate over-approximates
+    * pairs by design (m fingerprints spread over m different train docs
+    * still flag), which is the safe direction for decontamination.
+    *
+    * Witnesses: for flagged docs only, the report enumerates train
+    * witnesses under the first-`occCap`-doc_ids-per-fingerprint budget
+    * (deterministic; occCap · te_occ(f) join rows per fingerprint —
+    * the exact members' Θ(Σ tr_occ × te_occ) term is K² on a K-copy
+    * corpus, measured 900× / 571M join rows at the 30× fixture). A
+    * flagged doc whose witnesses were all displaced reports NULL
+    * witness columns — flagged regardless. The budget is FIXED, not
+    * derived (a density-derived occurrence cap grows with K and
+    * restores the K² term); the occ-cap keeps occurrence 1 of every
+    * fingerprint, so the existence index is derived from the SAME
+    * capped frame (distinct fingerprints survive the cap by
+    * construction — one winnow pass serves both legs).
+    *
+    * Output: (test_id, n_shared — the gate's distinct-fingerprint
+    * count, train_id, witness_shared — both NULL when no witness
+    * survives the budget at >= minShared). */
   def fingerprintOverlapOccCapped(train: DataFrame, test: DataFrame,
                                   idCol: String, textCol: String,
                                   n: Int = 5, w: Int = 8,
@@ -274,15 +281,25 @@ object CorpusStats {
           .filter(col("_occ") <= cap)
       }.select(col(idCol), col("fingerprint"))
     }
-    graft.ops.CacheOnce.swap("fingerprint-overlap-occcapped-pairs",
-      capped(fps(train), Some(occCap))
-        .select(col(idCol).as("train_id"), col("fingerprint"))
-        .hint("merge")
-        .join(capped(fps(test), None)
-          .select(col(idCol).as("test_id"), col("fingerprint")),
-          Seq("fingerprint"))
-        .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= minShared))
+    val trainW = capped(fps(train), Some(occCap))
+    val testFps = capped(fps(test), None)
+    // Existence index == the df-capped train fingerprint set (the
+    // occ-cap keeps rank 1 of every fingerprint, so distinct-of-capped
+    // loses nothing) — small output, derived from the same winnow leg.
+    val gate = testFps.select(col(idCol).as("test_id"), col("fingerprint"))
+      .join(trainW.select("fingerprint").distinct(), Seq("fingerprint"))
+      .groupBy("test_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val wit = trainW.select(col(idCol).as("train_id"), col("fingerprint"))
+      .hint("merge")
+      .join(testFps.select(col(idCol).as("test_id"), col("fingerprint")),
+        Seq("fingerprint"))
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("witness_shared"))
+      .filter(col("witness_shared") >= minShared)
+    graft.ops.CacheOnce.swap("fingerprint-overlap-occcapped-report",
+      gate.join(wit, Seq("test_id"), "left")
+        .select(col("test_id"), col("n_shared"), col("train_id"),
+          col("witness_shared")))
   }
 
   /** Maximal VERBATIM token spans shared between a train and a test

@@ -47,4 +47,46 @@ class LshProbeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capBig == ref)
   }
+
+  test("watermarked drain: first drain hands back every committed pair, " +
+    "an aged re-drain hands back ZERO new files, advance() is what moves " +
+    "the marker, and a rolled source fingerprint resets the lineage") {
+    val d = "/root/testdata/sf0.001"
+    graft.queries.CorpusQueries.prepareLshState(spark, d)
+    val state = graft.queries.CorpusQueries.lshStateTable(d)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_wm_probe").toString + "/lineage"
+    LshProbe.resetLineageIfStale(spark, base, "fp-1")
+
+    // Fresh lineage: everything the sink committed is beyond the marker.
+    val d1 = LshProbe.candidatesWatermarked(spark, d, state, base)
+    val got = d1.newPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d1.newFiles.nonEmpty && got.nonEmpty)
+    val ref = LshProbe.candidatesOnce(spark, d, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref, "watermarked first drain != the per-drain candidate set")
+
+    // WITHOUT advance(): a re-drain re-hands the same files (crash
+    // between merge and advance ⇒ at-least-once, never lost).
+    val dRetry = LshProbe.candidatesWatermarked(spark, d, state, base)
+    assert(dRetry.newFiles.toSet == d1.newFiles.toSet,
+      "un-advanced marker must re-deliver the same files")
+    dRetry.advance()
+
+    // Aged lineage, unchanged source: the drain commits nothing new and
+    // the downstream verify gets exactly zero files — per-drain cost
+    // rides the increment, not the sink's lifetime accumulation.
+    val d2 = LshProbe.candidatesWatermarked(spark, d, state, base)
+    assert(d2.newFiles.isEmpty, s"aged re-drain re-delivered ${d2.newFiles}")
+    assert(d2.newPairs.isEmpty)
+
+    // Rolled fingerprint: lineage (sink, checkpoint, marker) resets as
+    // one unit, so the next drain reprocesses from scratch.
+    LshProbe.resetLineageIfStale(spark, base, "fp-2")
+    val d3 = LshProbe.candidatesWatermarked(spark, d, state, base)
+    assert(d3.newFiles.nonEmpty &&
+      d3.newPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == ref,
+      "reset lineage must reprocess the full source")
+    graft.ops.ScaleOps.deleteLocal(new java.io.File(base).getParentFile)
+  }
 }
