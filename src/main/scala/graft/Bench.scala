@@ -135,9 +135,17 @@ object Bench {
     // gap attribution filters on the tag — so a regression is
     // attributable from the record alone, without assuming job
     // wall-clock windows nest inside rep windows. Streaming gates run
-    // their micro-batch jobs on OTHER threads (local properties are
-    // thread-scoped), so untagged jobs still fall back to wall-clock
-    // overlap — tagged-exact where possible, never losing coverage.
+    // their micro-batch jobs on OTHER threads; local properties are
+    // INHERITABLE-thread-local (ADVICE r17), so a stream-execution
+    // thread CREATED inside a tagged rep inherits that rep's tag at
+    // creation and keeps it for the stream's lifetime — its jobs
+    // attribute tag-exact to the rep that STARTED the stream, even
+    // when a later rep's work lands on the long-lived stream thread.
+    // That can shift GAP attribution between adjacent reps of the
+    // same query (never across queries, never results); stream
+    // threads created OUTSIDE any rep (the warm pass) carry no tag
+    // and fall back to wall-clock overlap — tagged-exact where
+    // possible, never losing coverage.
     val repTagKey = "graft.bench.rep"
     val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

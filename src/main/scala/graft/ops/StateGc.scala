@@ -165,30 +165,39 @@ object StateGc {
     * Rebuilt from scratch each call, so the settled report is
     * deterministic and the DuckDB VALUES twin is the oracle.
     *
-    * SINGLE-WRITER assumption (ADVICE r16): the scorched-earth
-    * pre-clean below makes this demo non-reentrant across concurrent
-    * sessions sharing one warehouse — a concurrent call's pre-clean
-    * can delete this call's freshly built live generation between
-    * build and the post-GC probe, failing the require spuriously. The
-    * registered query runs inside single-session Verify/Bench drivers,
-    * where the assumption holds; a concurrent sweep sharing the
-    * warehouse must serialize its dq/ops audit queries. */
+    * REENTRANT across concurrent sessions sharing one warehouse
+    * (ADVICE r17, closed r18): the demo family is namespaced by a
+    * per-SESSION suffix (`graft_gcdemo<sfx>_…`, sfx = the session
+    * object's identity hash), so a concurrent audit's scorched-earth
+    * pre-clean and destructive GC pass can only ever touch its OWN
+    * session's generations — never delete this call's freshly built
+    * live generation between build and the post-GC probe. Orphans from
+    * crashed sessions are bounded: the pre-clean also sweeps OTHER
+    * sessions' demo families older than one hour (a live concurrent
+    * audit is seconds old; an hour-old family is a crash leftover). */
   def demoAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val tag = tagOf(sfDir)
     val (f, whP) = fs(spark, wh)
-    // Scorched-earth pre-clean of the WHOLE demo family, any tag: the
-    // warehouse outlives fixtures, and a graft_gcdemo_live_<otherTag>
-    // kept by a previous run at a DIFFERENT sfDir is (correctly) GC'd
-    // as dead by THIS run — a fourth report row that made the settled
-    // report depend on warehouse history instead of on this call
-    // (caught by the r16 sf0.01 gate after a 30× sweep shared the
-    // warehouse). The demo's determinism contract is per-call, so the
-    // build starts from zero generations every time.
+    val sfx = Integer.toHexString(System.identityHashCode(spark))
+    val famPrefix = s"graft_gcdemo${sfx}_"
+    // Scorched-earth pre-clean of THIS SESSION's demo family, any tag:
+    // the warehouse outlives fixtures, and a live_<otherTag> kept by a
+    // previous run at a DIFFERENT sfDir is (correctly) GC'd as dead by
+    // THIS run — a fourth report row that made the settled report
+    // depend on warehouse history instead of on this call (caught by
+    // the r16 sf0.01 gate after a 30× sweep shared the warehouse). The
+    // demo's determinism contract is per-call, so the build starts from
+    // zero generations every time. Other sessions' families are swept
+    // only when old enough to be crash leftovers.
     if (f.exists(whP))
       f.listStatus(whP).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("graft_gcdemo"))
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isDirectory && n.startsWith("graft_gcdemo") &&
+            (n.startsWith(famPrefix) ||
+              st.getModificationTime < System.currentTimeMillis() - 3600000L)
+        }
         .foreach { st =>
           spark.sql(s"DROP TABLE IF EXISTS `${st.getPath.getName}`")
           f.delete(st.getPath, true); ()
@@ -199,11 +208,11 @@ object StateGc {
       spark.range(1).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
       writeUtf8(f, new org.apache.hadoop.fs.Path(dir, "_GRAFT_SRC"), marker)
     }
-    val liveGen = s"graft_gcdemo_live_$tag"
+    val liveGen = s"${famPrefix}live_$tag"
     build(liveGen, docFp + ":demo=1")
-    build(s"graft_gcdemo_stale_$tag", "0:0")
-    build("graft_gcdemo_dead_tmp_graft_gone_gcdemo", docFp)
-    val report = run(spark, wh, Seq(sfDir), prefix = "graft_gcdemo",
+    build(s"${famPrefix}stale_$tag", "0:0")
+    build(s"${famPrefix}dead_tmp_graft_gone_gcdemo", docFp)
+    val report = run(spark, wh, Seq(sfDir), prefix = famPrefix,
       dryRun = false).collect()
     // Live probe AFTER the destructive pass: the kept generation must
     // still be a readable layout with its marker intact.
@@ -212,7 +221,7 @@ object StateGc {
       readMarker(f, new org.apache.hadoop.fs.Path(liveDir)).contains(docFp + ":demo=1"),
       "stateGc demo: live generation damaged by GC")
     val out = report.map { r =>
-      val label = r.getString(0).stripPrefix("graft_gcdemo_").takeWhile(_ != '_')
+      val label = r.getString(0).stripPrefix(famPrefix).takeWhile(_ != '_')
       Row(label, r.getString(1), r.getString(5),
         r.getString(5) == "drop" && r.getLong(4) > 0L)
     }

@@ -117,4 +117,33 @@ class StateGcSpec extends SparkSpec {
       if (d.exists()) ScaleOps.deleteLocal(d)
     }
   }
+
+  test("concurrent demo audits sharing one warehouse do not clobber each " +
+    "other (per-session family suffix — ADVICE r17)") {
+    // Two sessions, interleaved destructive demoAudit cycles. Before the
+    // per-session suffix, session B's scorched-earth pre-clean could
+    // delete session A's freshly built live generation between build and
+    // the post-GC probe — demoAudit's own require would then fail
+    // spuriously. With the suffix each session sweeps only its own
+    // family, so both must settle to the canonical 3-row report on
+    // every iteration.
+    val sf = "/root/testdata/sf0.001"
+    val s2 = spark.newSession()
+    val expected = Set(("dead", "drop"), ("live", "keep"), ("stale", "drop"))
+    val ex = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = Seq(spark, s2).map { s =>
+        ex.submit(new java.util.concurrent.Callable[Seq[Set[(String, String)]]] {
+          def call(): Seq[Set[(String, String)]] = (1 to 3).map { _ =>
+            StateGc.demoAudit(s, sf).collect()
+              .map(r => (r.getString(0), r.getString(2))).toSet
+          }
+        })
+      }
+      tasks.foreach { t =>
+        val reports = t.get(300, java.util.concurrent.TimeUnit.SECONDS)
+        reports.foreach(r => assert(r == expected, s"clobbered report: $r"))
+      }
+    } finally { ex.shutdownNow(); () }
+  }
 }
