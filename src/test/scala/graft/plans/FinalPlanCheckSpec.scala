@@ -52,6 +52,37 @@ class FinalPlanCheckSpec extends SparkSpec {
     }
   }
 
+  test("a DERIVED non-floor bucket count keeps the probe exchange-free " +
+    "and the sorted scan sort-free (the layout contract is count-independent)") {
+    // The fixtures' states all bind at the floor (they are MBs against
+    // 128 MiB/8M-row production targets), so the derived machinery's
+    // behavior at a count != 32 would otherwise never execute anywhere.
+    // Force small targets -> a 64-bucket state, and REQUIRE the same
+    // plan properties every floor-bound probe enjoys: state enters its
+    // merge join with no Exchange and no state-side Sort.
+    val t = "fpc_derived_state"
+    try {
+      spark.conf.set("graft.state.bucketTargetRows", "100")
+      val df = (1L to 5000L).map(i => (i, i * 7)).toDF("k", "v")
+      val (_, n) = ScaleOps.ensureBucketedDerived(df, t, Seq("k"),
+        srcFingerprint = "fp-derived-probe")
+      assert(n == 64, s"fixture expects a 64-bucket derivation, got $n")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = (1L to 40L).map(i => (i * 3, s"p$i")).toDF("k", "p")
+        val joined = spark.table(t).hint("merge").join(probe, Seq("k"))
+        val plan = joined.queryExecution.executedPlan
+        PlanChecks.requireExchangeFreeBucketedProbe(plan, "derived-count state")
+        PlanChecks.requireSortFreeBucketedScan(plan, t, "derived-count state")
+        assert(joined.count() == 40)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.unset("graft.state.bucketTargetRows")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("a re-keying shuffle (different column) is NOT a violation") {
     withState {
       PlanChecks.drainFinalPlanViolations()
