@@ -29,6 +29,15 @@ object BottomkIngest {
 
   def sampleOnce(spark: SparkSession, sfDir: String, k: Int = 32): DataFrame = {
     val ss = spark.newSession()
+    // 8-wide DELIBERATELY, and measured (r18 arbitration of the r17
+    // bench doubling): this gate's wall is dominated by per-PARTITION
+    // state-store machinery in the mapGroupsWithState stage, not by
+    // per-event work — widening to 32 partitions QUADRUPLED s-cpu
+    // (23-37 s → 94-347 s at sf0.1) and made wall worse, so the cost
+    // scales with partition count and 8 is the right width for a
+    // hundreds-of-keys state. There is no sink or persisted state here
+    // to accumulate (memory sink, fresh session per call): bench-line
+    // movement on this query is machinery variance, not growth.
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val raw = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(Tables.eventsRawSchema))
