@@ -528,6 +528,42 @@ object ScaleOps {
     }
   }
 
+  /** Publish a staged directory as `dst` by delete + rename. The pair
+    * is NOT atomic (FileSystem.rename cannot replace a non-empty dir,
+    * so the swap must delete first), which opens a crash window where
+    * `dst` is gone while the staged tree still holds the complete
+    * result — and any bookkeeping the caller advanced for EARLIER
+    * publishes (a verified-files marker) silently lies about state
+    * that no longer exists. Callers must run [[recoverPublishedDir]]
+    * on entry, BEFORE testing `dst` for existence. */
+  private[graft] def publishDirSwap(spark: SparkSession, tmp: String,
+                                    dst: String): Unit = {
+    val (fs, dstP) = hadoopFs(spark, dst)
+    if (fs.exists(dstP)) fs.delete(dstP, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dstP),
+      s"publish rename $tmp -> $dst failed")
+  }
+
+  /** Heal [[publishDirSwap]]'s delete→rename crash window: when `dst`
+    * is missing but the staged tree is complete (_SUCCESS present),
+    * finish the interrupted rename. Without this, a caller that
+    * rebuilds a missing `dst` from scratch would silently drop every
+    * increment already merged into the vanished publish — the staged
+    * tree IS that merged state, and completing the swap is the only
+    * recovery that keeps the caller's already-advanced bookkeeping
+    * truthful. Returns true when a recovery happened. */
+  private[graft] def recoverPublishedDir(spark: SparkSession, tmp: String,
+                                         dst: String): Boolean = {
+    val (fs, dstP) = hadoopFs(spark, dst)
+    val tmpSuccess =
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tmp), "_SUCCESS")
+    if (!fs.exists(dstP) && fs.exists(tmpSuccess)) {
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dstP),
+        s"recovery rename $tmp -> $dst failed")
+      true
+    } else false
+  }
+
   /** Join two same-bucketed tables on their bucket key. The caller is
     * asserting the physical layout matches; the plan check lives in the
     * test suite (no Exchange above either scan). */

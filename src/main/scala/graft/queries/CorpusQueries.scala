@@ -3725,7 +3725,17 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
     val drain = graft.streaming.LshProbe.candidatesWatermarked(
       s, d, lshStateTable(d), base, bandBucketCap = cap)
     val settledDir = s"$base/settled"
-    val settledExists = new java.io.File(settledDir, "_SUCCESS").exists()
+    val tmpDir = s"$base/settled_tmp"
+    // Crash recovery BEFORE the existence test: a crash inside the
+    // publish swap below leaves no settled dir while the marker already
+    // lists earlier drains' files as merged — rebuilding from the day-1
+    // cluster state would silently lose those increments. The staged
+    // tree holds the complete merged state; finish the swap instead.
+    graft.ops.ScaleOps.recoverPublishedDir(s, tmpDir, settledDir)
+    val settledExists = {
+      val p = new org.apache.hadoop.fs.Path(settledDir, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
     if (drain.newFiles.nonEmpty || !settledExists) {
       val priorState =
         if (settledExists) s.read.parquet(settledDir)
@@ -3738,15 +3748,11 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
         shingleN = 2, threshold = 0.5)
       // Durable settled state FIRST, marker advance SECOND (the crash
       // ordering above). Write via tmp + swap so a reader of the
-      // settled dir never sees a half-written overwrite.
-      val tmp = s"$base/settled_tmp"
+      // settled dir never sees a half-written overwrite; the swap's
+      // own crash window is healed by the recovery above.
       Dedup.incrementalClusters(priorState, pairs)
-        .write.mode("overwrite").parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(base)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val dst = new org.apache.hadoop.fs.Path(settledDir)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        .write.mode("overwrite").parquet(tmpDir)
+      graft.ops.ScaleOps.publishDirSwap(s, tmpDir, settledDir)
       drain.advance()
     }
     s.read.parquet(settledDir)

@@ -89,4 +89,44 @@ class LshProbeSpec extends SparkSpec {
       "reset lineage must reprocess the full source")
     graft.ops.ScaleOps.deleteLocal(new java.io.File(base).getParentFile)
   }
+
+  test("settled-state publish heals the delete→rename crash window — " +
+    "previously-merged increments never silently rebuild from the day-1 " +
+    "state") {
+    val d = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("st_incremental_clusters")
+    // First run: drains the sink, merges into settled, advances the
+    // verified marker.
+    val first = q(spark, d).collect().map(_.toSeq).toSet
+    assert(first.nonEmpty)
+
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val base = new java.io.File(wh, "graft_st_cc_cands_" + tag).toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val settled = new org.apache.hadoop.fs.Path(base, "settled")
+    val tmp = new org.apache.hadoop.fs.Path(base, "settled_tmp")
+    assert(fs.exists(settled), "first run must have published settled state")
+
+    // A complete staged tree beside a live publish is the pre-delete
+    // crash shape — recovery must NOT fire (the publish is newer truth).
+    fs.mkdirs(tmp)
+    assert(!graft.ops.ScaleOps.recoverPublishedDir(spark, tmp.toString,
+      settled.toString))
+    fs.delete(tmp, true)
+
+    // Simulate a crash INSIDE the publish swap: settled deleted, the
+    // staged tree (the complete merged state, _SUCCESS and all) still
+    // present — exactly what publishDirSwap leaves when killed between
+    // its delete and rename. The marker still lists every drained sink
+    // file as merged, so a day-1 rebuild here would be silent data loss.
+    require(fs.rename(settled, tmp))
+    val again = q(spark, d).collect().map(_.toSeq).toSet
+    assert(again == first,
+      "post-crash drain must recover the staged merged state, not " +
+        "rebuild from the day-1 cluster state")
+    assert(fs.exists(settled) && !fs.exists(tmp),
+      "recovery must complete the interrupted swap")
+  }
 }
