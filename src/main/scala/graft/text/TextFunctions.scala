@@ -68,21 +68,25 @@ object TextFunctions {
   //
   // The composable definitions above run one `replace` chain per marker
   // (allocating a copy of the text per marker, per row). The fast
-  // variants compute ALL marker counts in one zero-allocation pass via
-  // the native [[graft.functions.MultiOccurrences]] expression, then do
-  // the identical arithmetic on the counts — bit-compatible with the
-  // composable twins (spec-proven) and with the replace-arithmetic SQL
-  // oracles. Use these in pipelines; keep the twins for cross-checks.
+  // variants compute ALL marker counts AND their sum/argmax in one
+  // zero-allocation pass via the native [[graft.functions.MultiOccTotal]]
+  // / [[graft.functions.MultiOccBestGroup]] expressions — bit-compatible
+  // with the composable twins (spec-proven) and with the
+  // replace-arithmetic SQL oracles. Use these in pipelines; keep the
+  // twins for cross-checks. The fusion has to reach the sum/argmax, not
+  // stop at the counts array: N element_at's of one array expression
+  // re-generate the child N times in Filter predicates (no
+  // subexpression elimination there), and the element_at formulation
+  // pushed the corpus-clean quality+langid filter past Janino's 64 KB
+  // method limit — whole-stage codegen silently OFF on the hottest
+  // document filter (CodegenGateSpec now pins that stage compiling).
 
-  import graft.functions.MultiOccFunctions.occurrencesAll
-
-  private def sumElems(counts: Column, n: Int): Column =
-    (1 to n).map(i => element_at(counts, i)).reduce(_ + _)
+  import graft.functions.MultiOccFunctions.{occurrencesBestGroup, occurrencesTotal}
 
   private val punct = Seq(".", ",", ";", ":", "!", "?")
 
   def punctRatioFast(c: Column): Column = {
-    val hits = sumElems(occurrencesAll(c, punct), punct.length)
+    val hits = occurrencesTotal(c, punct)
     round(hits.cast("double") / greatest(length(c), lit(1)), 4)
   }
 
@@ -90,7 +94,7 @@ object TextFunctions {
 
   def stopwordRatioFast(c: Column): Column = {
     val padded = concat(lit(" "), c, lit(" "))
-    val hits = sumElems(occurrencesAll(padded, stops.map(s => s" $s ")), stops.length)
+    val hits = occurrencesTotal(padded, stops.map(s => s" $s "))
     round(hits.cast("double") / greatest(tokenCount(c), lit(1)), 4)
   }
 
@@ -105,7 +109,7 @@ object TextFunctions {
   def stopwordHitsFast(c: Column): Column = {
     val spaced = regexp_replace(lower(c), "\\s", "  ")
     val padded = concat(lit(" "), spaced, lit(" "))
-    sumElems(occurrencesAll(padded, stops.map(s => s" $s ")), stops.length).cast("long")
+    occurrencesTotal(padded, stops.map(s => s" $s "))
   }
 
   def qualityScoreFast(c: Column): Column = {
@@ -117,15 +121,15 @@ object TextFunctions {
 
   def langIdFast(c: Column): Column = {
     val padded = concat(lit(" "), lower(c), lit(" "))
-    val allMarkers = langMarkers.flatMap(_._2)
-    val counts = occurrencesAll(padded, allMarkers.map(m => s" $m "))
-    val scores = langMarkers.zipWithIndex.map { case ((lang, ms), li) =>
-      val offset = langMarkers.take(li).map(_._2.length).sum
-      lang -> (1 to ms.length).map(i => element_at(counts, offset + i)).reduce(_ + _)
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
-      when(s === best && best > 0, lit(lang)).otherwise(elseCol)
+    // One native argmax over the whole marker table (first-wins ties,
+    // -1 when no marker hits ⇒ "und" — the exact greatest/when-chain
+    // semantics of the composable twin, spec-pinned equal); the
+    // when-chain that remains compares one scalar against literals.
+    val idx = occurrencesBestGroup(padded,
+      langMarkers.flatMap(_._2).map(m => s" $m "),
+      langMarkers.map(_._2.length))
+    langMarkers.map(_._1).zipWithIndex.foldRight(lit("und")) {
+      case ((lang, li), elseCol) => when(idx === li, lit(lang)).otherwise(elseCol)
     }
   }
 

@@ -115,6 +115,45 @@ class CodegenGateSpec extends SparkSpec {
     assert(v.asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(2L, 1L))
   }
 
+  test("codegen gate: MultiOccTotal") {
+    val v = gate(rddDf("s string")(Row("abcabz")),
+      MultiOccFunctions.occurrencesTotal(col("s"), Seq("ab", "z")))
+    assert(v == 3L)
+  }
+
+  test("codegen gate: MultiOccBestGroup") {
+    val v = gate(rddDf("s string")(Row("abcabz")),
+      MultiOccFunctions.occurrencesBestGroup(col("s"), Seq("ab", "z", "q"),
+        Seq(2, 1)))
+    assert(v == 0)
+  }
+
+  test("codegen gate: the corpus-clean quality+langid filter stage " +
+    "compiles as one whole-stage span") {
+    // The exact shape that regressed: qualityScoreFast AND langIdFast
+    // in ONE Filter predicate with a langid Project above — the
+    // element_at-of-counts-array formulation re-generated the marker
+    // scan per term (Filter predicates get no subexpression
+    // elimination) and pushed the generated method past Janino's 64 KB
+    // limit, silently de-optimizing the hottest document filter to
+    // interpreted eval at every scale. fallback=false makes that
+    // failure throw here instead.
+    forcedCodegen {
+      val d = rddDf("text string")(Row(
+        "the quick brown fox is in the house of the hill and " +
+          "the dog is on the path to a tree. " * 3))
+      val out = d
+        .filter(graft.text.TextFunctions.qualityScoreFast(col("text")) >= 0.5 &&
+          graft.text.TextFunctions.langIdFast(col("text")) =!= "und")
+        .select(graft.text.TextFunctions.langIdFast(col("text")).as("lang"))
+      val plan = out.queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.nonEmpty, s"filter stage did not enter whole-stage codegen:\n$plan")
+      assert(out.collect().map(_.getString(0)).toSeq == Seq("en"))
+    }
+  }
+
   test("codegen gate: DotProduct") {
     val v = gate(
       rddDf("a array<double>, b array<double>")(
