@@ -547,6 +547,24 @@ object Dedup {
     crossVerified.unionByName(selfVerified)
   }
 
+  /** Cross-pair-only slice of [[verifyIncrementPairs]]: exact Jaccard of
+    * the (state id1, increment id2) candidates alone, with the
+    * state-side shingle rescan collision-pruned by a left-semi — for
+    * consumers that never read the increment's self pairs (the
+    * cap-recall audit filtered the whole self-verify subtree away AFTER
+    * computing it). `incSets` is the increment's exploded distinct
+    * (id, shingle) set, shareable via CacheOnce with the rest of the
+    * incremental family. */
+  def verifyCrossPairs(crossCands: DataFrame, stateDocs: DataFrame,
+                       incSets: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, threshold: Double): DataFrame = {
+    val stateSets = stateDocs
+      .join(crossCands.select(col("id1").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
+    verifyJaccardCross(crossCands, stateSets, incSets, idCol, threshold)
+  }
+
   /** Density-capped contamination report. The full pair report's output
     * cardinality rides duplicate density — a test doc contaminated by
     * thousands of train docs emits thousands of rows, and at 100 TB a

@@ -47,14 +47,22 @@ object PageRank {
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
                roundTo: Int = 6, symmetric: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    // Persist the RAW edge list, then derive EVERYTHING from the cached
-    // frame: deg, the superstep join frame, the node count and the init
-    // ranks all reference `e`. The node-count aggregate alone is
-    // broadcast once per superstep (each `broadcast(nDf)` is its own
-    // exchange), so an uncached edge lineage would re-derive the
-    // upstream pair computation iters+2 times — measured 6x the whole
-    // MinHash chain on the near-dup graph before this was pinned down.
-    val e = graft.ops.CacheOnce.swap("pagerank-edges", edges)
+    // TRUNCATE the RAW edge list, then derive EVERYTHING from the leaf:
+    // deg, the superstep join frame, the node count and the init ranks
+    // all reference `e`. The node-count aggregate alone is broadcast
+    // once per superstep (each `broadcast(nDf)` is its own exchange),
+    // so an uncached edge lineage would re-derive the upstream pair
+    // computation iters+2 times — measured 6x the whole MinHash chain
+    // on the near-dup graph before this was pinned down. Truncated,
+    // not just cached (r18): caching dedups EXECUTION, but the ANALYZED
+    // tree of a deep edge feed (the MinHash band join + Jaccard verify)
+    // still rode into every one of the ~3·iters downstream references,
+    // and Catalyst analysis dominated the warm query (sf0.1: 2.3 s of
+    // driver gap over ~0.6 s of tasks — the same fat-leaf arithmetic
+    // that motivated swapTruncated on the incremental path). After
+    // truncation every reference costs the analyzer one LogicalRDD
+    // leaf.
+    val e = graft.ops.CacheOnce.swapTruncated("pagerank-edges", edges)
     // deg is node-cardinality sized and referenced by every superstep's
     // join AND every teleport broadcast (~2*iters references, each its
     // own stage if recomputed) — persist it alongside the edges.

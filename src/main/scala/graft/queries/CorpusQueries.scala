@@ -1450,7 +1450,7 @@ FROM jb GROUP BY 1""") { (s, d) =>
       // Same CacheOnce key/plan as pg_pagerank's edge source: whichever
       // runs first pays the band join + Jaccard verify, the other reads
       // the verified pair set from cache.
-      graft.ops.CacheOnce.swap("minhash-md5-neardups",
+      graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups",
         Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
     },
@@ -1481,7 +1481,7 @@ ${step("p1", "p2")},
 ${step("p2", "p3")}
 SELECT id AS doc_id, round(r, 6) AS rank FROM p3"""
     }) { (s, d) =>
-      val pairs = graft.ops.CacheOnce.swap("minhash-md5-neardups",
+      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups",
         Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
       graft.graph.PageRank.pageRank(graft.graph.PageRank.symmetrize(pairs),
@@ -1498,7 +1498,7 @@ SELECT id AS doc_id, round(r, 6) AS rank FROM p3"""
     // enumerates id-ordered a<b<c triples — two different algorithms,
     // one triangle set.
     Q("pg_triangles", trianglesOracleSql) { (s, d) =>
-      val pairs = graft.ops.CacheOnce.swap("minhash-md5-neardups",
+      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups",
         Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
       graft.graph.Triangles.perNodeCounts(pairs)
@@ -1545,7 +1545,7 @@ SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER w AS BIGINT) AS ran
 FROM fl WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
 QUALIFY row_number() OVER w <= 3""") { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val pairs = graft.ops.CacheOnce.swap("minhash-md5-neardups",
+      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups",
         Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
       Similarity.cosineTopKExcluding(
@@ -2681,29 +2681,39 @@ FROM bk""") { (s, d) =>
           explode(Dedup.distinctShingles(col("text"), 2)).as("shingle")))
       val incBands = graft.ops.CacheOnce.swap("incr-inc-bands",
         Dedup.bandKeys(incSets, "doc_id", 32, 4))
+      val cap = lshDerivedCap(s, d)
+      // ONE probe join for BOTH feeds (r18: the two-feed shape ran the
+      // band probe once per feed and, through the un-materialized
+      // aggregate fan-out below, re-executed each feed per consumer —
+      // the verify chain twice and the probe ~6x; measured 26-56 s solo
+      // at sf0.1): every state row carries its band bucket's size, and
+      // a pair is admitted by the capped feed iff ANY of its colliding
+      // band buckets is within the cap (min colliding bucket <= cap) —
+      // exactly the membership the capped probe join computed. The
+      // bucket-size window keys on band_key and rides the state
+      // table's bucketing, the family's exchange-free discipline.
       val w = org.apache.spark.sql.expressions.Window.partitionBy("band_key")
-      val cappedState = stateBands.withColumn("_bsz", count(lit(1)).over(w))
-        .filter(col("_bsz") <= lshDerivedCap(s, d)).drop("_bsz")
-      // Both feeds ride the state table's bucketing into a sort-merge
-      // probe (the family's exchange-free discipline); distinct pairs.
-      def cands(st: org.apache.spark.sql.DataFrame) = st.hint("merge")
-        .select(col("doc_id").as("id1"), col("band_key"))
+      val pairsAnn = stateBands.withColumn("_bsz", count(lit(1)).over(w))
+        .hint("merge")
+        .select(col("doc_id").as("id1"), col("band_key"), col("_bsz"))
         .join(incBands.select(col("doc_id").as("id2"), col("band_key")),
           Seq("band_key"))
-        .select("id1", "id2").distinct()
-      val cd = cands(stateBands)
-      val cdc = cands(cappedState)
-      // Cross pairs only: the budget never touches inc-inc self pairs,
-      // so the recall denominator excludes them (id1 of a cross pair is
-      // a state doc, % 3 != 2).
-      val vf = Dedup.verifyIncrementPairs(cd, inc, stDocs, "doc_id", "text",
-          numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
-        .filter(col("id1") % 3 =!= 2).select("id1", "id2")
-      val vc = vf.join(cdc, Seq("id1", "id2"), "left_semi")
-      cd.agg(count(lit(1)).as("n_cand_uncapped"))
-        .crossJoin(cdc.agg(count(lit(1)).as("n_cand_capped")))
-        .crossJoin(vf.agg(count(lit(1)).as("n_true_pairs")))
-        .crossJoin(vc.agg(count(lit(1)).as("n_capped_pairs")))
+        .groupBy("id1", "id2")
+        .agg((min(col("_bsz")) <= cap).as("capped_ok"))
+      // Materialized ONCE per invocation (eager, no cross-rep memo):
+      // the annotated pair set feeds the count aggregate, the verify
+      // chain's probe-pruned state rescan, and the capped-flag re-join.
+      val cdm = graft.ops.Materialize.eagerDurable(pairsAnn)
+      // Cross pairs only, verified ONCE on the uncapped feed (the
+      // capped feed is a subset): verifyCrossPairs skips the inc-inc
+      // self-verify subtree the old shape computed and filtered away.
+      val vfa = Dedup.verifyCrossPairs(cdm.select("id1", "id2"), stDocs,
+          incSets, "doc_id", "text", shingleN = 2, threshold = 0.5)
+        .select("id1", "id2").join(cdm, Seq("id1", "id2"))
+      cdm.agg(count(lit(1)).as("n_cand_uncapped"),
+          count(when(col("capped_ok"), 1)).as("n_cand_capped"))
+        .crossJoin(vfa.agg(count(lit(1)).as("n_true_pairs"),
+          count(when(col("capped_ok"), 1)).as("n_capped_pairs")))
         .withColumn("n_cand_dropped", col("n_cand_uncapped") - col("n_cand_capped"))
         .withColumn("pair_recall", when(col("n_true_pairs") === 0, lit(1.0))
           .otherwise(round(col("n_capped_pairs").cast("double") / col("n_true_pairs"), 4)))
