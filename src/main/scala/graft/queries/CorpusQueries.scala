@@ -2790,10 +2790,10 @@ FROM bk""") { (s, d) =>
       prepareLshState(s, d); prepareCentroidState(s, d)
       val docs = Tables.documents(s, d)
       val inc = docs.filter(col("doc_id") % 3 === 2)
-      val exactAcc = graft.ops.CacheOnce.swap("pipe-g-exact-acc",
+      val exactAcc = graft.ops.CacheOnce.swapTruncated("pipe-g-exact-acc",
         Dedup.incrementalDedup(inc, s.table(dedupStateTable(d)),
           "doc_id", "text").select(col("doc_id")))
-      val contamV = graft.ops.CacheOnce.swap("pipe-g-contam",
+      val contamV = graft.ops.CacheOnce.swapTruncated("pipe-g-contam",
         Dedup.incrementalContamination(
           inc.join(exactAcc, Seq("doc_id"), "left_semi"),
           s.table(contamStateTable(d)),
@@ -2801,7 +2801,7 @@ FROM bk""") { (s, d) =>
           dfCap = Some(contamDerivedCap(s, d)),
           dfCol = Some("df"), bloom = Some(contamStateBloom(s, d))))
       val clean = contamV.filter(!col("contaminated")).select(col("doc_id"))
-      val ndVerdicts = graft.ops.CacheOnce.swap("pipe-g-nd-verdicts",
+      val ndVerdicts = graft.ops.CacheOnce.swapTruncated("pipe-g-nd-verdicts",
         Dedup.incrementalNearDups(
           inc.join(clean, Seq("doc_id"), "left_semi"),
           docs.filter(col("doc_id") % 3 =!= 2), s.table(lshStateTable(d)),
@@ -2848,10 +2848,10 @@ FROM bk""") { (s, d) =>
       // the final verdict join) — CacheOnce'd so one action evaluates
       // the digest gate and the LSH probe chain once, not two/three
       // times (the same multi-consumer recompute pageRank had).
-      val exactAcc = graft.ops.CacheOnce.swap("pipe-incr-exact-acc",
+      val exactAcc = graft.ops.CacheOnce.swapTruncated("pipe-incr-exact-acc",
         Dedup.incrementalDedup(inc, s.table(dedupStateTable(d)),
           "doc_id", "text").select(col("doc_id")))
-      val ndVerdicts = graft.ops.CacheOnce.swap("pipe-incr-nd-verdicts",
+      val ndVerdicts = graft.ops.CacheOnce.swapTruncated("pipe-incr-nd-verdicts",
         Dedup.incrementalNearDups(
           inc.join(exactAcc, Seq("doc_id"), "left_semi"),
           docs.filter(col("doc_id") % 3 =!= 2), s.table(lshStateTable(d)),

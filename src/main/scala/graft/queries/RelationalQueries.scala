@@ -601,7 +601,14 @@ GROUP BY 1""") { (s, d) =>
       val state = s.read.parquet(scd2AggStatePath(s, d))
       val keys = Seq("c_custkey")
       val tracked = Seq("c_acctbal", "c_mktsegment")
-      val h = h12(s, d)
+      // TRUNCATED (r18): the v1→v2 merge history is referenced by BOTH
+      // h123 (the v3 apply) and the old frontier, so its full-outer
+      // merge tree rode into every downstream reference and the warm
+      // query was analysis-bound (~1.3 s driver gap over ~0.5 s of
+      // tasks). One LogicalRDD leaf instead; the REQUIREd 2-join delta
+      // shape still sees orders⋈customer through customerV3 (dimNew)
+      // and the dimOld⋈dimNew delta, which keep their customer scans.
+      val h = graft.ops.CacheOnce.swapTruncated("ivm-scd2-h12", h12(s, d))
       val h123 = graft.ops.ScdOps.scd2Apply(h, customerV3(s, d), keys, tracked, newVer = 3L)
       val dimOld = frontierBands(h)
         .select(col("c_custkey"), col("bal_band").as("_ob"))
