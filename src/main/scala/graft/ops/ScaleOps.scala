@@ -352,6 +352,28 @@ object ScaleOps {
       writeMarker(df.sparkSession, path, srcFingerprint)
     }
 
+  /** 1-row layout-statistic checkpoints (the derived probe caps): each
+    * parquet `head()` is a full driver job (~0.1-0.2 s) paid by EVERY
+    * cap-consuming query invocation, but the value is a constant of the
+    * state GENERATION — memoized per (path, source fingerprint), the
+    * bloomMemo precedent in CorpusQueries. A state rebuild changes the
+    * fingerprint and re-reads; racing readers of one key both compute
+    * the same value and the second put is a no-op. */
+  private val statMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]
+
+  def readStatLong(spark: SparkSession, path: String,
+                   srcFingerprint: String): Long = {
+    val key = (path, srcFingerprint)
+    val hit = statMemo.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      val v = spark.read.parquet(path).head().getLong(0)
+      statMemo.putIfAbsent(key, java.lang.Long.valueOf(v))
+      v
+    }
+  }
+
   /** Fingerprint of a source file for [[ensurePartitioned]]: length +
     * mtime — cheap and changes whenever the driver regenerates it.
     * Resolved through the path's Hadoop FileSystem (default

@@ -4140,7 +4140,10 @@ FROM rw"""
   private[queries] def lshDerivedCap(s: org.apache.spark.sql.SparkSession,
                                      d: String): Int = {
     prepareLshState(s, d)
-    s.read.parquet(lshCapPath(s, d)).head().getLong(0).toInt
+    // Memoized per state generation (ScaleOps.readStatLong): the head()
+    // was a full driver job per cap-consuming query invocation.
+    graft.ops.ScaleOps.readStatLong(s, lshCapPath(s, d),
+      graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")).toInt
   }
 
   /** TAIL-AWARE derived cap over a state's bucket-size distribution —
@@ -4213,7 +4216,8 @@ FROM rw"""
   private[queries] def simhashDerivedCap(s: org.apache.spark.sql.SparkSession,
                                          d: String): Int = {
     prepareSimhashState(s, d)
-    s.read.parquet(simhashCapPath(s, d)).head().getLong(0).toInt
+    graft.ops.ScaleOps.readStatLong(s, simhashCapPath(s, d),
+      graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")).toInt
   }
 
   /** One-time bucketed CTAS of the accepted set's SimHash Manku keys
@@ -4335,7 +4339,8 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
   private[queries] def contamDerivedCap(s: org.apache.spark.sql.SparkSession,
                                         d: String): Int = {
     prepareContamState(s, d)
-    s.read.parquet(contamCapPath(s, d)).head().getLong(0).toInt
+    graft.ops.ScaleOps.readStatLong(s, contamCapPath(s, d),
+      graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet")).toInt
   }
 
   private[queries] def contamBloomPath(s: org.apache.spark.sql.SparkSession,
@@ -4439,7 +4444,8 @@ FROM cnt c JOIN rw ON rw.col_name = c.col_name"""
   private[queries] def cosineDerivedCap(s: org.apache.spark.sql.SparkSession,
                                         d: String): Int = {
     prepareCosineState(s, d)
-    s.read.parquet(cosineCapPath(s, d)).head().getLong(0).toInt
+    graft.ops.ScaleOps.readStatLong(s, cosineCapPath(s, d),
+      graft.ops.ScaleOps.fileFingerprint(s"$d/embeddings.parquet")).toInt
   }
 
   /** One-time bucketed CTAS of the accepted set's sign-LSH bucket rows

@@ -236,7 +236,8 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
     * it over the whole state per run). */
   private[queries] def erStateCap(s: SparkSession, d: String): Long = {
     prepareErState(s, d)
-    s.read.parquet(erCapPath(s, d)).head().getLong(0)
+    graft.ops.ScaleOps.readStatLong(s, erCapPath(s, d),
+      graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"))
   }
 
   /** One-time bucketed CTAS of the ACCEPTED entities' blocking keys
