@@ -352,6 +352,24 @@ object ScaleOps {
       writeMarker(df.sparkSession, path, srcFingerprint)
     }
 
+  /** Unsplittable-input guard (optimization guide §2.5, "one huge
+    * unsplittable file"): parquet scans parallelize by ROW GROUP, so a
+    * source that arrives as one file with one giant row group scans as
+    * ONE task no matter the cluster width — and every narrow pass fused
+    * above that scan (shingling, hashing, quality gates: the heaviest
+    * per-row work in the corpus pipelines) serializes behind it. When
+    * the PLANNED scan parallelism is at or below half the session's
+    * default parallelism, redistribute round-robin before the heavy
+    * work; on a properly-split source (>= cores of input splits — any
+    * sane 100 TB layout) the guard is the identity and no exchange is
+    * added. The round-robin repartition is retry-deterministic
+    * (sortBeforeRepartition, on by default) and every consumer here is
+    * order-independent (aggregates/joins). */
+  def splitNarrowInput(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= want) df.repartition(want) else df
+  }
+
   /** 1-row layout-statistic checkpoints (the derived probe caps): each
     * parquet `head()` is a full driver job (~0.1-0.2 s) paid by EVERY
     * cap-consuming query invocation, but the value is a constant of the

@@ -3643,7 +3643,8 @@ SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""
         "SELECT DISTINCT doc_id, wmin AS fingerprint FROM wins " +
         "WHERE pos <= m - 8 OR (m < 8 AND pos = 0)") { (s, d) =>
       graft.text.CorpusStats.winnowFingerprintsNative(
-        Tables.documents(s, d), "doc_id", "text", n = 5, w = 8, useMd5 = true)
+        graft.ops.ScaleOps.splitNarrowInput(Tables.documents(s, d)),
+        "doc_id", "text", n = 5, w = 8, useMd5 = true)
     })
 
   /** dd_incremental's persisted digest-state table, keyed by source dir
