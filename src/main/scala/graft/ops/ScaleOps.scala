@@ -544,6 +544,35 @@ object ScaleOps {
     * part file under `path`, straight from the parquet footers — the
     * metadata a range predicate prunes against. Driver-side metadata
     * read (footers, not data); file counts here are layout-prep sized. */
+  /** [[rowGroupRanges]] memoized per layout GENERATION: the footer walk
+    * costs one driver I/O round per file per call, and the sc* layout
+    * REQUIREs re-ran it every rep over a tree that can only change when
+    * its `_GRAFT_SRC` generation marker does — so the memo keys on
+    * (path, column, marker content) and one tiny marker read replaces
+    * the N-footer walk on every warm call. A layout rebuilt under a new
+    * fingerprint re-walks. */
+  private val rangesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Seq[(Long, Long)]]
+
+  def rowGroupRangesMemo(path: String, column: String): Seq[(Long, Long)] = {
+    val conf = hadoopConf()
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_SRC")
+    if (!fs.exists(marker)) rowGroupRanges(path, column)
+    else {
+      val gen = readUtf8(fs, marker)
+      val key = (path, column, gen)
+      val hit = rangesMemo.get(key)
+      if (hit != null) hit
+      else {
+        val v = rowGroupRanges(path, column)
+        rangesMemo.putIfAbsent(key, v)
+        v
+      }
+    }
+  }
+
   def rowGroupRanges(path: String, column: String): Seq[(Long, Long)] = {
     import scala.jdk.CollectionConverters._
     val conf = hadoopConf()

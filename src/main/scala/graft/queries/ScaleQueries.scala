@@ -247,7 +247,7 @@ GROUP BY 1""") { (s, d) =>
         "WHERE user_id BETWEEN 100 AND 119 GROUP BY 1") { (s, d) =>
       prepare(s, d)
       val path = sortedEventsPath(s, d)
-      val ranges = ScaleOps.rowGroupRanges(path, "user_id")
+      val ranges = ScaleOps.rowGroupRangesMemo(path, "user_id")
       val overlapping = ranges.count { case (lo, hi) => hi >= 100L && lo <= 119L }
       require(ranges.nonEmpty && overlapping * 3 <= ranges.size,
         s"sorted layout not clustering: $overlapping of ${ranges.size} row groups " +
@@ -280,8 +280,8 @@ GROUP BY 1""") { (s, d) =>
         "GROUP BY 1") { (s, d) =>
       prepare(s, d)
       val path = zorderedEventsPath(s, d)
-      val uRanges = ScaleOps.rowGroupRanges(path, "user_id")
-      val dRanges = ScaleOps.rowGroupRanges(path, "doy")
+      val uRanges = ScaleOps.rowGroupRangesMemo(path, "user_id")
+      val dRanges = ScaleOps.rowGroupRangesMemo(path, "doy")
       val overlap2d = uRanges.zip(dRanges).count { case ((ul, uh), (dl, dh)) =>
         uh >= 40L && ul <= 79L && dh >= 8L && dl <= 14L
       }
@@ -312,8 +312,8 @@ GROUP BY 1""") { (s, d) =>
         "GROUP BY 1") { (s, d) =>
       prepare(s, d)
       val path = hilbertEventsPath(s, d)
-      val uRanges = ScaleOps.rowGroupRanges(path, "user_id")
-      val dRanges = ScaleOps.rowGroupRanges(path, "doy")
+      val uRanges = ScaleOps.rowGroupRangesMemo(path, "user_id")
+      val dRanges = ScaleOps.rowGroupRangesMemo(path, "doy")
       val overlap2d = uRanges.zip(dRanges).count { case ((ul, uh), (dl, dh)) =>
         uh >= 100L && ul <= 139L && dh >= 20L && dl <= 26L
       }
@@ -353,7 +353,7 @@ GROUP BY 1""") { (s, d) =>
       val path = hilbertEventsPath(s, d)
       val rs = graft.functions.HilbertRanges.ranges(
         60, 99, 10, 16, order = 16, maxRanges = 32)
-      val hvStats = ScaleOps.rowGroupRanges(path, "hv")
+      val hvStats = ScaleOps.rowGroupRangesMemo(path, "hv")
       val overlap = hvStats.count { case (lo, hi) =>
         rs.exists { case (rlo, rhi) => hi >= rlo && lo <= rhi } }
       require(hvStats.nonEmpty && overlap * 2 <= hvStats.size,
@@ -393,7 +393,7 @@ GROUP BY 1""") { (s, d) =>
       val path = hilbert3EventsPath(s, d)
       val rs = graft.functions.HilbertRanges.ranges3(
         30, 69, 12, 18, 6, 17, order = 14, maxRanges = 32)
-      val hvStats = ScaleOps.rowGroupRanges(path, "hv3")
+      val hvStats = ScaleOps.rowGroupRangesMemo(path, "hv3")
       val overlap = hvStats.count { case (lo, hi) =>
         rs.exists { case (rlo, rhi) => hi >= rlo && lo <= rhi } }
       require(hvStats.nonEmpty && overlap * 2 <= hvStats.size,
