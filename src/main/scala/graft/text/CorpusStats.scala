@@ -330,12 +330,17 @@ object CorpusStats {
       train.agg(greatest(lit(floor.toLong),
         ceil(lit(frac) * count(lit(1))).cast("long")).as("_cap"))
     }
+    // Native one-pass positional shingles (r18): the HOF formulation
+    // (split + transform(sequence, slice + concat_ws)) pays interpreted
+    // lambdas per position — the same cost class WordShingles was built
+    // to remove from the MinHash path. For docs at or above k tokens
+    // the native array IS the positional shingle sequence (index =
+    // pos), and the >= k token gate keeps the short-doc collapse case
+    // out, exactly as before.
     def shingles(df: DataFrame) = df
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - k),
-        i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+      .filter(graft.text.TextFunctions.tokenCount(col(textCol)) >= k)
+      .select(col(idCol), posexplode(
+        ShingleFunctions.shingles(col(textCol), k)))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("shingle"))
     // Distinct-doc frequency per shingle in ONE pass over one exchange:
     // dense_rank over (shingle | order by id) ties equal ids, so its
