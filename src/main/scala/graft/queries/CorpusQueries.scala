@@ -2976,8 +2976,13 @@ walk(node, lbl) AS (SELECT node, node FROM n
 comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1)
 SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs, max(node) AS max_doc
 FROM comp GROUP BY 1""") { (s, d) =>
-      val pairs = Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5)
+      // Same truncated feed as pg_pagerank/dd_minhash_neardups: before
+      // r18 this site free-rode Spark's CacheManager (its fresh pair
+      // subtree matched the cached plan); a truncated LogicalRDD is
+      // invisible to that substitution, so share the memo explicitly.
+      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups",
+        Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
       Dedup.connectedComponents(pairs)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
