@@ -533,12 +533,8 @@ object Dedup {
         explode(distinctShingles(col(textCol), shingleN)).as("shingle")))
     val incBands = graft.ops.CacheOnce.swap("incr-inc-bands",
       bandKeys(incSets, idCol, numHashes, rowsPerBand))
-    val stateSets = stateDocs
-      .join(crossCands.select(col("id1").as(idCol)).distinct(), Seq(idCol), "left_semi")
-      .select(col(idCol),
-        explode(distinctShingles(col(textCol), shingleN)).as("shingle"))
-    val crossVerified = verifyJaccardCross(crossCands, stateSets, incSets,
-      idCol, threshold)
+    val crossVerified = verifyCrossPairs(crossCands, stateDocs, incSets,
+      idCol, textCol, shingleN, threshold)
     val selfCands = incBands.select(col(idCol).as("id1"), col("band_key"))
       .join(incBands.select(col(idCol).as("id2"), col("band_key")), Seq("band_key"))
       .filter(col("id1") < col("id2"))

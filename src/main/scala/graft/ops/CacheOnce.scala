@@ -33,9 +33,14 @@ object CacheOnce {
     * registry order and evicted the feed dd_incremental_clusters would
     * have memo-hit, silently re-executing its whole verify chain
     * (+2.4 s on its bench line, reproducible). Truncated entries are
-    * increment-sized BY CONTRACT (every caller feeds an
-    * increment-bounded frame), so 16 of them is a few tens of MB —
-    * the right trade against plan-dependent recompute storms. */
+    * increment- or pair-graph-sized BY CONTRACT (every caller feeds an
+    * increment-bounded frame, a verified pair/match set, or another
+    * graph-not-corpus-sized artifact — r18 widened the family to the
+    * shared near-dup pair feeds and ER match sets, which are orders of
+    * magnitude under the corpus at any duplication density the caps
+    * admit), so 16 of them is tens-to-hundreds of MB — the right trade
+    * against plan-dependent recompute storms. Never feed a raw corpus
+    * or exploded shingle set through here. */
   val maxPerNameTruncated = 16
 
   private val live = scala.collection.mutable.LinkedHashMap.empty[(String, Int), DataFrame]

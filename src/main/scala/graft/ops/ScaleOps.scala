@@ -364,7 +364,15 @@ object ScaleOps {
     * sane 100 TB layout) the guard is the identity and no exchange is
     * added. The round-robin repartition is retry-deterministic
     * (sortBeforeRepartition, on by default) and every consumer here is
-    * order-independent (aggregates/joins). */
+    * order-independent (aggregates/joins).
+    *
+    * PRECONDITION: apply to RAW SCAN frames only (scan + narrow
+    * projections/filters). The parallelism probe reads `df.rdd`, and
+    * under adaptive execution materializing the RDD of a plan that
+    * contains a shuffle executes its upstream query stages — the whole
+    * computation would run once at guard time and again at the real
+    * action. The current caller (the winnowing query) passes a bare
+    * table scan. */
   def splitNarrowInput(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 <= want) df.repartition(want) else df
@@ -540,10 +548,6 @@ object ScaleOps {
     }
   }
 
-  /** Row-group [min, max] statistics of an INT64 column across every
-    * part file under `path`, straight from the parquet footers — the
-    * metadata a range predicate prunes against. Driver-side metadata
-    * read (footers, not data); file counts here are layout-prep sized. */
   /** [[rowGroupRanges]] memoized per layout GENERATION: the footer walk
     * costs one driver I/O round per file per call, and the sc* layout
     * REQUIREs re-ran it every rep over a tree that can only change when
@@ -573,6 +577,10 @@ object ScaleOps {
     }
   }
 
+  /** Row-group [min, max] statistics of an INT64 column across every
+    * part file under `path`, straight from the parquet footers — the
+    * metadata a range predicate prunes against. Driver-side metadata
+    * read (footers, not data); file counts here are layout-prep sized. */
   def rowGroupRanges(path: String, column: String): Seq[(Long, Long)] = {
     import scala.jdk.CollectionConverters._
     val conf = hadoopConf()

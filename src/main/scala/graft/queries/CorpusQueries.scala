@@ -36,15 +36,24 @@ object CorpusQueries {
     // s_ivf_recall), and the report references it twice (numerator
     // join + denominator count) — it now computes once per session
     // instead of twice per report per rep.
-    val exact = graft.ops.CacheOnce.swapTruncated("ann-exact-top5",
+    // Memo names carry the SOURCE fingerprint (review r18): the
+    // truncated frame has no lineage to recompute from, so an
+    // in-session regeneration of the backing file must miss the memo
+    // (the readStatLong/rowGroupRangesMemo generation-key discipline
+    // applied to truncated plans).
+    val gen = graft.ops.ScaleOps.fileFingerprint(s"$d/embeddings.parquet")
+    val exact = graft.ops.CacheOnce.swapTruncated(s"ann-exact-top5:$gen",
       Similarity.cosineTopK(
         emb.filter(col("vec_id") < 200)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
         emb, "qid", "vec_id", "qv", "embedding", 5)
         .select(col("query_id"), col("neighbor_id")))
     // The scored candidate set feeds the top-k window AND the n_cand
-    // count — materialized once per invocation (no cross-rep memo).
-    val scoredM = graft.ops.Materialize.eagerDurable(scored)
+    // count. Memoized truncation rather than a bare eagerDurable: the
+    // memo bounds live generations per name (LRU-released), where an
+    // unreleased per-invocation checkpoint accumulated one reliable-
+    // checkpoint copy per rep (review r18).
+    val scoredM = graft.ops.CacheOnce.swapTruncated(s"ann-scored:$gen", scored)
     val approxTop = Similarity.topKWindow(scoredM, 5)
       .filter(col("query_id") < 200).select("query_id", "neighbor_id")
     val hits = exact.join(approxTop, Seq("query_id", "neighbor_id"), "left_semi")
@@ -1459,7 +1468,8 @@ FROM jb GROUP BY 1""") { (s, d) =>
       // Same CacheOnce key/plan as pg_pagerank's edge source: whichever
       // runs first pays the band join + Jaccard verify, the other reads
       // the verified pair set from cache.
-      graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups",
+      graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups:" +
+        graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"),
         Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
     },
@@ -1490,7 +1500,8 @@ ${step("p1", "p2")},
 ${step("p2", "p3")}
 SELECT id AS doc_id, round(r, 6) AS rank FROM p3"""
     }) { (s, d) =>
-      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups",
+      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups:" +
+        graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"),
         Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
       graft.graph.PageRank.pageRank(graft.graph.PageRank.symmetrize(pairs),
@@ -1507,7 +1518,8 @@ SELECT id AS doc_id, round(r, 6) AS rank FROM p3"""
     // enumerates id-ordered a<b<c triples — two different algorithms,
     // one triangle set.
     Q("pg_triangles", trianglesOracleSql) { (s, d) =>
-      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups",
+      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups:" +
+        graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"),
         Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
       graft.graph.Triangles.perNodeCounts(pairs)
@@ -1554,7 +1566,8 @@ SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER w AS BIGINT) AS ran
 FROM fl WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
 QUALIFY row_number() OVER w <= 3""") { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups",
+      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups:" +
+        graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"),
         Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
       Similarity.cosineTopKExcluding(
@@ -2709,10 +2722,14 @@ FROM bk""") { (s, d) =>
           Seq("band_key"))
         .groupBy("id1", "id2")
         .agg((min(col("_bsz")) <= cap).as("capped_ok"))
-      // Materialized ONCE per invocation (eager, no cross-rep memo):
-      // the annotated pair set feeds the count aggregate, the verify
-      // chain's probe-pruned state rescan, and the capped-flag re-join.
-      val cdm = graft.ops.Materialize.eagerDurable(pairsAnn)
+      // Memoized truncation (generation-keyed name — see recallReport's
+      // note): the annotated pair set feeds the count aggregate, the
+      // verify chain's probe-pruned state rescan, and the capped-flag
+      // re-join; the memo's LRU releases superseded checkpoints where a
+      // bare per-invocation eagerDurable leaked one per rep.
+      val cdm = graft.ops.CacheOnce.swapTruncated(
+        "cap-audit-pairs:" + graft.ops.ScaleOps.fileFingerprint(
+          s"$d/documents.parquet"), pairsAnn)
       // Cross pairs only, verified ONCE on the uncapped feed (the
       // capped feed is a subset): verifyCrossPairs skips the inc-inc
       // self-verify subtree the old shape computed and filtered away.
@@ -2980,7 +2997,8 @@ FROM comp GROUP BY 1""") { (s, d) =>
       // r18 this site free-rode Spark's CacheManager (its fresh pair
       // subtree matched the cached plan); a truncated LogicalRDD is
       // invisible to that substitution, so share the memo explicitly.
-      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups",
+      val pairs = graft.ops.CacheOnce.swapTruncated("minhash-md5-neardups:" +
+        graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"),
         Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))
       Dedup.connectedComponents(pairs)

@@ -284,7 +284,8 @@ SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY 1"""
     // one-time full-cluster CTAS — each re-ran the blocking join +
     // Levenshtein verify and re-analyzed its tree. One execution per
     // session, every consumer reads a LogicalRDD leaf.
-    graft.ops.CacheOnce.swapTruncated("er-matches-verified",
+    graft.ops.CacheOnce.swapTruncated("er-matches-verified:" +
+      graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"),
       EntityResolution.verifyByEditDistance(cands, k, "rid", "norm",
         exactCols = Seq("nation"), maxDist = 1))
   }
@@ -378,7 +379,8 @@ FROM comp GROUP BY 1""") { (s, d) =>
       // Same (name, plan) as er_incremental_survivorship's merged map:
       // one probe + verify + merge per session no matter which of the
       // two runs first, and the returned frame is one LogicalRDD leaf.
-      graft.ops.CacheOnce.swapTruncated("er-inc-updated",
+      graft.ops.CacheOnce.swapTruncated("er-inc-updated:" +
+        graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"),
         graft.dedup.Dedup.incrementalClusters(
           s.read.parquet(erClusterStatePath(s, d)), pairs, ("rid1", "rid2")))
     },
@@ -420,7 +422,8 @@ FROM comp GROUP BY 1""") { (s, d) =>
       graft.plans.PlanChecks.requireExchangeFreeBucketedProbe(
         crossCands.queryExecution.executedPlan, "ER key state")
       // Truncated merged map (capped feed — its own memo entry).
-      graft.ops.CacheOnce.swapTruncated("er-inc-updated-capped",
+      graft.ops.CacheOnce.swapTruncated("er-inc-updated-capped:" +
+        graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"),
         graft.dedup.Dedup.incrementalClusters(
           s.read.parquet(erClusterStatePath(s, d)), pairs, ("rid1", "rid2")))
     },
@@ -539,7 +542,8 @@ SELECT cluster_id, rid AS canonical_rid, name AS canonical_name FROM (
       // ~6x in the final election plan; the map is state-sized, the
       // same class the merge already writes back as the new state in
       // production.
-      val updated = graft.ops.CacheOnce.swapTruncated("er-inc-updated",
+      val updated = graft.ops.CacheOnce.swapTruncated("er-inc-updated:" +
+        graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"),
         graft.dedup.Dedup.incrementalClusters(state, pairs, ("rid1", "rid2")))
       val changed = updated
         .join(state.withColumnRenamed("cluster_id", "_old"), Seq("node"), "left")
