@@ -3656,8 +3656,16 @@ losers AS (SELECT DISTINCT CASE WHEN q1.quality < q2.quality THEN nd.id1
   ELSE greatest(nd.id1, nd.id2) END AS doc_id
   FROM nd JOIN qv q1 ON q1.doc_id = nd.id1 JOIN qv q2 ON q2.doc_id = nd.id2)
 SELECT doc_id, quality FROM qv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""") { (s, d) =>
+      // Shares the registry's truncated pair feed (identical params):
+      // before r18 this free-rode the CacheManager's plan substitution,
+      // which cannot see a truncated LogicalRDD (dd_dup_clusters' fix).
       graft.text.CorpusPipeline.keepBestByQuality(Tables.documents(s, d),
-        "doc_id", "text", jaccardThreshold = 0.5, shingleN = 2, useMd5 = true)
+        "doc_id", "text", jaccardThreshold = 0.5, shingleN = 2, useMd5 = true,
+        precomputedPairs = Some(graft.ops.CacheOnce.swapTruncated(
+          "minhash-md5-neardups:" +
+            graft.ops.ScaleOps.fileFingerprint(s"$d/documents.parquet"),
+          Dedup.minhashNearDupsMd5(Tables.documents(s, d), "doc_id", "text",
+            numHashes = 32, rowsPerBand = 4, shingleN = 2, threshold = 0.5))))
     },
 
     // Winnowing fingerprints (rolling-hash document fingerprinting,

@@ -83,10 +83,15 @@ object CorpusPipeline {
     * a narrow (id, quality) projection. */
   def keepBestByQuality(df: DataFrame, idCol: String, textCol: String,
                         jaccardThreshold: Double = 0.5, shingleN: Int = 2,
-                        useMd5: Boolean = false): DataFrame = {
+                        useMd5: Boolean = false,
+                        precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val q = df.select(col(idCol),
       TextFunctions.qualityScoreFast(col(textCol)).as("quality"))
-    val pairs =
+    // `precomputedPairs`: callers that already hold the verified pair
+    // set (the registry's shared truncated minhash-md5 feed) pass it in
+    // instead of re-deriving the whole chain — the cosineTopKExcluding
+    // precedent.
+    val pairs = precomputedPairs.getOrElse {
       if (useMd5)
         Dedup.minhashNearDupsMd5(df, idCol, textCol,
           numHashes = 32, rowsPerBand = 4, shingleN = shingleN,
@@ -95,6 +100,7 @@ object CorpusPipeline {
         Dedup.minhashNearDups(df, idCol, textCol,
           numHashes = 32, rowsPerBand = 4, shingleN = shingleN,
           threshold = jaccardThreshold)
+    }
     val losers = pairs
       .join(q.select(col(idCol).as("id1"), col("quality").as("_q1")), Seq("id1"))
       .join(q.select(col(idCol).as("id2"), col("quality").as("_q2")), Seq("id2"))
