@@ -45,7 +45,8 @@ object PageRank {
     * of the edge set — reproducible by any ANSI engine as `iters`
     * unrolled join+aggregate passes. */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
-               roundTo: Int = 6, symmetric: Boolean = false): DataFrame = {
+               roundTo: Int = 6, symmetric: Boolean = false,
+               memoTag: String = ""): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     // TRUNCATE the RAW edge list, then derive EVERYTHING from the leaf:
     // deg, the superstep join frame, the node count and the init ranks
@@ -62,7 +63,10 @@ object PageRank {
     // that motivated swapTruncated on the incremental path). After
     // truncation every reference costs the analyzer one LogicalRDD
     // leaf.
-    val e = graft.ops.CacheOnce.swapTruncated("pagerank-edges", edges)
+    // memoTag (r19 fingerprint sweep): callers whose edge frame is a
+    // fresh plan over tables by name fold a generation fingerprint into
+    // the memo name; LogicalRDD-leaf-fed callers are keyed by the leaf.
+    val e = graft.ops.CacheOnce.swapTruncated(s"pagerank-edges$memoTag", edges)
     // deg is node-cardinality sized and referenced by every superstep's
     // join AND every teleport broadcast (~2*iters references, each its
     // own stage if recomputed) — persist it alongside the edges.
@@ -154,7 +158,8 @@ object PageRank {
     * invariant. */
   def incrementalPageRank(stateEdges: DataFrame, incEdges: DataFrame,
                           stateRanks: DataFrame, iters: Int = 2,
-                          damping: Double = 0.85, roundTo: Int = 6): DataFrame = {
+                          damping: Double = 0.85, roundTo: Int = 6,
+                          memoTag: String = ""): DataFrame = {
     require(iters >= 1, "incrementalPageRank needs at least one iteration")
     // TRUNCATED, not just cached: the increment feed is typically a
     // deep plan (LSH probe + verify) referenced by deg, the dangle
@@ -164,7 +169,7 @@ object PageRank {
     // dominated the warm runtime (measured ~10 s of a 13 s refresh at
     // sf0.1; graft.ProfPageRank). After truncation each reference is
     // one LogicalRDD leaf.
-    val incE = graft.ops.CacheOnce.swapTruncated("ipr-inc-edges", incEdges)
+    val incE = graft.ops.CacheOnce.swapTruncated(s"ipr-inc-edges$memoTag", incEdges)
     // Merged out-degrees: the state side's aggregate rides the bucketing
     // (no exchange), and the merge with the increment's degrees is a
     // node-sized full-outer join PINNED sort-merge on the state side —
@@ -210,12 +215,7 @@ object PageRank {
     // generation as soon as its successor materializes, or every
     // refresh pins iters-1 eager checkpoints per state fingerprint for
     // the session lifetime (blocks the memory manager cannot evict).
-    var prevRpd: Option[(String, DataFrame)] = None
-    def releasePrev(): Unit = {
-      prevRpd.foreach { case (n, f) => graft.ops.CacheOnce.releaseEntry(n, f) }
-      prevRpd = None
-    }
-    val last = try (1 to iters).foldLeft(init) { (ranks, i) =>
+    val last = (1 to iters).foldLeft(init) { (ranks, i) =>
       // Per-node contribution r/outdeg, computed ONCE per round on the
       // node-sized frame then routed along BOTH edge frames. TRUNCATED
       // per superstep, not just cached: with two message-branch
@@ -229,15 +229,24 @@ object PageRank {
       // plan size, analysis and display are all linear in iters — the
       // eager node-sized materialization per round is the standard
       // iterative-graph checkpoint cadence. Keyed PER SUPERSTEP so the
-      // per-name LRU (maxPerName = 4) never frees a round the terminal
-      // action still reads (PageRankSpec pins iters = 6 linear via a
-      // stage-count listener).
-      val rpd = graft.ops.CacheOnce.swapTruncated(s"ipr-rpd-$i",
+      // per-name LRU never frees a round the terminal action still
+      // reads (PageRankSpec pins iters = 6 linear via a stage-count
+      // listener).
+      //
+      // Generations are NOT eagerly released between supersteps (r19):
+      // the r18 release-each-round policy made every repeat refresh
+      // re-materialize rpd-1, which changed rpd-2's LogicalRDD leaf and
+      // so its memo KEY — each warm refresh re-ran every superstep AND
+      // appended a fresh dead rpd-final entry per rep (measured: 28
+      // stages / ~13 s-cpu per warm sf0.1 rep that the memo was built
+      // to avoid). Kept, the whole chain memo-hits across refreshes of
+      // one state generation: entries per name are one per generation,
+      // node-sized, and the per-name LRU (maxPerNameTruncated) bounds
+      // dead generations exactly as it does for every other truncated
+      // feed.
+      val rpd = graft.ops.CacheOnce.swapTruncated(s"ipr-rpd-$i$memoTag",
         ranks.join(deg, ranks("id") === deg("src"))
           .select(col("src"), (col("r") / col("_deg")).as("_rpd")))
-      // rpd-$i is materialized ⇒ rpd-$(i-1) can never be read again.
-      releasePrev()
-      prevRpd = if (i < iters) Some((s"ipr-rpd-$i", rpd)) else None
       val msgs = stateEdges.hint("merge").join(rpd, Seq("src"))
         .select(col("dst"), col("_rpd"))
         .unionByName(incE.join(rpd, Seq("src")).select(col("dst"), col("_rpd")))
@@ -246,12 +255,6 @@ object PageRank {
         .crossJoin(broadcast(nDf))
         .select(col("dst").as("id"),
           (lit(1.0 - damping) / col("_n") + lit(damping) * col("_m")).as("r"))
-    } catch {
-      // A superstep's eager truncation can throw (a bad increment fires
-      // the broadcast guard mid-materialization): release the held
-      // generation on the way out, or it pins its checkpoint blocks
-      // until the per-name LRU happens to cycle it (ADVICE r15).
-      case t: Throwable => releasePrev(); throw t
     }
     last.select(col("id"), round(col("r"), roundTo).as("rank"))
       .crossJoin(dangleGuard).filter(col("_ok")).drop("_ok")

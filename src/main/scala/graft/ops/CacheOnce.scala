@@ -25,6 +25,13 @@ import org.apache.spark.storage.StorageLevel
 object CacheOnce {
   val maxPerName = 4
 
+  /** Env-gated memo tracing (`GRAFT_CACHE_DEBUG=1`): hit/miss per
+    * (name, semanticHash) — the instrument that attributes per-rep
+    * re-execution to a memo key that silently changes between reps. */
+  private val debug = sys.env.contains("GRAFT_CACHE_DEBUG")
+  private def trace(kind: String, name: String, hash: Int, hit: Boolean): Unit =
+    if (debug) System.err.println(s"[cacheonce] $kind ${if (hit) "HIT " else "MISS"} $name#$hash")
+
   /** Separate (higher) bound for the TRUNCATED map: one name there is
     * legitimately shared by every member of an operator family — seven
     * incremental-cluster queries feed "incr-cluster-pairs", times two
@@ -49,6 +56,7 @@ object CacheOnce {
            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     synchronized {
       val key = (name, df.queryExecution.analyzed.semanticHash())
+      trace("swap", name, key._2, live.contains(key))
       live.get(key) match {
         case Some(cached) => cached
         case None =>
@@ -88,6 +96,7 @@ object CacheOnce {
     * before the next, so the bound is never approached. */
   def swapTruncated(name: String, df: DataFrame): DataFrame = synchronized {
     val key = (name, df.queryExecution.analyzed.semanticHash())
+    trace("trunc", name, key._2, liveT.contains(key))
     liveT.get(key) match {
       case Some(t) => t
       case None =>

@@ -378,6 +378,30 @@ object ScaleOps {
     if (df.rdd.getNumPartitions * 2 <= want) df.repartition(want) else df
   }
 
+  /** [[splitNarrowInput]]'s guard for STREAMED sources (a streaming
+    * DataFrame has no planned batch scan to inspect): true when a batch
+    * scan of `path` would plan at most half the cores' worth of tasks —
+    * the one-big-unsplittable-file shape (guide §2.5). A streamed gate
+    * whose per-row narrow work is heavy (quality/lang scoring, per-row
+    * sketching) inserts a repartition after the source ONLY under this
+    * guard: identity on any multi-file 100 TB landing directory, where
+    * the source scan is already parallel. Memoized per (path,
+    * fingerprint) — the guard is a layout property of the source
+    * generation, not worth a planning round per drain. */
+  private val narrowMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]
+  def narrowScanAt(spark: SparkSession, path: String): Boolean = {
+    val key = (path, fileFingerprint(path))
+    val hit = narrowMemo.get(key)
+    if (hit != null) hit.booleanValue()
+    else {
+      val want = spark.sparkContext.defaultParallelism
+      val v = spark.read.parquet(path).rdd.getNumPartitions * 2 <= want
+      narrowMemo.putIfAbsent(key, java.lang.Boolean.valueOf(v))
+      v
+    }
+  }
+
   /** 1-row layout-statistic checkpoints (the derived probe caps): each
     * parquet `head()` is a full driver job (~0.1-0.2 s) paid by EVERY
     * cap-consuming query invocation, but the value is a constant of the

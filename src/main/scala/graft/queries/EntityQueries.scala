@@ -382,7 +382,8 @@ FROM comp GROUP BY 1""") { (s, d) =>
       graft.ops.CacheOnce.swapTruncated("er-inc-updated:" +
         graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"),
         graft.dedup.Dedup.incrementalClusters(
-          s.read.parquet(erClusterStatePath(s, d)), pairs, ("rid1", "rid2")))
+          s.read.parquet(erClusterStatePath(s, d)), pairs, ("rid1", "rid2"),
+          memoTag = ":er:" + graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet")))
     },
 
     // The CAP-AWARE twin of er_incremental_clusters — the operational
@@ -425,7 +426,8 @@ FROM comp GROUP BY 1""") { (s, d) =>
       graft.ops.CacheOnce.swapTruncated("er-inc-updated-capped:" +
         graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"),
         graft.dedup.Dedup.incrementalClusters(
-          s.read.parquet(erClusterStatePath(s, d)), pairs, ("rid1", "rid2")))
+          s.read.parquet(erClusterStatePath(s, d)), pairs, ("rid1", "rid2"),
+          memoTag = ":er-capped:" + graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet")))
     },
 
     // The streaming front gate of incremental ER (st_lsh_probe's shape
@@ -544,7 +546,8 @@ SELECT cluster_id, rid AS canonical_rid, name AS canonical_name FROM (
       // production.
       val updated = graft.ops.CacheOnce.swapTruncated("er-inc-updated:" +
         graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet"),
-        graft.dedup.Dedup.incrementalClusters(state, pairs, ("rid1", "rid2")))
+        graft.dedup.Dedup.incrementalClusters(state, pairs, ("rid1", "rid2"),
+          memoTag = ":er:" + graft.ops.ScaleOps.fileFingerprint(s"$d/customer.parquet")))
       val changed = updated
         .join(state.withColumnRenamed("cluster_id", "_old"), Seq("node"), "left")
         .filter(col("_old").isNull || col("_old") =!= col("cluster_id"))

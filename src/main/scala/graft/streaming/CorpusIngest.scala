@@ -30,17 +30,35 @@ object CorpusIngest {
     // mutated (its conf is a cross-gate contract).
     val ss = LshProbe.sessionFor(spark, extraConf)
     val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
-    val stream = ss.readStream
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    // Unsplittable-input guard before the quality/lang gate — the
+    // stream's heaviest narrow work ran on a single scan task of a
+    // 32-core micro-batch (measured: 1.7 s of a 2.2 s warm drain); see
+    // LshProbe.spreadNarrow for the guard + observe-barrier rationale.
+    // Stateful operators sit above the round-robin exchange, so dedup
+    // state and the settled aggregate are untouched.
+    val stream = LshProbe.spreadNarrow(spark, s"$sfDir/documents.parquet",
+        "graft_ingest_rows",
+        ss.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir))
       // lang is computed ONCE as a column and the gate filters on it —
       // repeating the marker-count expression in filter and select would
       // double the most expensive narrow work of the stream.
       .withColumn("lang_guess", TextFunctions.langIdFast(col("text")))
       .filter(TextFunctions.qualityScoreFast(col("text")) >= minQuality)
       .filter(col("lang_guess") =!= "und")
-      .withColumn("content_hash", md5(col("text")))
+      // Project BEFORE the dedup exchange (guide §2.3): downstream needs
+      // only (lang_guess, content_hash) — without this the dedup state
+      // shuffle carried the full text column and the collapsed
+      // projections re-evaluated the marker-count expressions from text
+      // in the post-shuffle stages (measured: 2.0 + 1.65 s-cpu in the
+      // 8-task dedup/tally stages at sf0.1; with the narrow projection
+      // the text and the gate expressions stop at the scan-side stage).
+      // dropDuplicates keys on content_hash alone, and identical text
+      // implies identical lang_guess, so which physical row survives
+      // cannot move the per-language distinct count — result unchanged.
+      .select(col("lang_guess"), md5(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")
       .groupBy(col("lang_guess"))
       .agg(count(lit(1)).as("n_unique_docs"))

@@ -31,6 +31,9 @@ object CosineProbe {
     import graft.similarity.Similarity
     val ss = LshProbe.streamSession(spark)
 
+    // NO spreadNarrow here (measured negative, r19): the per-row plane
+    // dots are cheap next to the redistribute's embedding shuffle plus
+    // the extra exchange into the state join (warm drain 1.5 -> 2.2 s).
     val inc = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(embSchema))
       .option("pathGlobFilter", "embeddings.parquet")

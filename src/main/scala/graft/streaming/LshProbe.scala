@@ -123,6 +123,24 @@ object LshProbe {
     * JVM: the default memory sink pins every pre-distinct collision
     * row on the driver until the session is GC'd, which at the
     * 30x-density fixture grew each successive warm rep by ~40 s. */
+  /** Guarded redistribute of a streamed source before heavy PER-ROW
+    * narrow work (per-row sketching, quality/lang scoring) — guide §2.5
+    * applied to the stream gates: the fixture sources are one parquet
+    * file with one row group, so the sketch ran on a single task of a
+    * 32-core micro-batch. Identity on any multi-file landing directory
+    * ([[graft.ops.ScaleOps.narrowScanAt]]'s guard). The observe() node
+    * is an optimizer BARRIER as well as a free row-count metric:
+    * deterministic filters/projections otherwise push back through the
+    * Repartition (PushPredicateThroughNonJoin) onto the single scan
+    * task; CollectMetrics is not in the push-through set. `name` must
+    * be unique per query (observe contract). */
+  private[streaming] def spreadNarrow(base: SparkSession, path: String,
+                                      name: String, src: DataFrame): DataFrame =
+    if (graft.ops.ScaleOps.narrowScanAt(base, path))
+      src.repartition(base.sparkContext.defaultParallelism)
+        .observe(name, count(lit(1)).as("n"))
+    else src
+
   /** The streamed collision pipeline (shared by every sink shape):
     * per-row narrow minhash banding of the increment, stream-static
     * probe of the persisted band state. */
@@ -147,11 +165,12 @@ object LshProbe {
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(sig): _*))
     }
 
-    ss.readStream
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(docSchema))
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
-      .filter(col("doc_id") % 3 === 2)
+    spreadNarrow(ss, s"$sfDir/documents.parquet", "graft_lsh_probe_rows",
+      ss.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(docSchema))
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir)
+        .filter(col("doc_id") % 3 === 2))
       .withColumn("_ws", ws)
       .select(col("doc_id"),
         explode(array(bandCols: _*)).as("band_key"))

@@ -40,6 +40,10 @@ object SimhashProbe {
                    bucketCap: Option[Int] = None): DataFrame = {
     val ss = LshProbe.streamSession(spark)
 
+    // NO spreadNarrow here (measured negative, r19): the native one-pass
+    // SimHashMd5Packed signer is cheap per row, and the redistribute's
+    // text shuffle + extra exchange into the state join cost more than
+    // the single-task signer it relieved (warm drain 1.8 -> 2.2-2.4 s).
     val sigs = graft.dedup.Dedup.simhashMd5(
       ss.readStream
         .schema(org.apache.spark.sql.types.StructType.fromDDL(docSchema))
