@@ -161,7 +161,22 @@ object CacheOnce {
   * reliable `checkpoint(true)` when a checkpoint dir is set (survives
   * executor loss on a cluster), else `localCheckpoint(true)`. */
 object Materialize {
-  def eagerDurable(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  /** Env-gated write-cost instrumentation (`GRAFT_MATERIALIZE_DEBUG=1`):
+    * seconds spent materializing each truncation (persist fill +
+    * checkpoint write) — the number that turns the CacheOnce size
+    * contract (pair-graph-sized artifacts only) into measured evidence
+    * at stress fixtures (SCALE.md r19 rows). */
+  private val debug = sys.env.contains("GRAFT_MATERIALIZE_DEBUG")
+  private def timed[A](what: => String)(body: => A): A =
+    if (!debug) body
+    else {
+      val t0 = System.nanoTime()
+      val out = body
+      System.err.println(f"[materialize] ${(System.nanoTime() - t0) / 1e9}%.2f s  $what")
+      out
+    }
+
+  def eagerDurable(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = timed(s"eagerDurable cols=${df.columns.mkString(",")}") {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // persist before the reliable checkpoint: Spark's checkpoint write
       // is a SECOND job over the full lineage (an iterative operator
@@ -174,6 +189,7 @@ object Materialize {
       p.unpersist(blocking = false)
       out
     } else df.localCheckpoint(true)
+  }
 
   /** Releases the storage behind a frame produced by [[eagerDurable]]
     * once a LATER round has materialized and the frame will never be

@@ -365,6 +365,14 @@ object CorpusStats {
     // Same MERGE rationale as fingerprintOverlap: both capped sides are
     // window outputs partitioned by shingle; without the hint the static
     // planner broadcasts one side off an undercounted explode estimate.
+    // NO distinct over the match set (r19): (id, pos) is unique per side
+    // BY CONSTRUCTION — posexplode of the positional shingle array emits
+    // one row per index — so the equi-join output is already unique in
+    // (train_id, test_id, tpos, qpos) and the old 5-column distinct was
+    // a full exchange + hash-dedup of the biggest intermediate that
+    // removed zero rows (checked at sf0.01 and sf0.1: count == distinct
+    // count; graft.DevCheck). The islands window below re-keys on
+    // (pair, diag) regardless.
     val matches = capped(shingles(train))
       .select(col(idCol).as("train_id"), col("pos").as("tpos"), col("shingle"))
       .hint("merge")
@@ -373,7 +381,6 @@ object CorpusStats {
         Seq("shingle"))
       .select(col("train_id"), col("test_id"), col("tpos"), col("qpos"),
         (col("tpos") - col("qpos")).as("diag"))
-      .distinct()
     // Consecutive qpos on one diagonal = one island: qpos - row_number
     // is constant within a maximal run.
     val w = Window.partitionBy(col("train_id"), col("test_id"), col("diag"))
