@@ -39,6 +39,7 @@ object BottomkIngest {
     // to accumulate (memory sink, fresh session per call): bench-line
     // movement on this query is machinery variance, not growth.
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    CheckpointIo.tune(ss)
     val raw = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(Tables.eventsRawSchema))
       .option("pathGlobFilter", "events.parquet")
@@ -57,6 +58,7 @@ object BottomkIngest {
                                       extraConf: Map[String, String] = Map.empty): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    CheckpointIo.tune(ss) // before extraConf: a spec's overlay wins
     extraConf.foreach { case (kk, v) => ss.conf.set(kk, v) }
     val raw = ss.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(

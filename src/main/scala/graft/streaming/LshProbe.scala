@@ -88,6 +88,7 @@ object LshProbe {
       } else {
         val ss = spark.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "8")
+        CheckpointIo.tune(ss)
         assertNoBaseRef(spark, ss)
         streamSessions.put(spark, ss)
         ss
@@ -106,6 +107,7 @@ object LshProbe {
     else {
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
+      CheckpointIo.tune(ss) // before extraConf: a spec's overlay wins
       extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
       ss
     }

@@ -30,7 +30,7 @@ object ProfDrain {
     spark.sparkContext.setLogLevel("WARN")
 
     final case class P(name: String, batchId: Long, rows: Long,
-                       durs: Map[String, Long])
+                       durs: Map[String, Long], stateOps: String)
     val progress = new java.util.concurrent.CopyOnWriteArrayList[P]()
     val startsStops = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -42,7 +42,13 @@ object ProfDrain {
         import scala.jdk.CollectionConverters._
         progress.add(P(Option(e.progress.name).getOrElse("?"),
           e.progress.batchId, e.progress.numInputRows,
-          e.progress.durationMs.asScala.map { case (k, v) => k -> v.toLong }.toMap))
+          e.progress.durationMs.asScala.map { case (k, v) => k -> v.toLong }.toMap,
+          e.progress.stateOperators.map { so =>
+            val cm = so.customMetrics.asScala.toSeq.sortBy(_._1)
+              .filter(_._2 != 0).map { case (k, v) => s"$k=$v" }.mkString(" ")
+            s"op=${so.operatorName} upd=${so.allUpdatesTimeMs}ms rm=${so.allRemovalsTimeMs}ms " +
+              s"commit=${so.commitTimeMs}ms rowsTotal=${so.numRowsTotal} mem=${so.memoryUsedBytes} $cm"
+          }.mkString(" | ")))
         ()
       }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
@@ -71,6 +77,7 @@ object ProfDrain {
         ps.foreach { p =>
           val d = p.durs.toSeq.sortBy(-_._2).map { case (k, v) => s"$k=$v" }.mkString(" ")
           println(f"[drain]   batch ${p.batchId}%2d (${p.rows}%6d rows): $d")
+          if (p.stateOps.nonEmpty) println(f"[drain]     state: ${p.stateOps}")
         }
         println(f"[drain]   sums: ${keys.map(k => s"$k=${sums(k)}").mkString(" ")}  " +
           f"residual(wall-trigger) ${wall - trig / 1e3}%5.2f s")
