@@ -24,6 +24,12 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same durable-materializer configuration as Bench/Verify: with a
+    // checkpoint dir set, eagerDurable truncations go through reliable
+    // checkpoint() — so GRAFT_MATERIALIZE_DEBUG write-cost numbers from
+    // Prof measure the same path the bench pays.
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val stages = new java.util.concurrent.atomic.AtomicInteger(0)
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

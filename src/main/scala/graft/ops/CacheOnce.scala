@@ -185,7 +185,14 @@ object Materialize {
       // drains it, and — because the checkpoint is EAGER — the blocks
       // can be dropped immediately, leaving only the checkpoint files.
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = p.checkpoint(true)
+      // Debug split: fill the cache with a counted action first, so the
+      // checkpoint job below reads cached blocks and its timing isolates
+      // the WRITE cost (SCALE.md separation). Production path unchanged:
+      // one job computes, caches and writes.
+      if (debug) timed(s"  fill(compute) cols=${df.columns.mkString(",")}")(p.count())
+      val out =
+        if (debug) timed(s"  checkpoint-write cols=${df.columns.mkString(",")}")(p.checkpoint(true))
+        else p.checkpoint(true)
       p.unpersist(blocking = false)
       out
     } else df.localCheckpoint(true)
