@@ -28,8 +28,12 @@ object Prof {
     // checkpoint dir set, eagerDurable truncations go through reliable
     // checkpoint() — so GRAFT_MATERIALIZE_DEBUG write-cost numbers from
     // Prof measure the same path the bench pays.
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    // Reliable-checkpoint files are NOT cleaned at exit by Spark;
+    // repeated Prof runs at stress fixtures would otherwise accumulate
+    // pair-graph-sized trees under /tmp until the disk fills.
+    sys.addShutdownHook(graft.ops.ScaleOps.deleteLocal(ckptDir.toFile))
     val stages = new java.util.concurrent.atomic.AtomicInteger(0)
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

@@ -695,7 +695,14 @@ object Dedup {
     val (_, bloom) = memoTag match {
       case None => build()
       case Some(tag) =>
-        val key = s"$tag|n=$shingleN|fpp=$fpp"
+        // The test frame's semantic hash is part of the key, not just
+        // the caller's tag: two callers reusing the same source tag
+        // over DIFFERENT test splits (doc_id % 2 vs % 3) must never
+        // share a filter — a wrong filter prunes genuinely shared
+        // train shingles and reports contaminated docs clean, with no
+        // error surfaced (r19 review finding).
+        val key = s"$tag|n=$shingleN|fpp=$fpp|" +
+          s"test=${testSh.queryExecution.analyzed.semanticHash()}"
         val hit = testBloomMemo.synchronized(testBloomMemo.get(key))
         if (hit != null) hit
         else {

@@ -240,10 +240,12 @@ object PageRank {
       // appended a fresh dead rpd-final entry per rep (measured: 28
       // stages / ~13 s-cpu per warm sf0.1 rep that the memo was built
       // to avoid). Kept, the whole chain memo-hits across refreshes of
-      // one state generation: entries per name are one per generation,
-      // node-sized, and the per-name LRU (maxPerNameTruncated) bounds
-      // dead generations exactly as it does for every other truncated
-      // feed.
+      // one state generation: entries are one per generation,
+      // node-sized, and CacheOnce's GROUP LRU (eviction keyed on the
+      // name's prefix before the ':' tag, maxPerNameTruncated per
+      // group) bounds dead generations across source regenerations —
+      // the tag-in-name keying alone would give each generation a
+      // singleton name the per-name bound never fires on.
       val rpd = graft.ops.CacheOnce.swapTruncated(s"ipr-rpd-$i$memoTag",
         ranks.join(deg, ranks("id") === deg("src"))
           .select(col("src"), (col("r") / col("_deg")).as("_rpd")))

@@ -94,6 +94,25 @@ object CacheOnce {
     * left to recompute from, so an action over an evicted one FAILS.
     * Current callers take one generation per state fingerprint and act
     * before the next, so the bound is never approached. */
+  /** LRU group of a truncated name: the prefix before the first ':'.
+    * The r19 staleness sweep folds the source-generation fingerprint
+    * into the NAME (`pagerank-edges:<size:mtime>`), which — keyed
+    * as-is — gave every generation its own singleton name and silently
+    * disabled the per-name bound: a mid-session source regeneration
+    * would leak every dead generation's reliable checkpoint until JVM
+    * exit. Eviction therefore groups by the untagged prefix (every
+    * call site appends its tag after a ':'; fingerprints themselves
+    * contain ':' — size:mtime — which is why the FIRST colon splits),
+    * while the exact (name, semanticHash) key keeps lookups
+    * generation-precise. An evicted generation is ≥maxPerNameTruncated
+    * insertions stale within its family — nothing holds it (callers
+    * take one generation per state fingerprint and act before the
+    * next, see the contract above). */
+  private def lruGroup(name: String): String = {
+    val i = name.indexOf(':')
+    if (i < 0) name else name.substring(0, i)
+  }
+
   def swapTruncated(name: String, df: DataFrame): DataFrame = synchronized {
     val key = (name, df.queryExecution.analyzed.semanticHash())
     trace("trunc", name, key._2, liveT.contains(key))
@@ -102,9 +121,10 @@ object CacheOnce {
       case None =>
         val t = Materialize.eagerDurable(df)
         liveT(key) = t
-        val mine = liveT.keys.filter(_._1 == name).toSeq
+        val g = lruGroup(name)
+        val mine = liveT.keys.filter(k => lruGroup(k._1) == g).toSeq
         if (mine.size > maxPerNameTruncated) {
-          val victim = mine.head
+          val victim = mine.head // LinkedHashMap keeps insertion order
           liveT.remove(victim).foreach(Materialize.release)
         }
         t
@@ -112,35 +132,6 @@ object CacheOnce {
   }
 
   private val liveT = scala.collection.mutable.LinkedHashMap.empty[(String, Int), DataFrame]
-
-  /** Release ONE truncated generation — the exact frame a prior
-    * [[swapTruncated]] call returned — once a later materialization has
-    * made it dead (an iterative operator's superstep i is never read
-    * again after superstep i+1's truncation job runs). Matches by
-    * reference identity on the memoized value, so a caller can only
-    * free a generation it actually holds; unknown frames are a no-op.
-    * This is the precise counterpart of the prefix-sweep [[release]]:
-    * per-superstep names (`ipr-rpd-$i`) would otherwise pin up to
-    * `maxPerNameTruncated` eager checkpoints PER SUPERSTEP for the session
-    * lifetime — blocks the memory manager cannot evict.
-    *
-    * SHARING CONTRACT: a truncated generation freed here has NO lineage
-    * to recompute from, so a concurrent caller that obtained the same
-    * frame via a [[swapTruncated]] memo-hit on the same
-    * (name, semanticHash) would fail outright on its next action, not
-    * fall back to recompute. Superstep-named truncated entries are
-    * therefore single-owner by convention: only the refresh loop that
-    * created generation i may release it, and two refreshes of the same
-    * operator over the same state must not run concurrently in one JVM
-    * (they already cannot — the state CTAS prep is fingerprint-guarded
-    * and the registered queries run sequentially). If a future caller
-    * needs concurrent refreshes, add a holder count here instead of
-    * widening the convention. */
-  def releaseEntry(name: String, frame: DataFrame): Unit = synchronized {
-    liveT.keys.filter(_._1 == name).toSeq
-      .filter(k => liveT(k) eq frame)
-      .foreach(k => liveT.remove(k).foreach(Materialize.release))
-  }
 
   /** Drop and unpersist every cached plan under `name`. */
   def release(name: String): Unit = synchronized {

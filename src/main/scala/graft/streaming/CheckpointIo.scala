@@ -43,10 +43,31 @@ object CheckpointIo {
     "spark.sql.streaming.checkpoint.fileChecksum.enabled" ->
       sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
 
+  /** The tuned defaults are measured for LOCAL checkpoints (the gates
+    * all use temp checkpoint locations under java.io.tmpdir). If a
+    * deployment points the session's default checkpoint location at a
+    * remote store (hdfs://, s3a://, ...), the safety trade flips —
+    * FileContext's no-overwrite rename and the checksum sidecars are
+    * worth their cost there — so the defaults only apply when the
+    * location is local; an EXPLICIT env override always wins (the
+    * operator has read the trade). */
+  private def localCheckpoints(ss: SparkSession): Boolean =
+    ss.conf.getOption("spark.sql.streaming.checkpointLocation") match {
+      case None => true // Spark uses a local temp dir
+      case Some(loc) =>
+        val scheme = java.net.URI.create(loc).getScheme
+        scheme == null || scheme == "file"
+    }
+
   /** Applies the knobs to a freshly created stream session. Empty env
     * override = leave Spark's own default for that key. */
   def tune(ss: SparkSession): SparkSession = {
-    confs.foreach { case (k, v) => if (v.nonEmpty) ss.conf.set(k, v) }
+    val applyDefaults = localCheckpoints(ss)
+    confs.zip(Seq("SPARK_GRAFT_CKPT_FM", "SPARK_GRAFT_CKPT_CHECKSUM"))
+      .foreach { case ((k, v), env) =>
+        if (v.nonEmpty && (applyDefaults || sys.env.contains(env)))
+          ss.conf.set(k, v)
+      }
     ss
   }
 }

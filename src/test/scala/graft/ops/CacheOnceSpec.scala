@@ -41,6 +41,32 @@ class CacheOnceSpec extends SparkSpec {
     CacheOnce.release("spec-bound")
   }
 
+  test("swapTruncated: tagged generations share one LRU group and stay bounded") {
+    // r19: fingerprints live in the NAME (spec-gen:<fp>); eviction must
+    // group on the prefix before ':' or every generation is a singleton
+    // name the per-name bound never fires on (dead-generation leak on
+    // mid-session source regeneration).
+    val frames = (0 to CacheOnce.maxPerNameTruncated).map { i =>
+      CacheOnce.swapTruncated(s"spec-gen:123$i:456$i", Seq(i).toDF("x"))
+    }
+    // oldest generation evicted (its memo entry gone: a fresh request
+    // under the same tagged name re-materializes a NEW frame) ...
+    val again = CacheOnce.swapTruncated("spec-gen:1230:4560", Seq(0).toDF("x"))
+    assert(!(again eq frames.head), "oldest tagged generation not evicted")
+    // ... while the newest generations memo-hit.
+    val newest = CacheOnce.swapTruncated(
+      s"spec-gen:123${CacheOnce.maxPerNameTruncated}:456${CacheOnce.maxPerNameTruncated}",
+      Seq(CacheOnce.maxPerNameTruncated).toDF("x"))
+    assert(newest eq frames.last)
+    // untagged names (no ':') are their own group — untouched by the sweep
+    val solo = CacheOnce.swapTruncated("spec-gen-untagged", Seq(99).toDF("x"))
+    assert(CacheOnce.swapTruncated("spec-gen-untagged", Seq(99).toDF("x")) eq solo)
+    (0 to CacheOnce.maxPerNameTruncated).foreach(i =>
+      CacheOnce.release(s"spec-gen:123$i:456$i"))
+    CacheOnce.release("spec-gen:1230:4560")
+    CacheOnce.release("spec-gen-untagged")
+  }
+
   test("swapTruncated: leaf plan, memo hit on re-request, eager data") {
     val deep = Seq(1, 2, 3).toDF("x").filter($"x" > 1).select(($"x" * 2).as("y"))
     val t = CacheOnce.swapTruncated("spec-trunc", deep)
